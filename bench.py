@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed to completion (count of the materialized result)
+after a warm-up of the session; per-query wall seconds are reported plus
+the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_nation_revenue",
+    "q10_returned_customers",
+    "q_window_rank",
+    "q_hourly_rollup",
+    "k3_upsert_merge",
+    "o5_latest_per_key",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "sim_bruteforce_topk",
+    "sim_lsh_ann_topk",
+    "text_quality_scores",
+    "text_lang_id",
+    "multimodal_manifest",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import SparkSession
+
+    from pipeline311_spark import plans
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pipeline311_bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup.
+    plans.REGISTRY["q05_nation_revenue"].fn(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = plans.REGISTRY[name]
+        t0 = time.time()
+        spec.fn(spark, sf_dir).count()
+        dt = round(time.time(), 10) - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""Deduplication operators (north star): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+* Candidate generation is always *bucketed* (LSH band join / shingle
+  join), never an O(n^2) cross join.
+* High-frequency join keys are the classic blowup ("the " appears in
+  every doc → n^2 pairs).  Every candidate generator here takes a
+  ``max_df`` cap and drops keys more frequent than it — explicitly, as
+  a declared parameter, not a silent truncation.
+* Everything is built from exploding arrays + groupBy + joins: pure
+  shuffle work that AQE can re-plan, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.hashing import affine, hash_params, poly_hash
+from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one doc (lowest id) per normalized-text fingerprint.
+    Hash-groupBy: one shuffle on the fingerprint."""
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return fp.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__fp", "__rn")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str, key: Column | None = None) -> DataFrame:
+    """Fingerprint groups with >1 member (the audit view of exact_dedup)."""
+    k = key if key is not None else fingerprint(text_col)
+    return (
+        df.select(F.col(id_col), k.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct word n-grams of normalized text, joined by single spaces."""
+    toks = tokens(normalize_text(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>")))
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
+
+    Plan: explode shingles → drop shingles with doc-frequency > max_df
+    (blowup guard) → self-join on shingle to count the intersection →
+    join per-doc sizes → Jaccard = inter / (|A| + |B| - inter).
+    Shuffles: one per groupBy/join, all on bounded keys.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.countDistinct("doc").alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 5, seed: int = 42
+) -> DataFrame:
+    """k-permutation MinHash signature per doc.
+
+    One explode + one groupBy with k ``min`` aggregates (map-side
+    partial aggregation keeps the shuffle tiny: k longs per doc).
+    Docs with no shingles are dropped (no signature is defined).
+    """
+    params = hash_params(k, seed)
+    sh = _shingle_table(df, id_col, text_col, n).withColumn("h", poly_hash("shingle"))
+    aggs = [F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket: int = 200) -> DataFrame:
+    """Band the signature (bands × k/bands rows) and emit distinct doc
+    pairs sharing any band bucket.  ``max_bucket`` caps pathological
+    buckets (all-identical docs) to bound the self-join.
+    """
+    rows = k // bands
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws("_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    small = banded.join(
+        banded.groupBy("band", "key").agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "key"),
+        ["band", "key"],
+        "left_semi",
+    )
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: signatures → band candidates → verify
+    candidates with exact Jaccard (shingle join restricted to the
+    candidate set via semi-joins)."""
+    sig = minhash_signatures(df, id_col, text_col, k, n, seed)
+    cand = lsh_candidate_pairs(sig, k, bands)
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("a.doc"))
+        .join(b, (cand.doc_b == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: token hashes vote ±1 per bit; the sign vector is
+    the signature.  Explode + groupBy with ``bits`` integer sums —
+    map-side combine keeps it one small shuffle."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(normalize_text(text_col))).alias("tok")
+    ).withColumn("h", poly_hash("tok"))
+    sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = sums.select(
+        "doc",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)),
+            start=F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(sig: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Hamming-near pairs via band join (a pair within ``max_hamming``
+    of ``bands`` bands must agree on ≥1 band when max_hamming < bands),
+    verified with an exact popcount."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright(F.col("simhash"), bi * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).filter(F.col("hamming") <= max_hamming)

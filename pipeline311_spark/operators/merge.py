@@ -1,0 +1,85 @@
+"""MERGE / upsert kernel (SURVEY K3/K4/J1/J2/O5/T1).
+
+The reference upserts three ways — dbtools staged-CSV upsert
+(sync-db2.py:78-88), SQL ``ON CONFLICT DO UPDATE`` (sync-db2-viewer.py:
+56-79), and AGO delete-then-add (sync-db2-ago.py:629-643).  All are the
+same logical MERGE.  Without a transactional table format in this
+container (no Delta), the engine's portable kernel is the
+window-dedup MERGE: ``union`` + ``row_number() over (partition by pk
+order by version desc)`` = 1 — exactly-once per key, fully shuffled,
+scales to any size (no driver materialization).
+
+At 100 TB: the shuffle is on the primary key (unique → no skew);
+with Delta/Iceberg available the same API maps to a native MERGE and
+gets file-skipping; either way nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(df: DataFrame, key: str, version_col: str, tiebreak: str | None = None) -> DataFrame:
+    """O5: keep the newest row per key.  ``tiebreak`` orders exact
+    version ties deterministically (e.g. a source-priority flag)."""
+    order = [F.col(version_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert(target: DataFrame, updates: DataFrame, key: str, version_col: str) -> DataFrame:
+    """K3/J1: MERGE semantics — updates win over target on key match,
+    unmatched updates insert, unmatched target rows survive.
+
+    ``__src`` breaks exact version ties in favor of updates, matching
+    ``ON CONFLICT DO UPDATE`` (sync-db2-viewer.py:56-79) which always
+    takes the incoming row.
+    """
+    t = target.select(target.columns).withColumn("__src", F.lit(0))
+    u = updates.select(target.columns).withColumn("__src", F.lit(1))
+    return latest_per_key(t.unionByName(u), key, version_col, tiebreak="__src").drop("__src")
+
+
+def incremental_merge(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    watermark_col: str = "updated_datetime",
+    inclusive: bool = False,
+) -> DataFrame:
+    """T1: the whole incremental sync loop as one operator — read the
+    destination watermark (A1), pull newer source rows (F3/F4), MERGE
+    (K3).  ``inclusive`` selects the ``>=`` boundary (safe because the
+    MERGE is idempotent — SURVEY §7.5.5)."""
+    w = target.agg(F.max(watermark_col)).first()[0]
+    if w is None:
+        changed = source
+    else:
+        c = F.col(watermark_col)
+        changed = source.filter(c >= F.lit(w) if inclusive else c > F.lit(w))
+    return upsert(target, changed, key, watermark_col)
+
+
+def merge_with_surrogate(
+    target: DataFrame, updates: DataFrame, key: str, version_col: str, objectid_col: str = "objectid"
+) -> DataFrame:
+    """K4's surrogate-id behavior (``sde.next_rowid``, sync-db2-viewer.py:
+    50,79): inserted rows get new ids above the current max; updated rows
+    keep their existing id.  Documented caveat (SURVEY §7.4): ids are
+    dense per batch, not globally stable across re-runs."""
+    base = target.agg(F.coalesce(F.max(objectid_col), F.lit(0))).first()[0]
+    merged = upsert(target.drop(objectid_col), updates, key, version_col)
+    existing = target.select(key, objectid_col)
+    merged = merged.join(existing, key, "left")
+    need_id = merged.filter(F.col(objectid_col).isNull())
+    have_id = merged.filter(F.col(objectid_col).isNotNull())
+    w = Window.orderBy(key)  # deterministic assignment; single-stage zipWithIndex equivalent
+    assigned = need_id.withColumn(objectid_col, F.row_number().over(w) + F.lit(base))
+    return have_id.unionByName(assigned)

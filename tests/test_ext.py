@@ -1,0 +1,144 @@
+"""Unit tests for the extension operators (dedup, similarity, text,
+multimodal) — semantic properties, not just row counts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from pipeline311_spark.ext.multimodal import (
+    decode_image_features,
+    documents_as_media,
+    frame_sample,
+    media_manifest,
+)
+from pipeline311_spark.ext.similarity import brute_force_topk, lsh_ann_topk
+from pipeline311_spark.ext.textstats import lang_id, quality_score, token_count
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near-dup of 0
+    (2, "completely different content about spark shuffles and partition pruning"),
+    (3, "The  Quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0 mod case/ws
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_ws(docs):
+    kept = exact_dedup(docs, "doc_id", "text")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 1, 2}  # 3 collapses into 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+    assert not any(2 in p for p in got)
+
+
+def test_minhash_identical_signatures(docs):
+    sig = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+    rows = {r["doc"]: tuple(r[f"mh{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[0] == rows[3]  # identical after normalization
+    assert rows[0] != rows[2]
+
+
+def test_minhash_dedup_pairs(docs):
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", k=8, bands=4, n=3, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == 1.0
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+def test_simhash_identical_and_near(docs):
+    sig = simhash(docs, "doc_id", "text")
+    pairs = simhash_near_pairs(sig, max_hamming=6)
+    rows = {r["doc"]: r["simhash"] for r in sig.collect()}
+    assert rows[0] == rows[3]
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 3)] == 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0]),
+    (4, [0.8, 0.2, 0.0]),
+]
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(vecs):
+    q = vecs.filter("vec_id = 0")
+    res = brute_force_topk(vecs, q, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert order == [1, 4, 2]  # by cosine to (1,0,0)
+    assert res[0]["cos_sim"] <= 1.0 + 1e-12
+
+
+def test_lsh_ann_same_bucket_recall(vecs):
+    q = vecs.filter("vec_id = 0")
+    res = lsh_ann_topk(vecs, q, k=3, n_planes=4)
+    ids = {r["neighbor_id"] for r in res.collect()}
+    # near-identical direction vectors must share the bucket
+    assert 1 in ids and 4 in ids
+    assert 3 not in ids  # opposite vector differs on every hyperplane
+
+
+def test_textstats_basics(docs):
+    out = docs.select(
+        token_count("text").alias("n"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()
+    assert all(r["n"] > 5 for r in out)
+    assert out[0]["lang"] == "en"  # 'the' markers
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+def test_multimodal_manifest_and_decode(docs):
+    media = documents_as_media(docs)
+    man = {r["media_id"]: r for r in media_manifest(media).collect()}
+    assert man[0]["byte_len"] == len(DOCS[0][1].encode())
+    feats = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert feats[0]["byte_len"] == man[0]["byte_len"]
+    assert len(feats[0]["features"]) == 8
+    assert all(0 <= f <= 1 for f in feats[0]["features"])
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert feats[0]["features"] == again[0]["features"]
+
+
+def test_frame_sample_shapes(docs):
+    media = documents_as_media(docs)
+    frames = frame_sample(media, every_bytes=16, max_frames=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) <= 3 for v in by_doc.values())
+    assert all(len(bytes(r["frame"])) <= 16 for r in frames)
+
+
+def test_decode_real_codec_is_explicit_stub(docs):
+    with pytest.raises(NotImplementedError):
+        decode_image_features(documents_as_media(docs), fake=False)
