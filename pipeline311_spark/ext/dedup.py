@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline311_spark.ext.hashing import affine, hash_params, poly_hash
+from pipeline311_spark.ext.hashing import affine, ensure_parallelism, hash_params, poly_hash
 from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
 
 # ---------------------------------------------------------------------------
@@ -29,7 +29,7 @@ from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one doc (lowest id) per normalized-text fingerprint.
     Hash-groupBy: one shuffle on the fingerprint."""
-    fp = df.withColumn("__fp", fingerprint(text_col))
+    fp = ensure_parallelism(df).withColumn("__fp", fingerprint(text_col))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col))
     return fp.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__fp", "__rn")
 
@@ -38,7 +38,7 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str, key: Column | No
     """Fingerprint groups with >1 member (the audit view of exact_dedup)."""
     k = key if key is not None else fingerprint(text_col)
     return (
-        df.select(F.col(id_col), k.alias("fp"))
+        ensure_parallelism(df.select(id_col, text_col)).select(F.col(id_col), k.alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_docs") > 1)
@@ -59,7 +59,7 @@ def word_shingles(col: Column | str, n: int = 5) -> Column:
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    return ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
@@ -174,9 +174,16 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup: signatures → band candidates → verify
     candidates with exact Jaccard (shingle join restricted to the
     candidate set via semi-joins)."""
-    sig = minhash_signatures(df, id_col, text_col, k, n, seed)
+    # The shingle table feeds the signatures, the sizes, AND the verify
+    # join — persist it so one job computes it once (at 100 TB this is
+    # the stage you'd materialize to storage instead).
+    sh = _shingle_table(df, id_col, text_col, n).persist()
+    params = hash_params(k, seed)
+    hashed = sh.withColumn("h", poly_hash("shingle"))
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
+    )
     cand = lsh_candidate_pairs(sig, k, bands)
-    sh = _shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -205,7 +212,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     """Per-doc SimHash: token hashes vote ±1 per bit; the sign vector is
     the signature.  Explode + groupBy with ``bits`` integer sums —
     map-side combine keeps it one small shuffle."""
-    tok = df.select(
+    tok = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"), F.explode(tokens(normalize_text(text_col))).alias("tok")
     ).withColumn("h", poly_hash("tok"))
     sums = tok.groupBy("doc").agg(

@@ -18,6 +18,19 @@ MOD = 1_000_000_007
 BASE = 31
 
 
+def ensure_parallelism(df, min_parts: int | None = None):
+    """Repartition a DataFrame whose scan produced too few partitions
+    (a single small parquet file → one task → one core does all the
+    shingling).  At 100 TB the scan's file splits provide parallelism
+    and this is a no-op; locally it unlocks all cores for the
+    explode-heavy dedup/similarity operators."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def poly_hash(col: Column | str, fast: bool = False) -> Column:
     """Deterministic 64-bit-safe string hash in [0, MOD)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline311_spark.ext.hashing import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Deterministic sequential-fold dot product (array order)."""
@@ -52,7 +54,9 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    )
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
     )
@@ -86,7 +90,7 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
 def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 7) -> DataFrame:
     dim = len(df.select(vec_col).first()[0])
     planes = deterministic_planes(n_planes, dim, seed)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col), as_double(vec_col).alias("v"),
         hyperplane_signature(as_double(vec_col), planes).alias("bucket"),
     )

@@ -1,0 +1,229 @@
+"""Remaining operator coverage: sessionization (advanced windowing),
+CSV sink/scan round-trip (K1/S9), EWKT geometry build/parse + ESRI
+encoding (P2/P18), rename projection (P1/P17), static source filter
+(F1), count probes (A4/A5/A7), truncate+reload (K9).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pipeline311_spark.plans.common import dsum, table
+from pipeline311_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based session assignment via lag + running sum —
+# the standard event-stream operator the reference's watermark loop
+# approximates (SURVEY §1.4/T1), done properly with windows.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+_SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id
+"""
+
+
+@register("q_sessionize", _SESSIONIZE_SQL, covers=("T1", "O5"))
+def q_sessionize(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_S * 1_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1 + S9: CSV sink then CSV scan (explicit schema), values must survive
+# the round trip.  Oracle reads the original parquet — the round trip
+# itself is what's being verified.
+# ---------------------------------------------------------------------------
+
+_CSV_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@register("s9_csv_roundtrip", _CSV_SQL, covers=("K1", "S9", "K2"))
+def q_csv_roundtrip(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(tempfile.gettempdir(), f"p311_csv_{os.path.basename(sf_dir)}")
+    d.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K9: truncate + reload (overwrite) then scan
+# ---------------------------------------------------------------------------
+
+_K9_SQL = """
+SELECT COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM part
+"""
+
+
+@register("k9_truncate_reload", _K9_SQL, covers=("K9", "K10"))
+def q_truncate_reload(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    out = os.path.join(tempfile.gettempdir(), f"p311_seed_{os.path.basename(sf_dir)}")
+    p.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("total_price"))
+
+
+# ---------------------------------------------------------------------------
+# P2 + P18: EWKT build, parse-back, ESRI feature JSON (string-assembled
+# for engine portability; the struct/to_json form is the library op).
+# ---------------------------------------------------------------------------
+
+_GEO_SQL = """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(-(p_partkey % 180 + 0.5) AS DOUBLE) AS x,
+         CAST(p_partkey % 80 + 0.25 AS DOUBLE) AS y
+  FROM part)
+SELECT p_partkey,
+       concat('SRID=4326;POINT (', CAST(x AS VARCHAR), ' ', CAST(y AS VARCHAR), ')') AS ewkt,
+       x AS parsed_x, y AS parsed_y, 4326 AS srid,
+       concat('{"attributes":{"id":', CAST(p_partkey AS VARCHAR),
+              '},"geometry":{"x":', CAST(x AS VARCHAR), ',"y":', CAST(y AS VARCHAR),
+              ',"spatial_reference":{"wkid":4326}}}') AS esri_json
+FROM pts
+"""
+
+
+@register("p2_p18_geometry", _GEO_SQL, covers=("P2", "P18", "P19"))
+def q_geometry(spark, sf_dir):
+    from pipeline311_spark.functions.geo import parse_point_ewkt, point_ewkt_from_xy
+
+    p = table(spark, sf_dir, "part")
+    x = (-((F.col("p_partkey") % 180) + F.lit(0.5))).cast("double")
+    y = ((F.col("p_partkey") % 80) + F.lit(0.25)).cast("double")
+    with_ewkt = p.select(
+        "p_partkey", point_ewkt_from_xy(x.cast("string"), y.cast("string")).alias("ewkt")
+    )
+    pt = parse_point_ewkt("ewkt")
+    return with_ewkt.select(
+        "p_partkey",
+        "ewkt",
+        pt["x"].alias("parsed_x"),
+        pt["y"].alias("parsed_y"),
+        pt["srid"].alias("srid"),
+        F.concat(
+            F.lit('{"attributes":{"id":'),
+            F.col("p_partkey").cast("string"),
+            F.lit('},"geometry":{"x":'),
+            pt["x"].cast("string"),
+            F.lit(',"y":'),
+            pt["y"].cast("string"),
+            F.lit(',"spatial_reference":{"wkid":4326}}}'),
+        ).alias("esri_json"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P17: rename projection + key lowercasing
+# ---------------------------------------------------------------------------
+
+_P1_SQL = """
+SELECT n_nationkey AS nation_id, n_name AS name, n_regionkey AS region_id FROM nation
+"""
+
+
+@register("p1_rename_projection", _P1_SQL, covers=("P1", "P17"))
+def q_rename(spark, sf_dir):
+    from pipeline311_spark.functions.cleaning import rename_projection
+
+    n = table(spark, sf_dir, "nation")
+    out = rename_projection(
+        n, {"NATION_ID": "n_nationkey", "NAME": "n_name", "REGION_ID": "n_regionkey"}
+    )
+    return out.toDF(*[c.lower() for c in out.columns])  # P17
+
+
+# ---------------------------------------------------------------------------
+# F1: static source filter (exclusion rule)
+# ---------------------------------------------------------------------------
+
+_F1_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE event_type != 'error' AND event_type NOT IN ('signup', '')
+GROUP BY event_type
+"""
+
+
+@register("f1_static_filter", _F1_SQL, covers=("F1",))
+def q_static_filter(spark, sf_dir):
+    from pipeline311_spark.operators.filters import static_source_filter
+
+    e = table(spark, sf_dir, "events")
+    filtered = static_source_filter(
+        e,
+        record_type_id="event_type",
+        record_type="event_type",
+        excluded_id="error",
+        excluded_types=("signup", ""),
+    )
+    return filtered.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A4/A5/A7: count probes
+# ---------------------------------------------------------------------------
+
+_A5_SQL = """
+SELECT (SELECT COUNT(*) FROM orders) AS source_count,
+       (SELECT COUNT(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS matched_customers
+"""
+
+
+@register("a5_count_probes", _A5_SQL, covers=("A4", "A5", "A7", "S2"))
+def q_count_probes(spark, sf_dir):
+    from pipeline311_spark.operators.aggregates import count_matched
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    total = orders.count()
+    matched = count_matched(cust, orders.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey")
+    return spark.createDataFrame(
+        [(total, matched)], "source_count long, matched_customers long"
+    )

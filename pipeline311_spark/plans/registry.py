@@ -48,3 +48,5 @@ def oracle_sql() -> dict[str, str]:
 from pipeline311_spark.plans import relational  # noqa: E402,F401
 from pipeline311_spark.plans import pipeline311  # noqa: E402,F401
 from pipeline311_spark.plans import extensions  # noqa: E402,F401
+from pipeline311_spark.plans import pipeline_clean  # noqa: E402,F401
+from pipeline311_spark.plans import extras  # noqa: E402,F401
