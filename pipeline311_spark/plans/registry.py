@@ -50,3 +50,4 @@ from pipeline311_spark.plans import pipeline311  # noqa: E402,F401
 from pipeline311_spark.plans import extensions  # noqa: E402,F401
 from pipeline311_spark.plans import pipeline_clean  # noqa: E402,F401
 from pipeline311_spark.plans import extras  # noqa: E402,F401
+from pipeline311_spark.plans import tpch_more  # noqa: E402,F401
