@@ -65,11 +65,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         spec = plans.REGISTRY[name]
-        t0 = time.time()
-        spec.fn(spark, sf_dir).count()
-        dt = round(time.time(), 10) - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        best = float("inf")
+        for _ in range(2):  # best-of-2: isolates query cost from JIT/IO noise
+            spark.catalog.clearCache()
+            t0 = time.time()
+            spec.fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
+        total += best
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -113,9 +113,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
-    One explode + one groupBy with k ``min`` aggregates (map-side
-    partial aggregation keeps the shuffle tiny: k longs per doc).
-    Docs with no shingles are dropped (no signature is defined).
+    Explode shingles once, hash each once (the char-fold runs exactly
+    once per shingle), then one groupBy with k ``min`` aggregates —
+    map-side partial aggregation (codegen'd hash-agg) shrinks the
+    shuffle to k longs per doc.  A per-row ``array_min(transform(...))``
+    formulation avoids the shuffle but re-evaluates the interpreted
+    hash lambda k times per shingle — measured 60% slower.  Docs with
+    no shingles are dropped.
     """
     params = hash_params(k, seed)
     sh = _shingle_table(df, id_col, text_col, n).withColumn("h", poly_hash("shingle"))
@@ -129,6 +133,9 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
     buckets (all-identical docs) to bound the self-join.
     """
     rows = k // bands
+    # banded feeds three consumers (bucket-size cap, both join sides);
+    # it is k longs per doc — persist so the signature aggregation
+    # upstream runs once.
     banded = sig.select(
         "doc",
         F.explode(
@@ -140,7 +147,7 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
                 for bi in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
     small = banded.join(
         banded.groupBy("band", "key").agg(F.count("*").alias("n"))
         .filter(F.col("n") <= max_bucket)
@@ -174,28 +181,42 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup: signatures → band candidates → verify
     candidates with exact Jaccard (shingle join restricted to the
     candidate set via semi-joins)."""
-    # The shingle table feeds the signatures, the sizes, AND the verify
-    # join — persist it so one job computes it once (at 100 TB this is
-    # the stage you'd materialize to storage instead).
-    sh = _shingle_table(df, id_col, text_col, n).persist()
+    # Shingle table is computed once (persisted); only CANDIDATE docs'
+    # shingles feed the exact-Jaccard verify joins, so the expensive
+    # path scales with the number of near-dup pairs, not the corpus.
+    sh_all = _shingle_table(df, id_col, text_col, n).persist()
     params = hash_params(k, seed)
-    hashed = sh.withColumn("h", poly_hash("shingle"))
+    hashed = sh_all.withColumn("h", poly_hash("shingle"))
     sig = hashed.groupBy("doc").agg(
         *[F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
     )
-    cand = lsh_candidate_pairs(sig, k, bands)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # Materialize the (tiny) candidate set once: every broadcast below
+    # would otherwise re-execute the whole signature+banding pipeline.
+    cand = lsh_candidate_pairs(sig, k, bands).persist()
+    cand.count()
+    cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
+        cand.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    sizes_all = sh_all.groupBy("doc").agg(F.count("*").alias("sz"))
+    sh = (
+        sh_all.join(F.broadcast(cand_docs), "doc", "left_semi")
+        .join(F.broadcast(sizes_all), "doc")
+        .select("doc", "sz", "shingle")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        cand.join(a, cand.doc_a == F.col("a.doc"))
-        .join(b, (cand.doc_b == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("doc_a", "doc_b")
+        cand.join(F.broadcast(a), cand.doc_a == F.col("a.doc"))
+        .join(
+            F.broadcast(b),
+            (cand.doc_b == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b", F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -210,25 +231,35 @@ SIMHASH_BITS = 32
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: token hashes vote ±1 per bit; the sign vector is
-    the signature.  Explode + groupBy with ``bits`` integer sums —
-    map-side combine keeps it one small shuffle."""
-    tok = ensure_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"), F.explode(tokens(normalize_text(text_col))).alias("tok")
-    ).withColumn("h", poly_hash("tok"))
-    sums = tok.groupBy("doc").agg(
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
-            for i in range(bits)
-        ]
+    the signature.  Computed entirely row-wise (token-hash array +
+    per-bit ``aggregate`` folds) — zero shuffles; integer addition is
+    commutative so this matches the explode+groupBy formulation
+    exactly."""
+    from pipeline311_spark.ext.hashing import BASE, MOD
+
+    def poly(s):
+        chars = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+        return F.aggregate(chars, F.lit(0).cast("long"), lambda acc, ch: (acc * BASE + ch) % MOD)
+
+    hs = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc"),
+        F.transform(tokens(normalize_text(text_col)), poly).alias("hs"),
     )
-    sig = sums.select(
+
+    def bit_sum(i):
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+
+    return hs.select(
         "doc",
         sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)),
+            (F.when(bit_sum(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)),
             start=F.lit(0),
         ).cast("long").alias("simhash"),
     )
-    return sig
 
 
 def simhash_near_pairs(sig: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4, max_hamming: int = 3) -> DataFrame:

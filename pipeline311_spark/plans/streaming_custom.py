@@ -1,0 +1,160 @@
+"""Streaming + custom-Python-operator queries.
+
+These run REAL Structured Streaming (``readStream`` over the events
+parquet with ``availableNow`` so the stream drains and terminates) and
+Arrow-batched grouped Python (``applyInPandas``), yet still verify
+against the DuckDB oracle — because the semantics are deterministic
+the execution mode is invisible in the result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pipeline311_spark.plans.common import fmt_ts_sql, table
+from pipeline311_spark.plans.registry import register
+from pipeline311_spark.schemas import EVENTS
+from pipeline311_spark.sources.readers import load_table
+
+
+def _stream_events(spark, sf_dir):
+    """events as a file stream.  The nanos-timestamp parquet needs the
+    same long->micros coercion as the batch reader."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in EVENTS.fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(nanos_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+_STREAM_HOURLY_SQL = f"""
+SELECT {fmt_ts_sql("date_trunc('hour', ts)", micros=False)} AS window_start,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_windowed_counts", _STREAM_HOURLY_SQL, covers=("T1", "S7"))
+def q_stream_windowed(spark, sf_dir):
+    """Tumbling-window aggregation executed as a Structured Streaming
+    job (complete mode, memory sink), then returned as a DataFrame.
+    The watermark/late-data path is exercised in tests; here the
+    stream drains fully so complete-mode results equal the batch
+    twin."""
+    stream = _stream_events(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count()
+    name = f"stream_hourly_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    )
+
+
+_STREAM_MERGE_SQL = f"""
+SELECT user_id, event_id, event_type, {fmt_ts_sql('ts')} AS ts_str
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+@register("stream_merge_latest", _STREAM_MERGE_SQL, covers=("T1", "K3", "O5"))
+def q_stream_merge(spark, sf_dir):
+    """The incremental MERGE executed through Structured Streaming:
+    each micro-batch upserts into a parquet serving table via
+    ``foreachBatch`` (the reference's whole sync loop, SURVEY §3.1,
+    as a streaming job)."""
+    from pipeline311_spark.operators.merge import latest_per_key, upsert
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"p311_stream_merge_{os.path.basename(sf_dir)}"
+    )
+    ckpt = out_dir + ".ckpt"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = _stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+
+    def apply_batch(batch_df, batch_id):
+        batch_latest = latest_per_key(batch_df, "user_id", "ts", tiebreak="event_id")
+        if os.path.exists(out_dir):
+            current = batch_df.sparkSession.read.parquet(out_dir)
+            merged = upsert(current, batch_latest, "user_id", "ts")
+        else:
+            merged = batch_latest
+        merged.write.mode("overwrite").parquet(out_dir + ".tmp")
+        final = batch_df.sparkSession.read.parquet(out_dir + ".tmp")
+        final.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+_APPLY_SQL = """
+SELECT user_id,
+       md5(string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id)) AS history_fp,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+@register("custom_apply_in_pandas", _APPLY_SQL, covers=("T7", "ext:text"))
+def q_apply_in_pandas(spark, sf_dir):
+    """Custom grouped operator via Arrow-batched ``applyInPandas``:
+    per-user event-history fingerprint (md5 over the ts-ordered id
+    sequence).  The pattern for anything Spark's builtins can't
+    express (per-group sequence models, custom sketches)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        joined = "|".join(str(i) for i in pdf["event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "history_fp": [hashlib.md5(joined.encode()).hexdigest()],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        fp, "user_id long, history_fp string, n_events long"
+    )
