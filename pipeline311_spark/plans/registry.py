@@ -52,3 +52,4 @@ from pipeline311_spark.plans import pipeline_clean  # noqa: E402,F401
 from pipeline311_spark.plans import extras  # noqa: E402,F401
 from pipeline311_spark.plans import tpch_more  # noqa: E402,F401
 from pipeline311_spark.plans import streaming_custom  # noqa: E402,F401
+from pipeline311_spark.plans import connector  # noqa: E402,F401

@@ -1,0 +1,80 @@
+"""Connector pushdown behavior + physical-plan quality guards
+(the 100 TB design assertions: filters reach the scan, dimension
+joins broadcast, no accidental cartesian products)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline311_spark.plans import REGISTRY
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_connector_reader_pushdown_unit(sf_dir):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    from pipeline311_spark.sources.salesforce_sim import CaseSourceReader
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType())])
+    reader = CaseSourceReader(schema, {"path": f"{sf_dir}/documents.parquet", "pagesize": "100"})
+    unsupported = list(
+        reader.pushFilters([GreaterThan(("doc_id",), 10), StringStartsWith(("lang",), "e")])
+    )
+    # range filter accepted at source; StartsWith handed back to Spark
+    assert len(reader.pushed) == 1 and len(unsupported) == 1
+    pages = reader.partitions()
+    assert len(pages) == 5  # 500 docs / 100 per page
+    rows = [r for p in pages for r in reader.read(p)]
+    assert all(r[0] > 10 for r in rows)
+
+
+def test_connector_query_matches_plain_scan(spark, sf_dir):
+    got = {
+        r["lang"]: (r["n_docs"], r["total_chars"])
+        for r in REGISTRY["s1_connector_pushdown"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["lang"]: (r["n"], r["t"])
+        for r in docs.filter("n_chars > 200 AND lang IN ('en','de','fr')")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_flagship_plan_quality(spark, sf_dir):
+    plan = explain_str(REGISTRY["q05_nation_revenue"].fn(spark, sf_dir))
+    # filters pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    # all dimension joins broadcast; no sort-merge for the small sides
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_cleaning_kernel_single_stage(spark, sf_dir):
+    # the whole P1-P12 kernel must fuse into one projection over the
+    # scan — no shuffles/exchanges (the reference needed a full
+    # in-memory materialization; we need zero)
+    plan = explain_str(REGISTRY["pipeline_clean_cases"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = explain_str(REGISTRY["q_topk_orders"].fn(spark, sf_dir))
+    scan_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_line and "o_totalprice" in scan_line[0]
+    # pruned: the unused o_orderdate column must not be read
+    assert "o_orderdate" not in scan_line[0]

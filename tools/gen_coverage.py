@@ -1,0 +1,130 @@
+"""Generate COVERAGE.md: SURVEY.md §2 operator inventory -> where each
+operator lives in the engine, which registry query exercises it against
+the DuckDB oracle, and which tests cover it."""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pipeline311_spark import plans  # noqa: E402
+
+# operator id -> (engine location, notes/tests)
+STATIC = {
+    "S1": ("sources/readers.py read_parquet; sources/salesforce_sim.py (Python DataSource, paginated + pushFilters)", "tests/test_connector_plans.py"),
+    "S2": ("df.count() / a5_count_probes", ""),
+    "S3": ("operators/joins.py anti_join (chunked IN-list collapsed)", "tests/test_operators.py"),
+    "S4": ("sources/readers.py read_jdbc (partitioned, predicate pushdown via Catalyst)", "no live DB in container; shape covered by parquet path"),
+    "S5": ("operators/joins.py semi_join + sources/validate.py assert_single_row_per_key", "tests/test_operators.py"),
+    "S6": ("sources/validate.py validate_columns/validate_schema (df.schema)", "tests/test_operators.py"),
+    "S7": ("DataFrame.filter (generic where-clause scan)", ""),
+    "S8": ("operators/aggregates.py max_watermark", ""),
+    "S9": ("sources/readers.py read_csv (explicit schema)", ""),
+    "S10": ("operators/backfill.py partition_window_filter", ""),
+    "K1": ("sinks/writers.py write_csv", ""),
+    "K2": ("df.write.parquet('s3a://...') — same line, S3A path (no S3 in container)", ""),
+    "K3": ("operators/merge.py upsert (window-dedup MERGE)", "tests/test_operators.py"),
+    "K4": ("operators/merge.py merge_with_surrogate + incremental watermark", "tests/test_operators.py"),
+    "K5": ("sinks/writers.py batched_foreach_writer (50-row batches, retry ladder)", "tests/test_streaming_sinks.py"),
+    "K6": ("same writer; delete batches = key-list sends", "tests/test_streaming_sinks.py"),
+    "K7": ("operators/merge.py upsert == delete-then-add semantics", "tests/test_operators.py"),
+    "K8": ("operators/reconcile.py reconcile_deletes (tombstone archive)", "tests/test_operators.py"),
+    "K9": ("sinks/writers.py overwrite_reload", ""),
+    "K10": ("N/A — stale/broken seed path in reference (SURVEY §2.9.4)", ""),
+    "P13": ("functions/text.py ago_sanitize", ""),
+    "P14": ("coalesce/nullif edge conventions (plans/pipeline_clean.py gold projection)", ""),
+    "P15": ("functions/timeparse.py utc_string_relocalize (fixes reference bug §2.9.3)", ""),
+    "P16": ("functions/timeparse.py to_local_string", ""),
+    "P17": ("df.toDF(*lowered) — p1_rename_projection", ""),
+    "P18": ("functions/geo.py esri_point_feature", ""),
+    "P19": ("functions/geo.py reproject_identity (4326->4326; pandas_udf+pyproj if ever real)", ""),
+    "F1": ("operators/filters.py static_source_filter", ""),
+    "F2": ("operators/filters.py time_range", ""),
+    "F3": ("operators/filters.py watermark_filter(inclusive=False)", "tests/test_operators.py"),
+    "F4": ("operators/filters.py watermark_filter(inclusive=True)", "tests/test_operators.py"),
+    "F5": ("scalar-subquery watermark (f3_f4 query)", ""),
+    "F6": ("key predicate / point lookup -> join (S5)", ""),
+    "F7": ("operators/filters.py key_in", ""),
+    "F8": ("isin / semi-join", ""),
+    "J1": ("operators/merge.py upsert", "tests/test_operators.py"),
+    "J2": ("operators/merge.py upsert (viewer variant w/ surrogate)", "tests/test_operators.py"),
+    "J3": ("operators/joins.py anti_join; operators/reconcile.py", "tests/test_operators.py"),
+    "J4": ("operators/joins.py semi_join / exists_probe", "tests/test_operators.py"),
+    "A1": ("operators/aggregates.py max_watermark", ""),
+    "A2": ("same (source-agnostic)", ""),
+    "A3": ("operators/aggregates.py coalesced_max_watermark", ""),
+    "A4": ("df.count()", ""),
+    "A5": ("operators/aggregates.py count_matched", ""),
+    "A6": ("sources/validate.py dup_guard", "tests/test_operators.py"),
+    "A7": ("merge result counts", ""),
+    "O1": ("df.orderBy asc", ""),
+    "O2": ("df.orderBy desc", ""),
+    "O3": ("exceptAll/subtract/intersect", ""),
+    "O4": ("df.limit / deterministic top-k", ""),
+    "O5": ("operators/merge.py latest_per_key (row_number window)", "tests/test_operators.py"),
+    "T1": ("streaming/incremental.py IncrementalRunner + stream_merge", "tests/test_streaming_sinks.py"),
+    "T2": ("operators/backfill.py", ""),
+    "T3": ("sinks/writers.py batched_foreach_writer batch_size", "tests/test_streaming_sinks.py"),
+    "T4": ("same writer: max_tries/backoff retry envelope", "tests/test_streaming_sinks.py"),
+    "T5": ("Spark UI/metrics (engine-native)", ""),
+    "T6": ("writer-side rate limiting (backoff_s)", ""),
+    "T7": ("single pandas UDF (NFKD) + applyInPandas/mapInPandas ops", "tests/test_cleaning.py, tests/test_ext.py"),
+    "P1": ("functions/cleaning.py rename_projection", "tests/test_cleaning.py"),
+    "P2": ("functions/geo.py point_ewkt_from_xy", "tests/test_cleaning.py"),
+    "P3": ("functions/cleaning.py clean_description", "tests/test_cleaning.py"),
+    "P4": ("functions/cleaning.py bounded_truncate", "tests/test_cleaning.py"),
+    "P5": ("functions/cleaning.py district_number", "tests/test_cleaning.py"),
+    "P6": ("functions/cleaning.py lower_trim", "tests/test_cleaning.py"),
+    "P7": ("functions/cleaning.py parent_id", "tests/test_cleaning.py"),
+    "P8": ("functions/cleaning.py private_flag", "tests/test_cleaning.py"),
+    "P9": ("functions/timeparse.py lenient_timestamp", "tests/test_cleaning.py"),
+    "P10": ("functions/cleaning.py status_notes_col", "tests/test_cleaning.py"),
+    "P11": ("same (clean branch)", "tests/test_cleaning.py"),
+    "P12": ("functions/cleaning.py text_field_guard", "tests/test_cleaning.py"),
+    "ext:dedup": ("ext/dedup.py (exact, n-gram Jaccard, MinHash+LSH, SimHash)", "tests/test_ext.py"),
+    "ext:similarity": ("ext/similarity.py (brute-force top-k, LSH ANN, near-dup)", "tests/test_ext.py"),
+    "ext:text": ("ext/textstats.py (lang-id, quality, tokens, fingerprint)", "tests/test_ext.py"),
+    "ext:multimodal": ("ext/multimodal.py (binary payloads, stubbed codecs)", "tests/test_ext.py"),
+    "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
+    "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
+}
+
+
+def main():
+    by_op = defaultdict(list)
+    for name, spec in plans.REGISTRY.items():
+        for op in spec.covers:
+            by_op[op].append(name + ("" if spec.oracle else " (rows-only)"))
+
+    lines = [
+        "# COVERAGE — SURVEY.md §2 operator inventory → engine + oracle-checked queries",
+        "",
+        "Generated by tools/gen_coverage.py from the query registry.",
+        f"Registry: {len(plans.REGISTRY)} queries, "
+        f"{sum(1 for s in plans.REGISTRY.values() if s.oracle)} with DuckDB oracles "
+        "(the rest are explicitly rows-only: stubbed-codec or non-SQL ops).",
+        "",
+        "| Operator | Engine implementation | Oracle-checked queries | Tests |",
+        "|---|---|---|---|",
+    ]
+    order = sorted(STATIC, key=lambda x: (x.split(":")[0][0], x))
+    for op in order:
+        impl, tests = STATIC[op]
+        qs = ", ".join(sorted(by_op.get(op, []))) or "—"
+        lines.append(f"| {op} | {impl} | {qs} | {tests} |")
+
+    extra_ops = set(by_op) - set(STATIC)
+    for op in sorted(extra_ops):
+        lines.append(f"| {op} | — | {', '.join(sorted(by_op[op]))} | |")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}: {len(STATIC)} operators, {len(plans.REGISTRY)} queries")
+
+
+if __name__ == "__main__":
+    main()
