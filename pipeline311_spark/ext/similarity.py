@@ -121,6 +121,70 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its nearest centroid (max
+    cosine; ties broken by centroid id).  Centroids are broadcast —
+    one corpus scan, no shuffle until the (tiny) per-vector top-1
+    window.  At 100 TB you'd write the corpus partitioned by
+    ``centroid_id`` so probes become partition-pruned reads."""
+    c = F.broadcast(
+        centroids.select(F.col(id_col).alias(centroid_id), as_double(vec_col).alias("cv"))
+    )
+    v = ensure_parallelism(corpus.select(F.col(id_col), as_double(vec_col).alias("v")))
+    scored = v.join(c).select(
+        id_col, "v", centroid_id, cosine(F.col("v"), F.col("cv")).alias("c_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn", "c_sim")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: assign the corpus to centroid cells once, then for
+    each query scan only its ``nprobe`` closest cells.  Exact cosine
+    within the probed cells; recall is governed by nprobe."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    c = F.broadcast(
+        centroids.select(F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+    probes = (
+        q.join(c)
+        .select("query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("c_sim"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+    )  # each vector lives in exactly one cell, so probes can't duplicate pairs
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
