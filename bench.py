@@ -21,17 +21,22 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_nation_revenue",
     "q10_returned_customers",
+    "q18_large_orders",
     "q_window_rank",
     "q_hourly_rollup",
+    "q_sessionize",
     "k3_upsert_merge",
     "o5_latest_per_key",
+    "pipeline_clean_cases",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash_signatures",
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
     "text_quality_scores",
     "text_lang_id",
+    "custom_apply_in_pandas",
     "multimodal_manifest",
 ]
 

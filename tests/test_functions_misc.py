@@ -1,0 +1,82 @@
+"""Unit tests for edge-formatting functions (P15/P16), ESRI feature
+encoding, backfill window bounds, and validation helpers not covered
+elsewhere."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline311_spark.functions.geo import esri_point_feature, parse_point_ewkt, reproject_identity
+from pipeline311_spark.functions.timeparse import to_local_string, utc_string_relocalize
+from pipeline311_spark.operators.backfill import window_bounds
+from pipeline311_spark.sources.validate import assert_field_set_equality, SchemaMismatch
+
+
+def test_utc_string_relocalize(spark):
+    # P15 — and the fix of the reference's module-level strptime bug
+    # (sync-db2-ago.py:167, SURVEY §2.9.3)
+    df = spark.createDataFrame(
+        [("2024-01-15 12:00:00+0000",), ("2024-07-15 12:00:00+0000",), ("already local",), (None,)],
+        "s string",
+    )
+    out = [r[0] for r in df.select(utc_string_relocalize("s")).collect()]
+    assert out[0] == "2024-01-15 07:00:00"  # EST -5
+    assert out[1] == "2024-07-15 08:00:00"  # EDT -4 (DST boundary behavior)
+    assert out[2] == "already local"
+    assert out[3] is None
+
+
+def test_to_local_string_dst(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 10, 6, 59),), (dt.datetime(2024, 3, 10, 7, 0),)], "t timestamp"
+    )
+    # spring-forward: 06:59Z is 01:59 EST, 07:00Z is 03:00 EDT
+    out = [r[0] for r in df.select(to_local_string("t")).collect()]
+    assert out == ["2024-03-10 01:59:00", "2024-03-10 03:00:00"]
+
+
+def test_esri_feature_json(spark):
+    df = spark.createDataFrame(
+        [(1, "SRID=4326;POINT (-75.16 39.95)"), (2, None)], "id long, shape string"
+    )
+    feats = df.select(
+        F.to_json(esri_point_feature("shape", [F.col("id")])).alias("j")
+    ).collect()
+    ok = json.loads(feats[0]["j"])
+    assert ok["attributes"]["id"] == 1
+    assert ok["geometry"]["x"] == -75.16 and ok["geometry"]["y"] == 39.95
+    assert ok["geometry"]["spatial_reference"]["wkid"] == 4326
+    empty = json.loads(feats[1]["j"])
+    # empty geometry -> NaN x/y per the reference's point-layer
+    # convention (sync-db2-ago.py:177-188); NaN serializes as "NaN"
+    assert empty["geometry"]["spatial_reference"]["wkid"] == 4326
+
+
+def test_parse_point_roundtrip(spark):
+    df = spark.createDataFrame([("POINT (1.5 -2.25)",)], "s string")
+    [row] = df.select(parse_point_ewkt("s").alias("p")).collect()
+    assert (row["p"]["x"], row["p"]["y"], row["p"]["srid"]) == (1.5, -2.25, 4326)
+
+
+def test_reproject_identity_guard():
+    with pytest.raises(NotImplementedError):
+        reproject_identity(None, None, 4326, 2272)
+
+
+def test_window_bounds_rollover():
+    # the December rollover the reference computes by hand (sync-db2.py:122-125)
+    assert window_bounds(2023, 12) == (dt.datetime(2023, 12, 1), dt.datetime(2024, 1, 1))
+    assert window_bounds(2024, 2, 29) == (dt.datetime(2024, 2, 29), dt.datetime(2024, 3, 1))
+    assert window_bounds(2024) == (dt.datetime(2024, 1, 1), dt.datetime(2025, 1, 1))
+
+
+def test_field_set_equality(spark):
+    a = spark.createDataFrame([(1, 2)], "x long, objectid long")
+    b = spark.createDataFrame([(1, 3)], "x long, extra long")
+    assert_field_set_equality(a, b, exclude={"objectid", "extra"})
+    with pytest.raises(SchemaMismatch):
+        assert_field_set_equality(a, b)
