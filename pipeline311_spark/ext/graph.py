@@ -1,0 +1,69 @@
+"""Connected components over a pair/edge table — the dup-cluster
+builder that turns pairwise near-dup hits (MinHash/SimHash/Jaccard
+pairs) into groups with a canonical keeper per group.
+
+Algorithm: iterative min-label propagation (a.k.a. hash-to-min).
+Each round every node takes the min label among itself and its
+neighbors; converges in O(component diameter) rounds.  Fully
+shuffle-based (join + groupBy per round), lineage cut per round with
+``localCheckpoint`` so plans don't grow unboundedly — the standard
+Spark pattern for fixpoint algorithms (same shape as GraphX/GraphFrames
+CC without the dependency).
+
+At 100 TB: rounds are bounded by the diameter of dup clusters, which
+for dedup workloads is tiny (near-dup clusters are dense); each round
+is one join + one aggregate on the edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    Only nodes appearing in ``edges`` are labeled (isolated nodes have
+    no dup relation to resolve).
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node")).distinct().withColumn("component", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.d == labels.node).select(
+            F.col("s").alias("node"), "component"
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Near-dup pairs -> (doc, cluster, is_keeper): the decision table a
+    dedup pipeline writes (keep the minimum id per cluster)."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

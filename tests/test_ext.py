@@ -142,3 +142,29 @@ def test_frame_sample_shapes(docs):
 def test_decode_real_codec_is_explicit_stub(docs):
     with pytest.raises(NotImplementedError):
         decode_image_features(documents_as_media(docs), fake=False)
+
+
+def test_connected_components_clusters(spark):
+    from pipeline311_spark.ext.graph import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    keepers = {
+        r["doc_id"] for r in dup_clusters(edges).filter("is_keeper").collect()
+    }
+    assert keepers == {1, 10, 20}
+
+
+def test_ivf_ann_recall(vecs):
+    from pipeline311_spark.ext.similarity import ivf_ann_topk
+
+    centroids = vecs.filter("vec_id IN (0, 2)")  # x-axis and y-axis cells
+    q = vecs.filter("vec_id = 0")
+    res = ivf_ann_topk(vecs, q, centroids, k=3, nprobe=1)
+    ids = {r["neighbor_id"] for r in res.collect()}
+    # probing only the x-cell finds the co-directional vectors
+    assert {1, 4} <= ids
