@@ -38,6 +38,7 @@ def _sf_source(spark, sf_dir):
         F.when(eid % 7 == 0, F.lit("not a date")).otherwise(iso).alias("Sla_date__c"),
         F.lit(None).cast("string").alias("ClosedDate"),
         F.col("event_type").alias("Case_Record_Type__c"),
+        F.lit("012OTHER").alias("RecordTypeId"),
         F.when(eid % 10 == 0, F.lit("0"))
         .when(eid % 11 == 0, F.lit("oops"))
         .otherwise((-(F.lit(75) + uid)).cast("double").cast("string"))

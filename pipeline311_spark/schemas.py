@@ -176,6 +176,7 @@ FIELD_MAP: dict[str, str] = {
 # sources) — the clean transform must run before projection drops them
 # (SURVEY §7.5.4).
 EXTRA_SOURCE_COLS = [
+    "RecordTypeId",  # only in the WHERE clause server-side (config.py:99-102); engine filters client-side pre-projection
     "Centerline__Longitude__s",
     "Centerline__Latitude__s",
     "Centerline_2272x__c",  # selected by SOQL (config.py:111-112), unused downstream
