@@ -1,0 +1,97 @@
+"""Fourth batch: collection aggregates (sorted array/string agg),
+date arithmetic, and UNION set semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.registry import register
+
+# Sorted collection aggregates — collect_list/collect_set are
+# order-nondeterministic in Spark (and list() in DuckDB), so both
+# sides sort: that is the portable form of array aggregation.
+_ARRAY_AGG_SQL = """
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("q_array_agg", _ARRAY_AGG_SQL, covers=("A-class", "O3"))
+def q_array_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    statuses = F.sort_array(F.collect_set("l_linestatus"))
+    return li.groupBy("l_returnflag").agg(
+        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("q_string_agg", _STRING_AGG_SQL, covers=("A-class",))
+def q_string_agg(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations")
+    )
+
+
+# Date arithmetic: add/diff/truncate/extract — every piece rendered to
+# engine-neutral types (strings/bigints).
+_DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@register("q_date_arith", _DATE_ARITH_SQL, covers=("P9", "P16", "T2"))
+def q_date_arith(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add("o_orderdate", 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+# UNION (distinct) vs UNION ALL semantics in one result
+_UNION_SQL = """
+WITH u AS (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+ua AS (
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT (SELECT COUNT(*) FROM u) AS n_union_distinct,
+       (SELECT COUNT(*) FROM ua) AS n_union_all
+"""
+
+
+@register("q_union_semantics", _UNION_SQL, covers=("O3",))
+def q_union(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    open_k = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("k"))
+    fin_k = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("k"))
+    nd = open_k.union(fin_k).distinct().count()
+    na = open_k.unionAll(fin_k).count()
+    return spark.createDataFrame([(nd, na)], "n_union_distinct long, n_union_all long")

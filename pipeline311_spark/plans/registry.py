@@ -55,3 +55,4 @@ from pipeline311_spark.plans import streaming_custom  # noqa: E402,F401
 from pipeline311_spark.plans import connector  # noqa: E402,F401
 from pipeline311_spark.plans import analytics2  # noqa: E402,F401
 from pipeline311_spark.plans import analytics3  # noqa: E402,F401
+from pipeline311_spark.plans import analytics4  # noqa: E402,F401
