@@ -36,7 +36,7 @@ HEADLINE = [
     "sim_ivf_ann_topk",
     "text_quality_scores",
     "text_lang_id",
-    "custom_apply_in_pandas",
+    "custom_grouped_map_batched",
     "multimodal_manifest",
 ]
 

@@ -158,3 +158,27 @@ def q_apply_in_pandas(spark, sf_dir):
     return e.groupBy("user_id").applyInPandas(
         fp, "user_id long, history_fp string, n_events long"
     )
+
+
+@register("custom_grouped_map_batched", _APPLY_SQL, covers=("T7", "ext:text"))
+def q_grouped_map_batched(spark, sf_dir):
+    """Same per-user fingerprint via ext.grouped.apply_per_key_sorted —
+    applyInPandas semantics at mapInPandas cost (one Arrow stream per
+    partition instead of one round-trip per group)."""
+    from pipeline311_spark.ext.grouped import apply_per_key_sorted
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        joined = "|".join(str(i) for i in pdf["event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "history_fp": [hashlib.md5(joined.encode()).hexdigest()],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return apply_per_key_sorted(
+        e, "user_id", ["ts", "event_id"], fp, "user_id long, history_fp string, n_events long"
+    )
