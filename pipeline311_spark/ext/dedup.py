@@ -148,13 +148,13 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
             ])
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
-    small = banded.join(
-        banded.groupBy("band", "key").agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band", "key"),
-        ["band", "key"],
-        "left_semi",
-    )
+    # bucket-size cap via a window count: one shuffle on (band, key),
+    # and the self-join below reuses that partitioning (no re-shuffle)
+    # instead of a groupBy + semi-join chain (two extra exchanges).
+    bw = Window.partitionBy("band", "key")
+    small = banded.withColumn("__n", F.count("*").over(bw)).filter(
+        F.col("__n") <= max_bucket
+    ).drop("__n")
     a, b = small.alias("a"), small.alias("b")
     return (
         a.join(
