@@ -78,3 +78,28 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert scan_line and "o_totalprice" in scan_line[0]
     # pruned: the unused o_orderdate column must not be read
     assert "o_orderdate" not in scan_line[0]
+
+
+def test_partitioned_write_prunes_reads(spark, sf_dir, tmp_path):
+    # T2/S10 at scale: date-partitioned storage -> Catalyst prunes
+    # partitions for windowed backfills instead of scanning history
+    from pipeline311_spark.sources.readers import load_table
+
+    out = str(tmp_path / "events_by_day")
+    e = load_table(spark, sf_dir, "events")
+    e.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = explain_str(back)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    want = e.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
+    assert back.count() == want
+
+
+def test_salted_agg_plan_two_phases(spark, sf_dir):
+    # the salted aggregation must show two aggregate exchanges (salted
+    # partial + final merge), never a single hot-key exchange
+    plan = explain_str(REGISTRY["q_salted_agg"].fn(spark, sf_dir))
+    assert plan.count("Exchange") >= 2
