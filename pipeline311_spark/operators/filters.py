@@ -9,7 +9,7 @@ any source (parquet, JDBC, DSv2) instead of being hand-embedded in SOQL
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

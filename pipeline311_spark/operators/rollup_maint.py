@@ -14,7 +14,6 @@ need").
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 
 
 def rollup_delta(delta: DataFrame, dims: list[str], partial_aggs: dict[str, Column]) -> DataFrame:

@@ -3,12 +3,11 @@ KMV (k-minimum-values) distinct sketch."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.hashing import MOD, poly_hash, poly_hash_sql
 from pipeline311_spark.operators.rollup_maint import merge_rollup, rollup_delta
-from pipeline311_spark.plans.common import dec, fmt_ts_sql, table
+from pipeline311_spark.plans.common import dec, table
 from pipeline311_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,6 @@ pipelines hash-match across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.dedup import (
