@@ -1,0 +1,141 @@
+"""Seventh batch: repeated-span detection (cross-doc duplicate text),
+PII redaction, and decimal-exact correlation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.dedup import _shingle_table
+from pipeline311_spark.plans.common import dec, table
+from pipeline311_spark.plans.extensions import _shingle_cte
+from pipeline311_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Repeated text spans: word 12-grams occurring in more than one doc —
+# the cheap first pass of substring-level dedup (dup span report).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 12
+
+_SPANS_SQL = f"""
+WITH {_shingle_cte(_SPAN_N)}
+SELECT shingle AS span, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
+@register("dedup_repeated_spans", _SPANS_SQL, covers=("ext:dedup", "ext:text"))
+def q_repeated_spans(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "doc_id", "text", _SPAN_N)
+    return (
+        sh.groupBy(F.col("shingle").alias("span"))
+        .agg(F.countDistinct("doc").alias("n_docs"), F.min("doc").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: emails / US-phone-shaped tokens scrubbed with RE2-safe
+# patterns (no lookaround).  Dirty values are injected deterministically
+# so the redaction paths actually fire.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+_PII_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact: user', CAST(doc_id AS VARCHAR), '@example.com')
+              WHEN doc_id % 3 = 1 THEN concat(text, ' call 215-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       length(text) - length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_delta,
+       CAST(regexp_matches(text, '{_EMAIL_RE}') AS INTEGER) AS has_email,
+       CAST(regexp_matches(text, '{_PHONE_RE}') AS INTEGER) AS has_phone,
+       substring(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g'), -40) AS tail_redacted
+FROM dirty
+"""
+
+
+@register("text_pii_redaction", _PII_SQL, covers=("ext:text", "P3", "P13"))
+def q_pii(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = d.select(
+        "doc_id",
+        F.when(
+            did % 3 == 0,
+            F.concat(F.col("text"), F.lit(" contact: user"), did.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 215-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return dirty.select(
+        "doc_id",
+        (F.length("text") - F.length(redacted)).alias("redacted_delta"),
+        F.regexp("text", F.lit(_EMAIL_RE)).cast("int").alias("has_email"),
+        F.regexp("text", F.lit(_PHONE_RE)).cast("int").alias("has_phone"),
+        F.substring(redacted, -40, 40).alias("tail_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decimal-exact Pearson correlation: all sums exact (value has 2
+# decimals, k is integer), final formula deterministic IEEE — unlike
+# the builtin corr() whose double accumulation is order-dependent.
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+  FROM events),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v) AS DOUBLE) AS sx,
+         CAST(SUM(k) AS DOUBLE) AS sy,
+         CAST(SUM(v * v) AS DOUBLE) AS sxx,
+         CAST(SUM(k * k) AS DOUBLE) AS syy,
+         CAST(SUM(v * k) AS DOUBLE) AS sxy
+  FROM x GROUP BY event_type)
+SELECT event_type, n,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+FROM s
+"""
+
+
+@register("q_exact_pearson", _CORR_SQL, covers=("A-class",))
+def q_pearson(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    v = dec("value")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
+    x = e.select("event_type", v.alias("v"), k.alias("k"))
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum("k").cast("double").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+        F.sum(F.col("k") * F.col("k")).cast("double").alias("syy"),
+        F.sum(F.col("v") * F.col("k")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("event_type", "n", r.alias("pearson_r"))

@@ -59,3 +59,4 @@ from pipeline311_spark.plans import analytics4  # noqa: E402,F401
 from pipeline311_spark.plans import analytics5  # noqa: E402,F401
 from pipeline311_spark.plans import temporal_q  # noqa: E402,F401
 from pipeline311_spark.plans import analytics6  # noqa: E402,F401
+from pipeline311_spark.plans import analytics7  # noqa: E402,F401
