@@ -1,0 +1,43 @@
+"""Deterministic sampling & split assignment (training-data pipeline).
+
+``sample()``/``randomSplit()`` are seed-dependent but *partitioning*-
+dependent too — rerunning on a repartitioned 100 TB corpus yields a
+different sample.  Hash-based assignment is the production answer:
+bucket = hash(stable_id) mod N, sample/split by bucket range.  Fully
+deterministic across runs, partitionings, and engines (poly hash →
+the DuckDB oracle reproduces the exact same rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.hashing import poly_hash, poly_hash_sql
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return poly_hash(c.cast("string")) % F.lit(buckets)
+
+
+def hash_bucket_sql(expr: str, buckets: int = 100) -> str:
+    return f"({poly_hash_sql(f'CAST({expr} AS VARCHAR)')}) % {buckets}"
+
+
+def deterministic_sample(df: DataFrame, id_col: str, pct: int, buckets: int = 100) -> DataFrame:
+    """Keep ~pct% of rows, stable under reruns/repartitioning."""
+    return df.filter(hash_bucket(id_col, buckets) < pct)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10, buckets: int = 100
+) -> DataFrame:
+    """Add a ``split`` column: train / val / test by hash range."""
+    b = hash_bucket(id_col, buckets)
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
