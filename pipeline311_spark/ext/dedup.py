@@ -197,17 +197,24 @@ def minhash_dedup_pairs(
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
-    sizes_all = sh_all.groupBy("doc").agg(F.count("*").alias("sz"))
+    # restrict per-doc sizes to candidate docs BEFORE broadcasting —
+    # broadcasting the corpus-wide size table would not survive scale
+    sizes_c = sh_all.join(F.broadcast(cand_docs), "doc", "left_semi").groupBy("doc").agg(
+        F.count("*").alias("sz")
+    )
     sh = (
         sh_all.join(F.broadcast(cand_docs), "doc", "left_semi")
-        .join(F.broadcast(sizes_all), "doc")
+        .join(F.broadcast(sizes_c), "doc")
         .select("doc", "sz", "shingle")
     )
+    # candidate-restricted shingles are usually small but grow with dup
+    # density — leave the join strategy to Catalyst/AQE (no forced
+    # broadcast), which demotes to shuffle join when they are big
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        cand.join(F.broadcast(a), cand.doc_a == F.col("a.doc"))
+        cand.join(a, cand.doc_a == F.col("a.doc"))
         .join(
-            F.broadcast(b),
+            b,
             (cand.doc_b == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")),
         )
         .groupBy("doc_a", "doc_b", F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))

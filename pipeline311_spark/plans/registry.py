@@ -61,3 +61,4 @@ from pipeline311_spark.plans import temporal_q  # noqa: E402,F401
 from pipeline311_spark.plans import analytics6  # noqa: E402,F401
 from pipeline311_spark.plans import analytics7  # noqa: E402,F401
 from pipeline311_spark.plans import analytics8  # noqa: E402,F401
+from pipeline311_spark.plans import tpch_more2  # noqa: E402,F401

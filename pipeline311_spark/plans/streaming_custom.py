@@ -56,9 +56,11 @@ def q_stream_windowed(spark, sf_dir):
     The watermark/late-data path is exercised in tests; here the
     stream drains fully so complete-mode results equal the batch
     twin."""
+    import uuid
+
     stream = _stream_events(spark, sf_dir)
     agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count()
-    name = f"stream_hourly_{abs(hash(sf_dir)) % 10_000}"
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"  # unique per invocation
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
