@@ -63,3 +63,4 @@ from pipeline311_spark.plans import analytics7  # noqa: E402,F401
 from pipeline311_spark.plans import analytics8  # noqa: E402,F401
 from pipeline311_spark.plans import tpch_more2  # noqa: E402,F401
 from pipeline311_spark.plans import scd2  # noqa: E402,F401
+from pipeline311_spark.plans import coverage_fill  # noqa: E402,F401
