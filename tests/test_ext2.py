@@ -1,0 +1,82 @@
+"""Unit tests for sampling, quantization, rollup maintenance, and
+salted aggregation operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.quantize import dequantize, quantize_int8
+from pipeline311_spark.ext.sampling import deterministic_sample, train_test_split
+from pipeline311_spark.operators.rollup_maint import merge_rollup, rollup_delta
+from pipeline311_spark.operators.skew import salted_agg
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 20).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(17), "doc_id", 20).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert 100 < len(a) < 320  # ~20%
+
+
+def test_train_test_split_partitions_everything(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    s = train_test_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # disjoint + deterministic
+    again = train_test_split(df, "doc_id")
+    assert s.select("doc_id", "split").subtract(again.select("doc_id", "split")).count() == 0
+
+
+def test_quantize_roundtrip_fidelity(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.125]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    from pipeline311_spark.ext.similarity import as_double
+
+    qs = df.select("vec_id", quantize_int8(as_double("embedding")).alias("qs"))
+    deq = qs.select("vec_id", dequantize(F.col("qs")).alias("d"), F.col("qs.q").alias("q"))
+    rows = {r["vec_id"]: r for r in deq.collect()}
+    # max-abs element is exactly representable post-quantization
+    assert rows[1]["q"][1] == -127
+    assert abs(rows[1]["d"][1] - (-1.0)) < 1e-12
+    assert all(abs(a - b) < 0.01 for a, b in zip(rows[1]["d"], [0.5, -1.0, 0.25, 0.125]))
+    # zero vector survives (scale fallback, no div-by-zero)
+    assert rows[2]["d"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_rollup_maintenance_equals_full(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("a", 3.0), ("b", 7.0)], "k string, v double"
+    )
+    hist, delta = df.limit(3), df.subtract(df.limit(3))
+    partials = {"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")}
+    merges = {"n": F.sum("n"), "s": F.sum("s"), "mx": F.max("mx")}
+    merged = merge_rollup(
+        rollup_delta(hist, ["k"], partials), rollup_delta(delta, ["k"], partials), ["k"], merges
+    )
+    full = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    out = salted_agg(
+        df,
+        key="k",
+        partial_aggs={"pn": F.count("*"), "ps": F.sum("v")},
+        merge_aggs={"n": F.sum("pn"), "s": F.sum("ps")},
+        salt_on="v",
+        buckets=8,
+    )
+    plain = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
