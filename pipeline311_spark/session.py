@@ -66,8 +66,12 @@ def prep_session(spark: SparkSession, session_tz: str = "UTC") -> SparkSession:
     """Idempotently pin runtime-settable confs on a session we did not
     create (the driver harness owns the session passed to
     ``__spark_entry__``).  Session timezone must be UTC so tz-naive
-    parquet timestamps round-trip identically to the DuckDB oracle.
+    parquet timestamps round-trip identically to the DuckDB oracle;
+    shuffle partitions sized to the machine instead of the 200 default
+    (AQE coalesces below that at runtime).
     """
     spark.conf.set("spark.sql.session.timeZone", session_tz)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(default_parallelism(), 8)))
     return spark
