@@ -184,3 +184,87 @@ def q_grouped_map_batched(spark, sf_dir):
     return apply_per_key_sorted(
         e, "user_id", ["ts", "event_id"], fp, "user_id long, history_fp string, n_events long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup + native session windows
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("stream_dedup_watermark", _STREAM_DEDUP_SQL, covers=("T1", "ext:dedup", "A6"))
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` —
+    the bounded-state streaming twin of the batch fingerprint dedup:
+    state for a key is dropped once the watermark passes it, so state
+    size tracks the dedup window, not the stream length.  The emitted
+    row per key is first-arrival (nondeterministic ts), so the query
+    projects to the key columns, which IS the deterministic answer."""
+    import uuid
+
+    stream = _stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_WINDOW_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {_SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("q_session_window_native", _SESSION_WINDOW_SQL, covers=("T1", "O5", "A-class"))
+def q_session_window(spark, sf_dir):
+    """Native ``session_window`` aggregation (gap-merged event-time
+    sessions; window end = last event + gap).  Runs in batch here so
+    every session is emitted — the streaming variant is append-mode
+    with a watermark, where the trailing session per key stays open
+    (correct streaming semantics, but unmatchable against a batch
+    oracle by construction).  Oracle is the strict gaps-and-islands
+    twin: a new island starts when the gap is >= the session gap,
+    mirroring session_window's half-open [start, last+gap) merge."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+        )
+    )
