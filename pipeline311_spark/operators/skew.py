@@ -38,3 +38,33 @@ def salted_agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
     )
     return partial.groupBy(key).agg(*[c.alias(name) for name, c in merge_aggs.items()])
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: spread a hot join key across ``buckets``
+    reducers by salting the big side (deterministic pmod-of-hash of
+    ``salt_on``, a big-side column unique-ish per row) and replicating
+    the small side once per salt value.  Join on (key, salt) — every
+    big row matches exactly one replica, so the result is row-for-row
+    identical to the plain join while no single reducer ever sees more
+    than ~1/buckets of a hot key's rows.
+
+    Use when AQE's skew-join splitting can't help: it splits oversized
+    *partitions* of a sort-merge join, but a single hot KEY inside one
+    partition (e.g. a null-heavy or default-value key) still lands on
+    one task without salting.  Cost: small side is materialized
+    ``buckets`` times — keep buckets modest and the small side small.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(buckets - 1).cast("long")))
+    )
+    return b.join(s, [key, "__salt"], how).drop("__salt")

@@ -208,3 +208,32 @@ def q_salted(spark, sf_dir):
         buckets=16,
     )
     return out.select("event_type", "n", "total_value", "max_value")
+
+
+# ---------------------------------------------------------------------------
+# Salted join: identical results to the plain equi-join, but a hot key
+# is spread over 8 reducers (small side replicated per salt)
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_salted_join", _SALTED_JOIN_SQL, covers=("J-class", "A-class", "T3"))
+def q_salted_join(spark, sf_dir):
+    from pipeline311_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(li, o, key="l_orderkey", salt_on="l_linenumber", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
+    )

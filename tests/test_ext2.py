@@ -80,3 +80,24 @@ def test_salted_agg_equals_plain(spark):
     )
     plain = df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_equals_plain(spark):
+    from pipeline311_spark.operators.skew import salted_join
+
+    # skewed big side: 90% of rows share key 0
+    big = spark.range(0, 5_000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    small = spark.range(0, 7).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    out = salted_join(big, small, key="k", salt_on="rid", buckets=8)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched big rows exactly once
+    big2 = big.withColumn("k", F.col("k") + 100)  # no matches at all
+    out_l = salted_join(big2, small, key="k", salt_on="rid", buckets=8, how="left")
+    assert out_l.count() == big2.count()
+    assert out_l.filter(F.col("name").isNotNull()).count() == 0
