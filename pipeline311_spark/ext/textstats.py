@@ -115,3 +115,41 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint = md5 of normalized text.  Identical docs
     (modulo case/whitespace) collide — the exact-dedup key."""
     return F.md5(normalize_text(col))
+
+
+def chunk_token_windows(
+    df,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 16,
+):
+    """Split documents into overlapping token windows — the
+    context-window packing step of an LLM data pipeline.  One chunk
+    starts every ``stride`` tokens; each spans up to ``size`` tokens
+    (the trailing chunk may be shorter).  Zero-token docs emit nothing.
+
+    Pure codegen (split/sequence/slice/array_join + one explode): the
+    output is ~size/stride× the token volume of the corpus, produced
+    map-side with no shuffle — at 100 TB this pipelines straight into
+    the next stage (tokenize/pack) without a repartition.
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    return (
+        base.select(id_col, "__toks", "__n", F.posexplode(starts).alias("chunk_idx", "__start"))
+        .withColumn("__chunk", F.slice("__toks", F.col("__start") + 1, size))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long"),
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

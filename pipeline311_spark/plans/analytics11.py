@@ -203,3 +203,31 @@ def q_kmeans(spark, sf_dir):
     return assigned.groupBy(F.col("c_label").cast("long").alias("centroid_label")).agg(
         F.count("*").cast("long").alias("n_assigned")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking of documents (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 16
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start FROM n)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + {_CHUNK_SIZE}]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk_text
+FROM s
+"""
+
+
+@register("text_chunk_windows", _CHUNK_SQL, covers=("ext:text", "T7"))
+def q_chunk_windows(spark, sf_dir):
+    from pipeline311_spark.ext.textstats import chunk_token_windows
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_token_windows(d, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
