@@ -103,3 +103,23 @@ def test_salted_agg_plan_two_phases(spark, sf_dir):
     # partial + final merge), never a single hot-key exchange
     plan = explain_str(REGISTRY["q_salted_agg"].fn(spark, sf_dir))
     assert plan.count("Exchange") >= 2
+
+
+def test_q07_dimension_joins_broadcast(spark, sf_dir):
+    plan = explain_str(REGISTRY["q07_volume_shipping"].fn(spark, sf_dir))
+    # both nation joins broadcast; the shipdate filter reaches the scan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_map_side_only(spark, sf_dir):
+    plan = explain_str(REGISTRY["text_chunk_windows"].fn(spark, sf_dir))
+    # scan -> generate(explode) -> project: no shuffle anywhere
+    assert "Exchange" not in plan.replace("ReusedExchange", "")
+    assert "Generate" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    plan = explain_str(REGISTRY["q_kmeans_assign"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
