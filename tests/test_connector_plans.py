@@ -123,3 +123,22 @@ def test_chunking_is_map_side_only(spark, sf_dir):
 def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     plan = explain_str(REGISTRY["q_kmeans_assign"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    plan = explain_str(REGISTRY["text_contamination_13gram"].fn(spark, sf_dir))
+    # eval grams are the broadcast build side; the training-side source
+    # filter reaches the parquet scan; probe side has no pre-join shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(source), Not(EqualTo(source,src0))]" in plan
+
+
+def test_pack_sequences_single_exchange_on_source(spark, sf_dir):
+    plan = explain_str(REGISTRY["text_pack_sequences"].fn(spark, sf_dir))
+    # per-source window packing: the window partitions by source, and the
+    # downstream groupBy(source, pack_id) reuses that partitioning, so
+    # exactly one hash exchange total (never a global single-partition
+    # sort); formatted explain names each node twice (tree + details)
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" not in plan
