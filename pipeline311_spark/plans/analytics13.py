@@ -1,0 +1,132 @@
+"""LLM training-data curation ops, part 3: source-mixture rebalancing
+and per-language quality-percentile gating.
+
+Both answer "which rows make it into the training mix" — the selection
+layer that sits between dedup/scoring and sequence packing.
+
+Scale notes (100 TB):
+* rebalance — the per-source keep-fraction comes from a tiny counts
+  aggregate (one row per source) broadcast back onto the corpus; row
+  selection is a deterministic hash-bucket test, so the whole operator
+  is one scan + one agg shuffle + a broadcast join.  Crucially the
+  sample is stable under repartitioning (hash of the stable id, not
+  ``sample()``), so reruns and incremental appends select consistent
+  rows — see ext/sampling.py.
+* quality gate — percent_rank needs a total order *within each
+  language*, so the window partitions by lang (parallel across
+  languages, one shuffle).  A single global percentile would serialize;
+  for a global cut at 100 TB use approx quantile cutpoints instead
+  (documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.sampling import hash_bucket, hash_bucket_sql
+from pipeline311_spark.ext.textstats import quality_score
+from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Source-mixture rebalancing: downsample every source shard to the size
+# of the smallest one (uniform target mixture), deterministically.
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 10_000
+
+_REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_total FROM documents GROUP BY source
+),
+lim AS (
+  SELECT source, n_total,
+         (CAST({_BUCKETS} AS BIGINT) * (SELECT min(n_total) FROM counts)) // n_total AS bucket_limit
+  FROM counts
+)
+SELECT d.source, lim.n_total,
+       CAST(lim.bucket_limit AS BIGINT) AS bucket_limit,
+       CAST(sum(CASE WHEN {hash_bucket_sql('doc_id', _BUCKETS)} < lim.bucket_limit
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN lim ON d.source = lim.source
+GROUP BY 1, 2, 3
+"""
+
+
+@register("sample_rebalance_sources", _REBALANCE_SQL, covers=("ext:text", "A-class", "J4"))
+def sample_rebalance(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    # integer bucket math (exact on both engines — no float division)
+    limits = (
+        counts.crossJoin(F.broadcast(min_n))
+        .withColumn(
+            "bucket_limit",
+            F.expr(f"({_BUCKETS}L * min_n) div n_total").cast("bigint"),
+        )
+        .drop("min_n")
+    )
+    kept = F.when(hash_bucket("doc_id", _BUCKETS) < F.col("bucket_limit"), 1).otherwise(0)
+    return (
+        d.join(F.broadcast(limits), "source")
+        .groupBy("source", "n_total", "bucket_limit")
+        .agg(F.sum(kept).cast("bigint").alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-percentile gate: drop the bottom decile of docs per language,
+# ranked by composite quality score (deterministic doc_id tiebreak).
+# ---------------------------------------------------------------------------
+
+# percent_rank over an exact (score, doc_id) order — identical IEEE
+# arithmetic on both engines, so the cut is bit-reproducible.
+_GATE_SQL = """
+WITH scored AS (
+  SELECT lang, doc_id, quality_score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pr
+  FROM (
+    SELECT lang, doc_id,
+           0.4 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+           + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                         THEN CAST(len(list_distinct(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)))) AS DOUBLE)
+                              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                         ELSE 0.0 END)
+           + 0.2 * least((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                               THEN CAST({stop_hits} AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                               ELSE 0.0 END) * 4, 1.0)
+           + 0.1 * (1.0 - least((CASE WHEN length(text) > 0
+                                      THEN CAST(length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                                      ELSE 0.0 END) * 10, 1.0))
+           AS quality_score
+    FROM documents)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(quality_score) AS min_kept_score
+FROM scored WHERE pr >= 0.1 GROUP BY lang
+"""
+
+
+def _gate_sql() -> str:
+    from pipeline311_spark.plans.extensions import _lang_hits_sql
+    from pipeline311_spark.ext.textstats import PUNCT_CLASS
+
+    return _GATE_SQL.format(stop_hits=_lang_hits_sql("en"), punct=PUNCT_CLASS)
+
+
+@register("text_quality_percentile_gate", _gate_sql(), covers=("ext:text", "O5"))
+def quality_gate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    scored = d.select(
+        "lang", "doc_id", quality_score("text").alias("quality_score")
+    ).withColumn("pr", F.percent_rank().over(w))
+    return (
+        scored.filter(F.col("pr") >= 0.1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.min("quality_score").alias("min_kept_score"),
+        )
+    )

@@ -69,3 +69,4 @@ from pipeline311_spark.plans import analytics9  # noqa: E402,F401
 from pipeline311_spark.plans import analytics10  # noqa: E402,F401
 from pipeline311_spark.plans import analytics11  # noqa: E402,F401
 from pipeline311_spark.plans import analytics12  # noqa: E402,F401
+from pipeline311_spark.plans import analytics13  # noqa: E402,F401
