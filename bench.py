@@ -36,6 +36,9 @@ HEADLINE = [
     "sim_ivf_ann_topk",
     "text_quality_scores",
     "text_lang_id",
+    "text_contamination_13gram",
+    "text_pack_sequences",
+    "sample_rebalance_sources",
     "custom_grouped_map_batched",
     "multimodal_manifest",
 ]

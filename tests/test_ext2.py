@@ -101,3 +101,55 @@ def test_salted_join_equals_plain(spark):
     out_l = salted_join(big2, small, key="k", salt_on="rid", buckets=8, how="left")
     assert out_l.count() == big2.count()
     assert out_l.filter(F.col("name").isNotNull()).count() == 0
+
+
+def test_rebalance_sources_invariants(spark, sf_dir):
+    from pipeline311_spark.plans import REGISTRY
+
+    rows = {r["source"]: r for r in REGISTRY["sample_rebalance_sources"].fn(spark, sf_dir).collect()}
+    smallest = min(r["n_total"] for r in rows.values())
+    for r in rows.values():
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        # every shard is cut toward the smallest one: expected kept count
+        # is n_total * bucket_limit/10000 ≈ smallest (hash-bucket variance)
+        assert r["bucket_limit"] == (10_000 * smallest) // r["n_total"]
+    # determinism: a repartitioned rerun selects identical counts
+    again = {r["source"]: r["n_kept"] for r in REGISTRY["sample_rebalance_sources"].fn(spark, sf_dir).collect()}
+    assert again == {s: r["n_kept"] for s, r in rows.items()}
+
+
+def test_pack_sequences_partitions_everything(spark, sf_dir):
+    from pipeline311_spark.plans import REGISTRY
+    from pipeline311_spark.plans.common import table
+
+    d = table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: (r["n"], r["tok"])
+        for r in d.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.size(F.split("text", " "))).alias("tok"))
+        .collect()
+    }
+    packs = REGISTRY["text_pack_sequences"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in packs:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        # packs cover every doc and every token exactly once
+        assert sum(r["n_docs"] for r in rows) == totals[src][0]
+        assert sum(r["pack_tokens"] for r in rows) == totals[src][1]
+        # pack ids are contiguous from 0 (greedy cumulative assignment)
+        ids = sorted(r["pack_id"] for r in rows)
+        assert ids == list(range(len(ids)))
+
+
+def test_contamination_skips_short_docs(spark):
+    from pipeline311_spark.plans.analytics12 import _grams
+
+    df = spark.createDataFrame(
+        [(1, "only five words right here now", "srcX"),
+         (2, " ".join(f"w{i}" for i in range(20)), "srcY")],
+        "doc_id long, text string, source string",
+    )
+    g = _grams(df)
+    assert g.filter(F.col("doc_id") == 1).count() == 0  # < 13 tokens -> no grams
+    assert g.filter(F.col("doc_id") == 2).count() == 20 - 13 + 1
