@@ -66,8 +66,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup.
-    plans.REGISTRY["q05_nation_revenue"].fn(spark, sf_dir).count()
+    # queries, not session startup.  dedup_minhash_lsh exercises the
+    # higher-order-function + codegen paths whose first compilation
+    # otherwise adds a 5-8 s one-time JIT cost to whichever query hits
+    # them first (see .claude/skills/verify notes on bench variance).
+    for warm in ("q05_nation_revenue", "dedup_minhash_lsh"):
+        plans.REGISTRY[warm].fn(spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

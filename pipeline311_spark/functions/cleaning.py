@@ -78,14 +78,16 @@ def lower_trim(col: Column | str) -> Column:
 
 
 def parent_id(col: Column | str) -> Column:
-    """P7: int cast; 0 / '0' / unparseable -> NULL (common.py:178-181).
+    """P7: int cast; '0' / unparseable -> NULL (common.py:178-181).
 
-    Python ``int('12.0')`` raises, so non-integral strings null out —
-    ``try_cast`` to long matches (Spark try_cast('12.0' as long) is NULL).
+    The reference tests the RAW value against ``'0'`` *before* the int
+    cast, so other spellings of zero ('00', ' 0') survive as 0 — only
+    the exact string '0' (or int 0) nulls out.  Python ``int('12.0')``
+    raises, so non-integral strings null out — ``try_cast`` to long
+    matches (Spark try_cast('12.0' as long) is NULL).
     """
     c = F.col(col) if isinstance(col, str) else col
-    v = c.try_cast("long")
-    return F.when(v == 0, F.lit(None)).otherwise(v)
+    return F.when(c.cast("string") == "0", F.lit(None)).otherwise(c.try_cast("long"))
 
 
 def private_flag(col: Column | str) -> Column:

@@ -135,7 +135,7 @@ cleaned AS (
     CAST({_DIGIT.format(c='Police_District__c')} AS INTEGER) AS police_district,
     CAST({_DIGIT.format(c='Council_District_No__c')} AS INTEGER) AS council_district_num,
     lower(trim(Pinpoint_Area__c)) AS pinpoint_area,
-    CASE WHEN TRY_CAST(SAG_Parent_Case_Number__c AS BIGINT) = 0 THEN NULL
+    CASE WHEN SAG_Parent_Case_Number__c = '0' THEN NULL
          ELSE TRY_CAST(SAG_Parent_Case_Number__c AS BIGINT) END AS parent_service_request_id,
     CASE WHEN Private_Case__c = 'false' THEN 0 ELSE 1 END AS private_case,
     substring(License_Plate_State__c, 1, 30) AS vehicle_license_plate_state,

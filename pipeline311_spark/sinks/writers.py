@@ -40,14 +40,19 @@ def batched_foreach_writer(
     batch_size: int = 50,
     max_tries: int = 5,
     backoff_s: float = 1.0,
+    throttle_s: float = 0.0,
     retryable: tuple[type[Exception], ...] = (Exception,),
 ) -> None:
-    """K5/K6/T3/T4: per-partition batched push with bounded retry.
+    """K5/K6/T3/T4/T6: per-partition batched push with bounded retry.
 
     ``send`` receives at most ``batch_size`` rows and must be idempotent
     (the reference achieves idempotence by delete-then-add, K7).
     Defaults mirror the reference envelope: 50-row batches
     (sync-db2-ago.py:34), 5 tries with sleeps (sync-db2-ago.py:296-336).
+    ``throttle_s`` is the politeness pause between successful batches
+    (T6, delete-removed-tickets.py:146-147) — note it is per executor
+    slot, so the aggregate request rate scales with parallelism; cap
+    the writer's partition count to bound it globally.
     Runs on executors — the driver never sees the rows.
     """
 
@@ -66,6 +71,8 @@ def batched_foreach_writer(
                         raise
                     time.sleep(backoff_s * attempt)
             batch.clear()
+            if throttle_s:
+                time.sleep(throttle_s)
 
         for row in rows:
             batch.append(row)

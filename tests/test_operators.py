@@ -141,3 +141,19 @@ def test_validate_and_guards(spark):
     with pytest.raises(AssertionError):
         assert_single_row_per_key(df, "pk")
     dup_guard(df.limit(1), "pk")
+
+
+def test_observed_telemetry_counts_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.operators.telemetry import observed
+    from pipeline311_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out, obs = observed(
+        d.filter(F.col("n_chars") > 0), extra={"total_chars": F.sum("n_chars")}
+    )
+    n = out.count()
+    got = obs.get
+    assert got["n_rows"] == n > 0
+    assert got["total_chars"] == d.agg(F.sum("n_chars")).first()[0]

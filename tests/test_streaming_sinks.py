@@ -108,3 +108,20 @@ def test_stream_merge_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     final = {r["pk"]: r["val"] for r in spark.read.parquet(out_dir).collect()}
     assert final == {1: "b", 2: "c"}
+
+
+def test_batched_writer_throttle_pauses_between_batches(spark, tmp_path):
+    import time as _time
+
+    log = str(tmp_path / "stamps.log")
+
+    def send(rows):
+        with open(log, "a") as f:
+            f.write(f"{_time.monotonic()}\n")
+
+    df = spark.range(0, 6).coalesce(1)
+    batched_foreach_writer(df, send, batch_size=2, throttle_s=0.2)
+    stamps = [float(line) for line in open(log)]
+    assert len(stamps) == 3
+    # T6: a politeness pause separates consecutive successful batches
+    assert all(b - a >= 0.18 for a, b in zip(stamps, stamps[1:]))
