@@ -130,3 +130,77 @@ def quality_gate(spark, sf_dir):
             F.min("quality_score").alias("min_kept_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means UPDATE step: recompute centroids as the element-wise mean of
+# each cluster's assigned vectors (pairs with q_kmeans_assign — one
+# full Lloyd iteration when composed).
+#
+# Scale: assignment is the broadcast cross-join from q_kmeans_assign;
+# the mean is posexplode → (cluster, dim) hash aggregate — k*dim output
+# rows regardless of corpus size, with map-side partial aggregation
+# doing almost all the work.  No driver-side collect at any point.
+# ---------------------------------------------------------------------------
+
+_SQDIST_Q = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])), "
+    "(x, y) -> x + y)"
+)
+
+_KMEANS_UPDATE_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS c_label, v AS cv
+         FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+               FROM e) t WHERE rn = 1),
+scored AS (SELECT e.vec_id, e.v, cent.c_label, {_SQDIST_Q.format(a='e.v', b='cent.cv')} AS sqdist
+           FROM e CROSS JOIN cent),
+assigned AS (SELECT vec_id, v, c_label
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, c_label) AS rn
+                   FROM scored) t WHERE rn = 1),
+dims AS (SELECT c_label, u.i AS pos, v[u.i] AS val
+         FROM assigned, unnest(generate_series(1, len(v))) AS u(i)),
+means AS (SELECT c_label, pos,
+                 CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+          FROM dims GROUP BY c_label, pos)
+SELECT CAST(c_label AS BIGINT) AS centroid_label,
+       CAST(count(*) AS BIGINT) AS dim,
+       CAST(sum(CAST(round(m, 9) AS DECIMAL(18,9))) AS DOUBLE) AS centroid_sum
+FROM means GROUP BY c_label
+"""
+
+
+@register("q_kmeans_update", _KMEANS_UPDATE_SQL, covers=("ext:similarity", "A-class", "O5"))
+def q_kmeans_update(spark, sf_dir):
+    from pipeline311_spark.ext.similarity import as_double
+    from pipeline311_spark.plans.analytics11 import _sqdist
+
+    e = table(spark, sf_dir, "embeddings").withColumn("v", as_double("embedding"))
+    first = Window.partitionBy("label").orderBy("vec_id")
+    cent = (
+        e.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("c_label"), F.col("v").alias("cv"))
+    )
+    scored = e.select("vec_id", "v").crossJoin(F.broadcast(cent)).withColumn(
+        "sqdist", _sqdist(F.col("v"), F.col("cv"))
+    )
+    nearest = Window.partitionBy("vec_id").orderBy("sqdist", "c_label")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(nearest))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "c_label")
+    )
+    dims = assigned.select("c_label", F.posexplode("v").alias("pos", "val"))
+    means = dims.groupBy("c_label", "pos").agg(
+        (
+            F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    # summarize the new centroid per cluster (dim count + exact sum of
+    # rounded means) — array-valued comparisons stay scalar for the
+    # oracle's value hash while pinning every element through the sum
+    return means.groupBy(F.col("c_label").cast("long").alias("centroid_label")).agg(
+        F.count("*").cast("long").alias("dim"),
+        F.sum(F.round("m", 9).cast("decimal(18,9)")).cast("double").alias("centroid_sum"),
+    )
