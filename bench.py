@@ -34,6 +34,7 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_ann_topk",
+    "q_kmeans_update",
     "text_quality_scores",
     "text_lang_id",
     "text_contamination_13gram",
