@@ -204,3 +204,63 @@ def q_kmeans_update(spark, sf_dir):
         F.count("*").cast("long").alias("dim"),
         F.sum(F.round("m", 9).cast("decimal(18,9)")).cast("double").alias("centroid_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metric-anomaly detection: 3-sigma outliers per event_type.
+#
+# Scale: per-type stats are a tiny aggregate (one row per type)
+# broadcast back onto the stream — NOT a window partitioned by
+# event_type, which would shuffle the full fact table onto a handful
+# of hot type-partitions.  Sums are decimal-exact so mean/std (and
+# therefore the outlier cut) are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_SQL = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type),
+st AS (
+  SELECT event_type, s / n AS mean,
+         sqrt(greatest(s2 / n - (s / n) * (s / n), 0)) AS std
+  FROM stats)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers,
+       min(e.value) AS min_outlier, max(e.value) AS max_outlier
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs(e.value - st.mean) > 3 * st.std
+GROUP BY e.event_type
+"""
+
+
+@register("q_event_value_outliers", _OUTLIER_SQL, covers=("A-class", "J4", "ext:text"))
+def q_event_outliers(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d2 = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d2).cast("double").alias("s"),
+        F.sum(d2 * d2).cast("double").alias("s2"),
+    )
+    st = stats.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                F.lit(0.0),
+            )
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outliers"),
+            F.min("value").alias("min_outlier"),
+            F.max("value").alias("max_outlier"),
+        )
+    )
