@@ -1,8 +1,10 @@
-"""LLM training-data curation ops, part 3: source-mixture rebalancing
-and per-language quality-percentile gating.
+"""LLM training-data curation ops, part 3: source-mixture rebalancing,
+per-language quality-percentile gating, the k-means centroid-update
+step, and 3-sigma metric-anomaly detection.
 
-Both answer "which rows make it into the training mix" — the selection
-layer that sits between dedup/scoring and sequence packing.
+The first two answer "which rows make it into the training mix" — the
+selection layer between dedup/scoring and sequence packing; the last
+two are the iterative-ML and data-quality companions (sections below).
 
 Scale notes (100 TB):
 * rebalance — the per-source keep-fraction comes from a tiny counts
