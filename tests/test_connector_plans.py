@@ -142,3 +142,34 @@ def test_pack_sequences_single_exchange_on_source(spark, sf_dir):
     # sort); formatted explain names each node twice (tree + details)
     assert plan.count("Exchange") == 2
     assert "SinglePartition" not in plan
+
+
+# Queries whose semantics genuinely require a single-partition stage:
+# global scalar aggregates (two-phase: the final exchange merges partial
+# rows, not data), global sorts, global NTILE (documented in SCALE.md).
+_SINGLE_PARTITION_OK = {
+    "a1_max_watermark",
+    "a3_coalesced_watermark",
+    "f3_f4_watermark_boundary",
+    "k9_truncate_reload",
+    "o2_desc_scan_order",
+    "q06_forecast_revenue",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_below_part_average",
+    "q19_disjunctive_brackets",
+    "q_decile_stats",
+    "q_events_funnel",
+    "sample_rebalance_sources",
+    "t2_backfill_window",
+}
+
+
+def test_registry_wide_plan_audit(spark, sf_dir):
+    """Every registered query: no cartesian products ever; no
+    single-partition stages outside the documented allowlist."""
+    for name, spec in sorted(REGISTRY.items()):
+        plan = explain_str(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name not in _SINGLE_PARTITION_OK:
+            assert "SinglePartition" not in plan, name
