@@ -85,3 +85,43 @@ def q_range(spark, sf_dir):
         .join(counts, ["user_id", "signup_id"], "left")
         .withColumn("clicks_within_1h", F.coalesce("clicks_within_1h", F.lit(0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-interval window: per user, count + exact sum of event
+# values in the trailing hour (RANGE frame over epoch seconds).
+#
+# Scale: partitioned by user_id — one hash shuffle, frames evaluated
+# with a sliding accumulator per partition; never a global sort.  The
+# frame bound is integer epoch-seconds on BOTH engines (Spark's
+# timestamp->long cast truncates to seconds; the oracle floors
+# epoch()) so frame membership is bit-identical.
+# ---------------------------------------------------------------------------
+
+_TRAILING_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_trailing_window_avg", _TRAILING_SQL, covers=("O5", "A-class", "T1"))
+def q_trailing_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_trailing_1h"),
+    )
