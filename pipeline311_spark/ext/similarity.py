@@ -87,8 +87,19 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, seed: int = 7) -> DataFrame:
-    dim = len(df.select(vec_col).first()[0])
+def lsh_bucket(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Pass ``dim`` explicitly in any hot path: the ``.first()``
+    fallback runs a Spark job during plan construction (a hidden
+    driver action — fine ad hoc, wrong inside a pipeline)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = deterministic_planes(n_planes, dim, seed)
     return ensure_parallelism(df).select(
         F.col(id_col), as_double(vec_col).alias("v"),
@@ -104,13 +115,16 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
     bucket.  The corpus side is bucketed once (write it partitioned by
     ``bucket`` at scale and the join becomes partition-pruned)."""
-    cb = lsh_bucket(corpus, id_col, vec_col, n_planes, seed).withColumnRenamed(id_col, "neighbor_id")
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cb = lsh_bucket(corpus, id_col, vec_col, n_planes, seed, dim).withColumnRenamed(id_col, "neighbor_id")
     qb = F.broadcast(
-        lsh_bucket(queries, id_col, vec_col, n_planes, seed)
+        lsh_bucket(queries, id_col, vec_col, n_planes, seed, dim)
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed("v", "qv")
     )
@@ -192,11 +206,12 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     only compared within a bucket (near-identical vectors agree on all
     sign bits with high probability)."""
-    b = lsh_bucket(df, id_col, vec_col, n_planes, seed)
+    b = lsh_bucket(df, id_col, vec_col, n_planes, seed, dim)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(

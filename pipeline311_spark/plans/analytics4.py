@@ -13,8 +13,8 @@ from pipeline311_spark.plans.registry import register
 # sides sort: that is the portable form of array aggregation.
 _ARRAY_AGG_SQL = """
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
        array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_csv,
+       CAST(len(list(DISTINCT l_linestatus)) AS BIGINT) AS n_statuses,
        COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """
@@ -22,11 +22,14 @@ FROM lineitem GROUP BY l_returnflag
 
 @register("q_array_agg", _ARRAY_AGG_SQL, covers=("A-class", "O3"))
 def q_array_agg(spark, sf_dir):
+    # The array aggregate itself is the operator; the registered output
+    # renders it to scalars (csv + size) because the driver's pandas
+    # canonicalizer cannot hash raw array cells (round-1 VERDICT #2).
     li = table(spark, sf_dir, "lineitem")
     statuses = F.sort_array(F.collect_set("l_linestatus"))
     return li.groupBy("l_returnflag").agg(
-        statuses.alias("statuses"),
         F.array_join(statuses, ",").alias("statuses_csv"),
+        F.size(statuses).cast("long").alias("n_statuses"),
         F.count("*").alias("n"),
     )
 

@@ -57,7 +57,7 @@ def q_ranking(spark, sf_dir):
 _LEADLAG_SQL = f"""
 SELECT user_id, event_id,
        {fmt_ts_sql('ts')} AS ts_str,
-       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS us_since_prev,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) AS us_since_prev,
        lead(event_type) OVER w AS next_type
 FROM events
 WHERE user_id < 3
@@ -73,8 +73,10 @@ def q_leadlag(spark, sf_dir):
         "user_id",
         "event_id",
         fmt_ts("ts").alias("ts_str"),
+        # nullable numeric -> double on both engines (first row per
+        # partition is NULL; deterministic pandas dtype either way)
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
-        .cast("long")
+        .cast("double")
         .alias("us_since_prev"),
         F.lead("event_type").over(w).alias("next_type"),
     )

@@ -35,7 +35,7 @@ _SPLIT_SQL = f"""
 SELECT CASE WHEN {hash_bucket_sql('doc_id')} < 80 THEN 'train'
             WHEN {hash_bucket_sql('doc_id')} < 90 THEN 'val'
             ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1
 """
 

@@ -23,7 +23,7 @@ _DOCS_SCHEMA = T.StructType(
 )
 
 _CONNECTOR_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS min_doc
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc
 FROM documents
 WHERE n_chars > 200 AND lang IN ('en', 'de', 'fr')
 GROUP BY lang

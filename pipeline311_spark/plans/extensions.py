@@ -464,12 +464,24 @@ def q_manifest(spark, sf_dir):
 
 # Stubbed decode path: Spark plumbing is real (mapInPandas), codec is a
 # deterministic fake — registered WITHOUT an oracle (rows-only check).
+# The raw array<float> column is rendered to scalars at the registry
+# boundary: the driver's pandas canonicalizer cannot hash array cells
+# (confirmed round-1 err), so we return size + a rounded csv rendering.
 @register("multimodal_image_features", None, covers=("ext:multimodal",))
 def q_image_features(spark, sf_dir):
     from pipeline311_spark.ext.multimodal import decode_image_features
 
     d = table(spark, sf_dir, "documents")
-    return decode_image_features(documents_as_media(d))
+    feats = decode_image_features(documents_as_media(d))
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "sha1",
+        F.size("features").cast("long").alias("n_features"),
+        F.array_join(
+            F.transform("features", lambda v: F.format_number(v.cast("double"), 4)), ","
+        ).alias("features_csv"),
+    )
 
 
 # Embedding norm stats (decimal-exact group means over rounded norms).

@@ -64,17 +64,23 @@ def q_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _CSV_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
 
 @register("s9_csv_roundtrip", _CSV_SQL, covers=("K1", "S9", "K2"))
 def q_csv_roundtrip(spark, sf_dir):
+    import uuid
+
     from pyspark.sql import types as T
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out = os.path.join(tempfile.gettempdir(), f"p311_csv_{os.path.basename(sf_dir)}")
+    # unique per run: concurrent gates on the same sf must not share a sink
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_csv_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
     d.write.mode("overwrite").option("header", True).csv(out)
     schema = T.StructType(
         [

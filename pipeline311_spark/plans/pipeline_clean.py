@@ -132,11 +132,11 @@ cleaned AS (
     substring({_STRIP.format(c="CASE WHEN Status = 'Closed' THEN Close_Reason__c ELSE Status_Update__c END")}, 1, 2000) AS status_notes,
     {fmt_ts_sql(_TS.format(c='CreatedDate'))} AS requested_ts,
     {fmt_ts_sql(_TS.format(c='Sla_date__c'))} AS expected_ts,
-    CAST({_DIGIT.format(c='Police_District__c')} AS INTEGER) AS police_district,
-    CAST({_DIGIT.format(c='Council_District_No__c')} AS INTEGER) AS council_district_num,
+    CAST({_DIGIT.format(c='Police_District__c')} AS DOUBLE) AS police_district,
+    CAST({_DIGIT.format(c='Council_District_No__c')} AS DOUBLE) AS council_district_num,
     lower(trim(Pinpoint_Area__c)) AS pinpoint_area,
-    CASE WHEN SAG_Parent_Case_Number__c = '0' THEN NULL
-         ELSE TRY_CAST(SAG_Parent_Case_Number__c AS BIGINT) END AS parent_service_request_id,
+    CAST(CASE WHEN SAG_Parent_Case_Number__c = '0' THEN NULL
+         ELSE TRY_CAST(SAG_Parent_Case_Number__c AS BIGINT) END AS DOUBLE) AS parent_service_request_id,
     CASE WHEN Private_Case__c = 'false' THEN 0 ELSE 1 END AS private_case,
     substring(License_Plate_State__c, 1, 30) AS vehicle_license_plate_state,
     CASE WHEN TRY_CAST(lon_s AS DOUBLE) IS NOT NULL AND TRY_CAST(lat_s AS DOUBLE) IS NOT NULL
@@ -166,10 +166,14 @@ def q_clean_cases(spark, sf_dir):
         "status_notes",
         fmt_ts("requested_datetime").alias("requested_ts"),
         fmt_ts("expected_datetime").alias("expected_ts"),
-        "police_district",
-        "council_district_num",
+        # nullable numeric outputs cross the pandas boundary as double on
+        # BOTH engines: a nullable BIGINT turns into float64 only when
+        # nulls happen to be present at a given SF (data-dependent dtype,
+        # round-1 canon hazard) — the explicit cast makes it deterministic
+        F.col("police_district").cast("double").alias("police_district"),
+        F.col("council_district_num").cast("double").alias("council_district_num"),
         "pinpoint_area",
-        "parent_service_request_id",
+        F.col("parent_service_request_id").cast("double").alias("parent_service_request_id"),
         "private_case",
         "vehicle_license_plate_state",
         "shape",

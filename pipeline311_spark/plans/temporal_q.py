@@ -24,7 +24,7 @@ carried AS (
   FROM tagged
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, side ROWS UNBOUNDED PRECEDING))
 SELECT user_id, event_id, {fmt_ts_sql('ts')} AS ts_str,
-       asof_event_id, {fmt_ts_sql('asof_ts')} AS asof_ts_str
+       CAST(asof_event_id AS DOUBLE) AS asof_event_id, {fmt_ts_sql('asof_ts')} AS asof_ts_str
 FROM carried WHERE is_err = 1
 """
 
@@ -42,7 +42,8 @@ def q_asof(spark, sf_dir):
         "user_id",
         "event_id",
         fmt_ts("ts").alias("ts_str"),
-        F.col("asof_event_id"),
+        # nullable numeric -> double on both engines (deterministic pandas dtype)
+        F.col("asof_event_id").cast("double").alias("asof_event_id"),
         fmt_ts("asof_ts").alias("asof_ts_str"),
     )
 

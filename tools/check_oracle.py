@@ -1,8 +1,25 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — driver-strict edition.
 
-Runs every registry query on Spark AND its DuckDB oracle on the same
-parquet, then compares row count, column names, and an
-order-insensitive value hash (rows sorted, columns sorted by name).
+Round-1 lesson (VERDICT.md): the driver canonicalizes through pandas.
+Two consequences the old local canon masked:
+
+  1. DuckDB SUM(BIGINT) returns HUGEINT, which pandas downcasts to
+     float64 — so an uncast integer SUM renders "6.0" on the oracle
+     side vs "6" from Spark.  The old canon unified 3.0→3 and hid it
+     (confirmed driver red: s9_csv_roundtrip).
+  2. pandas' hash-based canonicalization crashes on unhashable cells
+     (lists/dicts), so any query returning array/struct/map columns
+     errors out in the driver even when registered oracle-less
+     (confirmed driver err: multimodal_image_features).
+
+This gate therefore:
+  - fetches the oracle via ``fetchdf()`` (pandas), exactly like the
+    driver, and canonicalizes values WITHOUT the float→int unify;
+  - audits every query's Spark output schema and FAILS on
+    array/map/struct/binary (unhashable or engine-variant rendering),
+    decimal (Decimal('6.00') vs float 6.0) and date (date vs
+    Timestamp midnight) columns — render them to string/double/long
+    in the plan instead.
 
 Usage:
     python tools/check_oracle.py [sf_dir] [query ...]
@@ -10,14 +27,18 @@ Usage:
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import math
 import os
 import sys
 import time
 import traceback
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,18 +46,53 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Spark output types that are safe under a pandas-based canonicalizer.
+_SAFE_TYPE_PREFIXES = (
+    "string",
+    "bigint",
+    "int",
+    "smallint",
+    "tinyint",
+    "double",
+    "float",
+    "boolean",
+    "timestamp",
+)
+
+
+def audit_schema(sdf):
+    """Return a list of (column, dtype) pairs that would break or
+    destabilize the driver's pandas canonicalizer."""
+    bad = []
+    for name, dtype in sdf.dtypes:
+        if not dtype.startswith(_SAFE_TYPE_PREFIXES) or dtype.startswith(
+            ("array", "map", "struct", "binary", "decimal", "date")
+        ):
+            bad.append((name, dtype))
+    return bad
+
 
 def canon(v):
+    """Driver-strict value rendering: no float→int unification."""
     if v is None:
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(int(v))  # unify 3.0 across engines
-        return repr(v)
-    if isinstance(v, bool):
+    if isinstance(v, (list, dict, set, np.ndarray)):
+        return "<UNHASHABLE:" + type(v).__name__ + ">"
+    if isinstance(v, (bool, np.bool_)):
         return "1" if v else "0"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, Decimal):
+        return "DEC:" + str(v)  # distinct on purpose: decimals must not reach output
+    if isinstance(v, pd.Timestamp):
+        return str(v.to_pydatetime())
+    if isinstance(v, datetime.datetime):
+        return str(v)
     return str(v)
 
 
@@ -81,6 +137,7 @@ def main():
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
+            hazards = audit_schema(sdf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception:
@@ -88,14 +145,18 @@ def main():
             traceback.print_exc()
             fail += 1
             continue
+        if hazards:
+            print(f"FAIL {name}: canon-hazard output columns {hazards}")
+            fail += 1
+            continue
         if spec.oracle is None:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             ok += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(spec.oracle).fetchdf()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             fail += 1
