@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline311_spark.ext.hashing import affine, ensure_parallelism, hash_params, poly_hash
+from pipeline311_spark.ext.hashing import (
+    affine,
+    ensure_parallelism,
+    hash_params,
+    portable_hash,
+    portable_hash64,
+)
 from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
 
 # ---------------------------------------------------------------------------
@@ -122,7 +128,7 @@ def minhash_signatures(
     no shingles are dropped.
     """
     params = hash_params(k, seed)
-    sh = _shingle_table(df, id_col, text_col, n).withColumn("h", poly_hash("shingle"))
+    sh = _shingle_table(df, id_col, text_col, n).withColumn("h", portable_hash("shingle"))
     aggs = [F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
     return sh.groupBy("doc").agg(*aggs)
 
@@ -130,12 +136,17 @@ def minhash_signatures(
 def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket: int = 200) -> DataFrame:
     """Band the signature (bands × k/bands rows) and emit distinct doc
     pairs sharing any band bucket.  ``max_bucket`` caps pathological
-    buckets (all-identical docs) to bound the self-join.
+    buckets (all-identical docs) to bound the pair blowup.
+
+    Plan shape: ONE shuffle — groupBy (band, key) collecting the
+    (capped) bucket membership, then the pairs are generated inside
+    each bucket row with nested ``transform`` over the sorted doc array
+    and a final distinct.  This replaced a window-count cap + bucket
+    self-join (three exchanges + a persist); the collected array is
+    bounded by ``max_bucket`` ids (~1.6 KB at the default cap), so the
+    aggregate is safe at any corpus size.
     """
     rows = k // bands
-    # banded feeds three consumers (bucket-size cap, both join sides);
-    # it is k longs per doc — persist so the signature aggregation
-    # upstream runs once.
     banded = sig.select(
         "doc",
         F.explode(
@@ -147,23 +158,26 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
                 for bi in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).persist()
-    # bucket-size cap via a window count: one shuffle on (band, key),
-    # and the self-join below reuses that partitioning (no re-shuffle)
-    # instead of a groupBy + semi-join chain (two extra exchanges).
-    bw = Window.partitionBy("band", "key")
-    small = banded.withColumn("__n", F.count("*").over(bw)).filter(
-        F.col("__n") <= max_bucket
-    ).drop("__n")
-    a, b = small.alias("a"), small.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    )
+    # all ordered pairs (i < j) within the bucket, generated array-side
+    docs = F.col("docs")
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.greatest(F.size(docs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -179,49 +193,56 @@ def minhash_dedup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures → band candidates → verify
-    candidates with exact Jaccard (shingle join restricted to the
-    candidate set via semi-joins)."""
-    # Shingle table is computed once (persisted); only CANDIDATE docs'
-    # shingles feed the exact-Jaccard verify joins, so the expensive
-    # path scales with the number of near-dup pairs, not the corpus.
-    sh_all = _shingle_table(df, id_col, text_col, n).persist()
+    candidates with exact Jaccard (set intersection restricted to the
+    candidate docs).
+
+    Verify shape: the candidate docs' shingle SETS are rebuilt
+    map-side from the source text (``word_shingles`` is already
+    distinct; per-doc cost is bounded by document length, and only
+    candidate docs — a semi-join pushes the filter below the shingle
+    projection — pay it), then each candidate pair is checked row-wise
+    with ``array_intersect`` — two joins total, no per-(pair × shared
+    shingle) row explosion and no per-pair aggregation shuffle.  Join
+    strategy is left to Catalyst/AQE: with few candidates the set
+    table broadcasts, with many it shuffles — both survive scale."""
+    sh = _shingle_table(df, id_col, text_col, n)
     params = hash_params(k, seed)
-    hashed = sh_all.withColumn("h", poly_hash("shingle"))
+    hashed = sh.withColumn("h", portable_hash("shingle"))
     sig = hashed.groupBy("doc").agg(
         *[F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
     )
-    # Materialize the (tiny) candidate set once: every broadcast below
-    # would otherwise re-execute the whole signature+banding pipeline.
+    # Materialize the (tiny) candidate set once: downstream reuse would
+    # otherwise re-execute the whole signature+banding pipeline.
     cand = lsh_candidate_pairs(sig, k, bands).persist()
     cand.count()
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
-    # restrict per-doc sizes to candidate docs BEFORE broadcasting —
-    # broadcasting the corpus-wide size table would not survive scale
-    sizes_c = sh_all.join(F.broadcast(cand_docs), "doc", "left_semi").groupBy("doc").agg(
-        F.count("*").alias("sz")
+    # Semi-join FIRST, project once: pushing word_shingles below the
+    # semi-join is not guaranteed (and CollapseProject would re-inline
+    # the lambda for every derived column), so restrict rows explicitly
+    # before the one shingle projection.  Sizes are computed at pair
+    # level where the arrays are already materialized join output.
+    doc_sets = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .join(F.broadcast(cand_docs), "doc", "left_semi")
+        .select("doc", word_shingles("__t", n).alias("sset"))
+        .persist()
     )
-    sh = (
-        sh_all.join(F.broadcast(cand_docs), "doc", "left_semi")
-        .join(F.broadcast(sizes_c), "doc")
-        .select("doc", "sz", "shingle")
-    )
-    # candidate-restricted shingles are usually small but grow with dup
-    # density — leave the join strategy to Catalyst/AQE (no forced
-    # broadcast), which demotes to shuffle join when they are big
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        cand.join(a, cand.doc_a == F.col("a.doc"))
-        .join(
-            b,
-            (cand.doc_b == F.col("b.doc")) & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b", F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    doc_sets.count()  # tiny (candidate docs only); both joins below reuse it
+    a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (
-        inter.withColumn(
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            F.size("set_a").alias("sz_a"),
+            F.size("set_b").alias("sz_b"),
+        )
+        .withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
@@ -238,19 +259,14 @@ SIMHASH_BITS = 32
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: token hashes vote ±1 per bit; the sign vector is
-    the signature.  Computed entirely row-wise (token-hash array +
-    per-bit ``aggregate`` folds) — zero shuffles; integer addition is
+    the signature.  Token hashes are the 60-bit md5-based
+    ``portable_hash64`` (codegen'd; every signature bit carries real
+    entropy), computed row-wise — zero shuffles; integer addition is
     commutative so this matches the explode+groupBy formulation
     exactly."""
-    from pipeline311_spark.ext.hashing import BASE, MOD
-
-    def poly(s):
-        chars = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
-        return F.aggregate(chars, F.lit(0).cast("long"), lambda acc, ch: (acc * BASE + ch) % MOD)
-
     hs = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
-        F.transform(tokens(normalize_text(text_col)), poly).alias("hs"),
+        F.transform(tokens(normalize_text(text_col)), lambda s: portable_hash64(s)).alias("hs"),
     )
 
     def bit_sum(i):

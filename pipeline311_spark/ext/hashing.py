@@ -1,12 +1,19 @@
 """Portable deterministic hashing used by dedup / similarity.
 
-``poly_hash`` is a character-fold polynomial hash built from Spark
-builtins (``transform`` + ``aggregate`` higher-order functions — fully
-codegen'd, no Python).  It is engine-portable: the DuckDB oracle
-reproduces it with ``list_reduce``/``list_transform``, so LSH buckets
-and MinHash signatures hash-match across engines.  (Spark's native
-``xxhash64`` is faster but not reproducible outside Spark; swap it in
-via ``fast=True`` when oracle parity is not needed.)
+``portable_hash`` is the first 60 bits of md5, reduced mod a prime.
+md5 exists as a codegen'd builtin on BOTH engines (Spark ``md5`` /
+DuckDB ``md5``, identical lowercase-hex output on UTF-8 bytes), so the
+Spark side is pure JVM whole-stage-codegen — ``conv(substring(md5(x),
+1, 15), 16, 10)`` — while the DuckDB oracle reproduces it bit-exactly
+with a 15-step hex-digit fold (oracle-side cost is irrelevant).
+
+This replaced a character-fold polynomial hash (``aggregate(split(
+...))``): interpreted higher-order lambdas are not whole-stage-codegen'd
+and the char-fold was 27% of the whole round-1 bench (VERDICT.md perf
+section).  Same portability, ~10x cheaper on the Spark side.
+
+(Spark's native ``xxhash64`` is faster still but not reproducible in
+DuckDB; swap it in via ``fast=True`` when oracle parity is not needed.)
 """
 
 from __future__ import annotations
@@ -15,7 +22,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
-BASE = 31
+
+_HEX = "0123456789abcdef"
 
 
 def ensure_parallelism(df, min_parts: int | None = None):
@@ -31,24 +39,37 @@ def ensure_parallelism(df, min_parts: int | None = None):
     return df
 
 
-def poly_hash(col: Column | str, fast: bool = False) -> Column:
-    """Deterministic 64-bit-safe string hash in [0, MOD)."""
+def portable_hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit hash: ``int(md5(s)[:15], 16)``.
+
+    Codegen'd end-to-end (md5 → substring → conv → cast), identical in
+    the DuckDB oracle via :func:`portable_hash64_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash64` (hex-digit fold)."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split(substr(md5({expr}), 1, 15), ''), "
+        f"c -> (strpos('{_HEX}', c) - 1)::BIGINT)), "
+        "(acc, x) -> acc * 16 + x)"
+    )
+
+
+def portable_hash(col: Column | str, fast: bool = False) -> Column:
+    """Deterministic string hash in [0, MOD) — safe for the affine
+    universal-hash family below (h * a stays under 63 bits)."""
     c = F.col(col) if isinstance(col, str) else col
     if fast:
         return F.pmod(F.xxhash64(c), F.lit(MOD))
-    chars = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
-    return F.aggregate(
-        chars, F.lit(0).cast("long"), lambda acc, ch: (acc * BASE + ch) % MOD
-    )
+    return F.pmod(portable_hash64(c), F.lit(MOD))
 
 
-def poly_hash_sql(expr: str) -> str:
-    """DuckDB twin of :func:`poly_hash` over a SQL string expression."""
-    return (
-        "list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(string_split({expr}, ''), ch -> ascii(ch)::BIGINT)), "
-        f"(acc, ch) -> (acc * {BASE} + ch) % {MOD})"
-    )
+def portable_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash`."""
+    return f"({portable_hash64_sql(expr)} % {MOD})"
 
 
 def affine(h: Column, a: int, b: int) -> Column:

@@ -4,7 +4,7 @@
 dependent too — rerunning on a repartitioned 100 TB corpus yields a
 different sample.  Hash-based assignment is the production answer:
 bucket = hash(stable_id) mod N, sample/split by bucket range.  Fully
-deterministic across runs, partitionings, and engines (poly hash →
+deterministic across runs, partitionings, and engines (md5-based portable hash →
 the DuckDB oracle reproduces the exact same rows).
 """
 
@@ -13,16 +13,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pipeline311_spark.ext.hashing import poly_hash, poly_hash_sql
+from pipeline311_spark.ext.hashing import portable_hash, portable_hash_sql
 
 
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return poly_hash(c.cast("string")) % F.lit(buckets)
+    return portable_hash(c.cast("string")) % F.lit(buckets)
 
 
 def hash_bucket_sql(expr: str, buckets: int = 100) -> str:
-    return f"({poly_hash_sql(f'CAST({expr} AS VARCHAR)')}) % {buckets}"
+    return f"({portable_hash_sql(f'CAST({expr} AS VARCHAR)')}) % {buckets}"
 
 
 def deterministic_sample(df: DataFrame, id_col: str, pct: int, buckets: int = 100) -> DataFrame:

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pipeline311_spark.ext.hashing import MOD, poly_hash, poly_hash_sql
+from pipeline311_spark.ext.hashing import MOD, portable_hash, portable_hash_sql
 from pipeline311_spark.operators.rollup_maint import merge_rollup, rollup_delta
 from pipeline311_spark.plans.common import dec, table
 from pipeline311_spark.plans.registry import register
@@ -59,7 +59,7 @@ def q_rollup_maint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# KMV distinct sketch: deterministic (poly-hash) k-minimum-values
+# KMV distinct sketch: deterministic (portable-hash) k-minimum-values
 # estimator — an oracle-checkable approximate-distinct, unlike HLL.
 # estimate = (k-1) / max(k smallest normalized hashes)
 # ---------------------------------------------------------------------------
@@ -68,7 +68,7 @@ _KMV_K = 64
 
 _KMV_SQL = f"""
 WITH h AS (
-  SELECT DISTINCT {poly_hash_sql('text')} AS h FROM documents),
+  SELECT DISTINCT {portable_hash_sql('text')} AS h FROM documents),
 topk AS (
   SELECT h FROM h ORDER BY h LIMIT {_KMV_K}),
 stats AS (
@@ -83,7 +83,7 @@ FROM stats
 @register("sketch_kmv_distinct", _KMV_SQL, covers=("A6", "ext:dedup"))
 def q_kmv(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    h = d.select(poly_hash("text").alias("h")).distinct()
+    h = d.select(portable_hash("text").alias("h")).distinct()
     exact = h.count()
     topk = h.orderBy("h").limit(_KMV_K)
     row = topk.agg(F.count("*").alias("k_found"), F.max("h").alias("kth")).first()

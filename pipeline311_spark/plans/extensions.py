@@ -16,7 +16,7 @@ from pipeline311_spark.ext.dedup import (
     simhash,
     simhash_near_pairs,
 )
-from pipeline311_spark.ext.hashing import MOD, hash_params, poly_hash_sql
+from pipeline311_spark.ext.hashing import MOD, hash_params, portable_hash64_sql, portable_hash_sql
 from pipeline311_spark.ext.multimodal import documents_as_media, media_manifest
 from pipeline311_spark.ext.similarity import (
     brute_force_topk,
@@ -133,7 +133,7 @@ def _minhash_pairs_sql() -> str:
     )
     return f"""
 WITH {_shingle_cte(_MH_N)},
-h AS (SELECT doc_id, shingle, {poly_hash_sql('shingle')} AS h FROM sh),
+h AS (SELECT doc_id, shingle, {portable_hash_sql('shingle')} AS h FROM sh),
 sig AS (SELECT doc_id,
     {mins}
   FROM h GROUP BY doc_id),
@@ -185,7 +185,7 @@ def _simhash_sig_cte() -> str:
     return f"""
 norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
 tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
-th AS (SELECT doc_id, {poly_hash_sql('tok')} AS h FROM tok),
+th AS (SELECT doc_id, {portable_hash64_sql('tok')} AS h FROM tok),
 bits AS (SELECT doc_id,
     {bit_sums}
   FROM th GROUP BY doc_id),
