@@ -308,7 +308,10 @@ WHERE rn <= {_ANN_K}
 def q_lsh_ann(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    res = lsh_ann_topk(e, q, "vec_id", "embedding", k=_ANN_K, n_planes=_ANN_PLANES, seed=_ANN_SEED)
+    res = lsh_ann_topk(
+        e, q, "vec_id", "embedding",
+        k=_ANN_K, n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_EMB_DIM,
+    )
     return res.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
@@ -329,7 +332,8 @@ WHERE {_cos_sql('a.v', 'b2.v')} >= {_NEAR_DUP_THRESHOLD}
 def q_emb_near_dup(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=_NEAR_DUP_THRESHOLD, n_planes=_ANN_PLANES, seed=_ANN_SEED
+        e, "vec_id", "embedding",
+        threshold=_NEAR_DUP_THRESHOLD, n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_EMB_DIM,
     )
 
 
