@@ -1,0 +1,83 @@
+"""Partition-pruned incremental MERGE (operators/merge.py:
+merge_incremental_partitioned).
+
+The scale property under test: merging a batch that touches a subset
+of partitions must (a) produce exact MERGE semantics and (b) leave the
+files of untouched partitions byte-for-byte alone — no full-target
+rewrite (reference ``sync-db2.py:78-88`` rewrites everything; at 100 TB
+only the pruned rewrite survives).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.operators.merge import merge_incremental_partitioned
+
+
+def _files_by_partition(path):
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            full = os.path.join(path, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if not f.startswith(("_", "."))
+            )
+    return out
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "warehouse")
+    base = spark.range(100).select(
+        F.col("id").alias("key"),
+        (F.col("id") * 2).cast("double").alias("val"),
+        F.lit(1).alias("version"),
+        F.pmod("id", F.lit(4)).alias("bucket"),
+    )
+    base.write.partitionBy("bucket").parquet(path)
+    before = _files_by_partition(path)
+    assert set(before) == {f"bucket={i}" for i in range(4)}
+
+    # touch only bucket 0 (keys ≡ 0 mod 4): update key 0, insert key 400
+    updates = spark.createDataFrame(
+        [(0, 999.0, 2, 0), (400, 123.0, 1, 0)], "key long, val double, version int, bucket int"
+    )
+    merge_incremental_partitioned(spark, path, updates, "key", "version", "bucket")
+
+    after = _files_by_partition(path)
+    for b in ("bucket=1", "bucket=2", "bucket=3"):
+        assert after[b] == before[b], f"untouched partition {b} was rewritten"
+    assert after["bucket=0"] != before["bucket=0"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 101  # 100 originals + 1 insert
+    assert back.filter("key = 0").select("val").first()[0] == 999.0  # update won
+    assert back.filter("key = 400").count() == 1  # new key inserted
+    assert back.filter("key = 1").select("val").first()[0] == 2.0  # untouched row intact
+
+
+def test_merge_new_partition_value_created(spark, tmp_path):
+    path = str(tmp_path / "warehouse")
+    spark.range(10).select(
+        F.col("id").alias("key"), F.lit(1).alias("version"), F.pmod("id", F.lit(2)).alias("bucket")
+    ).write.partitionBy("bucket").parquet(path)
+    updates = spark.createDataFrame([(50, 1, 7)], "key long, version int, bucket int")
+    merge_incremental_partitioned(spark, path, updates, "key", "version", "bucket")
+    back = spark.read.parquet(path)
+    assert back.count() == 11
+    assert back.filter("bucket = 7").count() == 1
+
+
+def test_pruned_read_reaches_partition_filters(spark, tmp_path):
+    path = str(tmp_path / "warehouse")
+    spark.range(100).select(
+        F.col("id").alias("key"), F.pmod("id", F.lit(4)).alias("bucket")
+    ).write.partitionBy("bucket").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("bucket").isin([0, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert pruned.count() == 50
