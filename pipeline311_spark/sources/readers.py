@@ -47,7 +47,20 @@ def read_jdbc(
     """S4 (sync-db2-ago.py:543-571 Postgres scan).  At scale, always pass
     ``partition_column`` bounds so the scan parallelizes instead of one
     executor streaming the whole table; filters written on the returned
-    DataFrame are pushed into the remote WHERE clause by Catalyst."""
+    DataFrame are pushed into the remote WHERE clause by Catalyst
+    (verify: ``PushedFilters`` on the ``Scan JDBCRelation`` node —
+    covered by tests/test_jdbc.py against an embedded Derby database).
+
+    ``predicates``: explicit per-partition WHERE clauses (one partition
+    per predicate) — the escape hatch when no numeric
+    ``partition_column`` exists."""
+    if predicates:
+        return spark.read.jdbc(
+            url=url,
+            table=table,
+            predicates=list(predicates),
+            properties={k: str(v) for k, v in options.items()},
+        )
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column:
         reader = (
