@@ -17,7 +17,7 @@ STATIC = {
     "S1": ("sources/readers.py read_parquet; sources/salesforce_sim.py (Python DataSource, paginated + pushFilters)", "tests/test_connector_plans.py"),
     "S2": ("df.count() / a5_count_probes", ""),
     "S3": ("operators/joins.py anti_join (chunked IN-list collapsed)", "tests/test_operators.py"),
-    "S4": ("sources/readers.py read_jdbc (partitioned, predicate pushdown via Catalyst)", "no live DB in container; shape covered by parquet path"),
+    "S4": ("sources/readers.py read_jdbc (partitioned scan, predicate pushdown, explicit predicates)", "tests/test_jdbc.py (embedded Derby: PushedFilters verified)"),
     "S5": ("operators/joins.py semi_join + sources/validate.py assert_single_row_per_key", "tests/test_operators.py"),
     "S6": ("sources/validate.py validate_columns/validate_schema (df.schema)", "tests/test_operators.py"),
     "S7": ("DataFrame.filter (generic where-clause scan)", ""),
@@ -26,9 +26,9 @@ STATIC = {
     "S10": ("operators/backfill.py partition_window_filter", ""),
     "K1": ("sinks/writers.py write_csv", ""),
     "K2": ("df.write.parquet('s3a://...') — same line, S3A path (no S3 in container)", ""),
-    "K3": ("operators/merge.py upsert (window-dedup MERGE)", "tests/test_operators.py"),
+    "K3": ("operators/merge.py upsert (window-dedup MERGE); merge_incremental_partitioned (partition-pruned warehouse MERGE)", "tests/test_operators.py, tests/test_merge_partitioned.py"),
     "K4": ("operators/merge.py merge_with_surrogate + incremental watermark", "tests/test_operators.py"),
-    "K5": ("sinks/writers.py batched_foreach_writer (50-row batches, retry ladder)", "tests/test_streaming_sinks.py"),
+    "K5": ("sinks/writers.py batched_foreach_writer (50-row batches, retry ladder)", "tests/test_streaming_sinks.py + oracle gate (k5_batched_writer_roundtrip)"),
     "K6": ("same writer; delete batches = key-list sends", "tests/test_streaming_sinks.py"),
     "K7": ("operators/merge.py upsert == delete-then-add semantics", "tests/test_operators.py"),
     "K8": ("operators/reconcile.py reconcile_deletes (tombstone archive)", "tests/test_operators.py"),
