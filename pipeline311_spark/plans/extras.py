@@ -108,8 +108,10 @@ FROM part
 
 @register("k9_truncate_reload", _K9_SQL, covers=("K9", "K10"))
 def q_truncate_reload(spark, sf_dir):
+    import uuid
+
     p = table(spark, sf_dir, "part")
-    out = os.path.join(tempfile.gettempdir(), f"p311_seed_{os.path.basename(sf_dir)}")
+    out = os.path.join(tempfile.gettempdir(), f"p311_seed_{uuid.uuid4().hex[:12]}")
     p.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("total_price"))

@@ -93,14 +93,12 @@ def q_stream_merge(spark, sf_dir):
     as a streaming job)."""
     from pipeline311_spark.operators.merge import latest_per_key, upsert
 
+    import uuid
+
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"p311_stream_merge_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(), f"p311_stream_merge_{uuid.uuid4().hex[:12]}"
     )
     ckpt = out_dir + ".ckpt"
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
 
     stream = _stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
 
@@ -243,6 +241,86 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sid
 """
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful_running_totals", _STATEFUL_SQL, covers=("T1", "T7"))
+def q_stateful_running_totals(spark, sf_dir):
+    """Per-user running totals carried across micro-batches by the
+    state store (``applyInPandasWithState`` — the custom stateful
+    operator Spark's built-in streaming aggs can't express when the
+    update logic is arbitrary Python).
+
+    The events table is split into four chunk files and streamed with
+    ``maxFilesPerTrigger=1``, so the state genuinely crosses batch
+    boundaries; each batch's emissions land in a parquet sink tagged
+    with the batch id, and the LAST emission per user — i.e. the final
+    state — must equal a plain GROUP BY over all events, which is the
+    oracle.  Totals are integer cents (pre-rounded), so cross-batch
+    accumulation is exact and batch-boundary-independent."""
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from pipeline311_spark.streaming.stateful import running_totals_stream
+
+    base = os.path.join(tempfile.gettempdir(), f"p311_stateful_{uuid.uuid4().hex[:12]}")
+    src_dir, out_dir, ckpt = base + "_src", base + "_out", base + "_ckpt"
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    for i in range(4):  # four files -> four micro-batches
+        events.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    updates = running_totals_stream(stream.select("user_id", "cents"))
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("user_id", "n_events", "total_cents")
+    )
 
 
 @register("q_session_window_native", _SESSION_WINDOW_SQL, covers=("T1", "O5", "A-class"))
