@@ -114,23 +114,63 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Combines n consecutive token hashes into one gram hash:
+# g = fold((acc * GRAM_BASE + next) % MOD) — mirrored in the DuckDB
+# oracle (plans/extensions.py gram expression).
+GRAM_BASE = 31
+
+
+def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, g) rows: one row per word n-gram, ``g`` its 64-bit-safe
+    hash — WITHOUT ever materializing n-gram strings.
+
+    Shape: posexplode tokens (map-side), md5-hash each token ONCE
+    (codegen'd; each token would otherwise be re-hashed inside n
+    different shingle strings), then ``lead()`` over (doc, pos) pulls
+    the next n-1 token hashes and integer arithmetic combines them.
+    Every operator here is whole-stage-codegen'd — no interpreted
+    higher-order lambdas (the prior shingle-string + per-shingle-md5
+    formulation spent its time in interpreted transform/slice/
+    array_join).  One shuffle (the window's hash partitioning on doc),
+    which the signature groupBy downstream REUSES — no extra exchange.
+
+    Duplicate n-grams within a doc are kept: MIN aggregation is
+    multiset-insensitive, so signatures match the set formulation.
+    """
+    from pipeline311_spark.ext.hashing import MOD
+
+    toks = tokens(normalize_text(text_col))
+    t = ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk"))).select(
+        "doc", F.posexplode("tk")
+    )
+    th = t.select("doc", "pos", portable_hash("col").alias("h"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    th = th.select(
+        "doc", "h", *[F.lead("h", j).over(w).alias(f"h{j}") for j in range(1, n)]
+    ).filter(F.col(f"h{n-1}").isNotNull())
+    g = F.col("h")
+    for j in range(1, n):
+        g = (g * F.lit(GRAM_BASE) + F.col(f"h{j}")) % F.lit(MOD)
+    return th.select("doc", g.alias("g"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 5, seed: int = 42
 ) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
-    Explode shingles once, hash each once (the char-fold runs exactly
-    once per shingle), then one groupBy with k ``min`` aggregates —
-    map-side partial aggregation (codegen'd hash-agg) shrinks the
-    shuffle to k longs per doc.  A per-row ``array_min(transform(...))``
-    formulation avoids the shuffle but re-evaluates the interpreted
-    hash lambda k times per shingle — measured 60% slower.  Docs with
-    no shingles are dropped.
+    Gram hashes come from the codegen'd token-hash window path
+    (:func:`_gram_hash_table`), then one groupBy with k ``min``
+    aggregates — map-side partial aggregation shrinks the shuffle to k
+    longs per doc, and the groupBy reuses the window's partitioning.
+    A per-row ``array_min(transform(...))`` formulation avoids the
+    shuffle but re-evaluates interpreted lambdas k times per gram —
+    measured 60% slower.  Docs with fewer than n tokens are dropped.
     """
     params = hash_params(k, seed)
-    sh = _shingle_table(df, id_col, text_col, n).withColumn("h", portable_hash("shingle"))
-    aggs = [F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
-    return sh.groupBy("doc").agg(*aggs)
+    gh = _gram_hash_table(df, id_col, text_col, n)
+    aggs = [F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
+    return gh.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket: int = 200) -> DataFrame:
@@ -205,12 +245,7 @@ def minhash_dedup_pairs(
     shingle) row explosion and no per-pair aggregation shuffle.  Join
     strategy is left to Catalyst/AQE: with few candidates the set
     table broadcasts, with many it shuffles — both survive scale."""
-    sh = _shingle_table(df, id_col, text_col, n)
-    params = hash_params(k, seed)
-    hashed = sh.withColumn("h", portable_hash("shingle"))
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(affine(F.col("h"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
-    )
+    sig = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
     # Materialize the (tiny) candidate set once: downstream reuse would
     # otherwise re-execute the whole signature+banding pipeline.
     cand = lsh_candidate_pairs(sig, k, bands).persist()

@@ -122,21 +122,36 @@ _MH_ROWS = _MH_K // _MH_BANDS
 # Band explosion is expressed as a UNION ALL over the band index (cleaner
 # than struct unnesting in DuckDB).
 def _minhash_pairs_sql() -> str:
+    from pipeline311_spark.ext.dedup import GRAM_BASE
+
     params = hash_params(_MH_K, _MH_SEED)
     mins = ",\n    ".join(
-        f"MIN((h * {a} + {b}) % {MOD}) AS mh{i}" for i, (a, b) in enumerate(params)
+        f"MIN((g * {a} + {b}) % {MOD}) AS mh{i}" for i, (a, b) in enumerate(params)
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, %d AS band, concat_ws('_', %s) AS key FROM sig"
         % (bi, ", ".join(f"mh{bi * _MH_ROWS + r}" for r in range(_MH_ROWS)))
         for bi in range(_MH_BANDS)
     )
+    # gram hash: fold of _MH_N consecutive token hashes, mirroring
+    # ext/dedup.py _gram_hash_table exactly (acc*GRAM_BASE + next) % MOD
+    gram = "th[i]"
+    for j in range(1, _MH_N):
+        gram = f"(({gram}) * {GRAM_BASE} + th[i+{j}]) % {MOD}"
     return f"""
 WITH {_shingle_cte(_MH_N)},
-h AS (SELECT doc_id, shingle, {portable_hash_sql('shingle')} AS h FROM sh),
+tokh AS (SELECT doc_id,
+    list_transform(string_split(nt, ' '), t -> {portable_hash_sql('t')}) AS th
+  FROM norm),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(th) >= {_MH_N}
+         THEN list_transform(range(1, len(th) - {_MH_N} + 2), i -> {gram})
+         ELSE [] END) AS g
+  FROM tokh),
 sig AS (SELECT doc_id,
     {mins}
-  FROM h GROUP BY doc_id),
+  FROM grams GROUP BY doc_id),
 banded AS (
 {band_selects}
 ),
