@@ -43,8 +43,8 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("byte_len", T.LongType(), False),
-        T.StructField("sha1", T.StringType(), False),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -102,8 +102,8 @@ def decode_image_features(df: DataFrame, dim: int = 8, fake: bool = True) -> Dat
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "sha1": payloads.map(
-                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
                     "features": payloads.map(
                         lambda b: None if b is None else _fake_features(bytes(b), dim)

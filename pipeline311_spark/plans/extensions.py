@@ -482,11 +482,27 @@ def q_manifest(spark, sf_dir):
 
 
 # Stubbed decode path: Spark plumbing is real (mapInPandas), codec is a
-# deterministic fake — registered WITHOUT an oracle (rows-only check).
-# The raw array<float> column is rendered to scalars at the registry
-# boundary: the driver's pandas canonicalizer cannot hash array cells
-# (confirmed round-1 err), so we return size + a rounded csv rendering.
-@register("multimodal_image_features", None, covers=("ext:multimodal",))
+# deterministic fake (sha256-digest bytes / 255).  The raw array<double>
+# column is rendered to scalars at the registry boundary (driver's pandas
+# canonicalizer cannot hash array cells — confirmed round-1 err): size +
+# a 4-decimal csv rendering.  The DuckDB twin reconstructs the identical
+# features from sha256 hex pairs; Spark format_number vs DuckDB
+# printf('%.4f') verified byte-exact for all 256 possible values of
+# i/255.0 (both IEEE double division + half-even decimal rounding).
+_IMAGE_FEATURES_SQL = (
+    "WITH h AS (SELECT doc_id AS media_id,"
+    " CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS sha256"
+    " FROM documents) "
+    "SELECT media_id, byte_len, sha256, CAST(8 AS BIGINT) AS n_features, "
+    + " || ',' || ".join(
+        f"printf('%.4f', CAST(('0x' || substr(sha256, {2 * i + 1}, 2)) AS INTEGER) / 255.0)"
+        for i in range(8)
+    )
+    + " AS features_csv FROM h"
+)
+
+
+@register("multimodal_image_features", _IMAGE_FEATURES_SQL, covers=("ext:multimodal",))
 def q_image_features(spark, sf_dir):
     from pipeline311_spark.ext.multimodal import decode_image_features
 
@@ -495,10 +511,10 @@ def q_image_features(spark, sf_dir):
     return feats.select(
         "media_id",
         "byte_len",
-        "sha1",
+        "sha256",
         F.size("features").cast("long").alias("n_features"),
         F.array_join(
-            F.transform("features", lambda v: F.format_number(v.cast("double"), 4)), ","
+            F.transform("features", lambda v: F.format_number(v, 4)), ","
         ).alias("features_csv"),
     )
 
