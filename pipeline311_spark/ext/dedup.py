@@ -144,6 +144,8 @@ def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
         "doc", F.posexplode("tk")
     )
     th = t.select("doc", "pos", portable_hash("col").alias("h"))
+    if n == 1:  # unigrams: no window needed, g is the token hash itself
+        return th.select("doc", F.col("h").alias("g"))
     w = Window.partitionBy("doc").orderBy("pos")
     th = th.select(
         "doc", "h", *[F.lead("h", j).over(w).alias(f"h{j}") for j in range(1, n)]
@@ -178,13 +180,16 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
     pairs sharing any band bucket.  ``max_bucket`` caps pathological
     buckets (all-identical docs) to bound the pair blowup.
 
-    Plan shape: ONE shuffle — groupBy (band, key) collecting the
-    (capped) bucket membership, then the pairs are generated inside
-    each bucket row with nested ``transform`` over the sorted doc array
-    and a final distinct.  This replaced a window-count cap + bucket
-    self-join (three exchanges + a persist); the collected array is
-    bounded by ``max_bucket`` ids (~1.6 KB at the default cap), so the
-    aggregate is safe at any corpus size.
+    Plan shape: a count pass over (band, key) feeds a semi-join that
+    drops oversized/singleton buckets BEFORE any membership is
+    collected — the ``collect_set`` aggregation buffer therefore never
+    holds more than ``max_bucket`` ids (~1.6 KB at the default cap),
+    even for a pathological hot bucket with millions of identical
+    docs.  Both aggregations and the semi-join hash-partition on the
+    same (band, key), so the exchange is reused: still one shuffle of
+    the banded rows.  Pairs are then generated inside each bucket row
+    with nested ``transform`` over the sorted doc array and a final
+    distinct.
     """
     rows = k // bands
     banded = sig.select(
@@ -199,10 +204,18 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
             ])
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = (
+    # Size-gate FIRST (fixed-size count state), collect membership only
+    # for surviving buckets: a hot bucket never reaches collect_set.
+    ok_keys = (
         banded.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))  # one row per (doc, band) → count == distinct docs
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "key")
+    )
+    buckets = (
+        banded.join(ok_keys, ["band", "key"], "left_semi")
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
     # all ordered pairs (i < j) within the bucket, generated array-side
     docs = F.col("docs")

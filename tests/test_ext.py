@@ -65,6 +65,33 @@ def test_minhash_dedup_pairs(docs):
     assert not any(2 in p for p in got)
 
 
+def test_minhash_unigram_signatures(docs):
+    # n=1 takes the no-window path (regression: lead-column filter used
+    # to reference a nonexistent h0 and raise AnalysisException)
+    sig = minhash_signatures(docs, "doc_id", "text", k=4, n=1)
+    rows = {r["doc"]: tuple(r[f"mh{i}"] for i in range(4)) for r in sig.collect()}
+    assert rows[0] == rows[3]  # same token set after normalization
+    assert rows[0] != rows[2]
+
+
+def test_lsh_hot_bucket_capped(spark):
+    # 30 identical docs land in one bucket; max_bucket=10 must drop the
+    # bucket before membership collection — zero pairs, no blowup.
+    from pipeline311_spark.ext.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text repeated for every single document here") for i in range(30)]
+        + [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+           (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+    pairs = lsh_candidate_pairs(sig, k=8, bands=4, max_bucket=10).collect()
+    flat = {d for r in pairs for d in (r["doc_a"], r["doc_b"])}
+    assert not (flat & set(range(30)))  # hot bucket fully suppressed
+    assert (100, 101) in {(r["doc_a"], r["doc_b"]) for r in pairs}  # small bucket survives
+
+
 def test_simhash_identical_and_near(docs):
     sig = simhash(docs, "doc_id", "text")
     pairs = simhash_near_pairs(sig, max_hamming=6)
