@@ -93,6 +93,19 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _require_dim(vec_col: str, dim: int | None) -> int:
+    """Spark's ``ArrayType`` carries no fixed length, so the embedding
+    dimension cannot come from the schema; callers must pass it.  (The
+    old ``.first()`` fallback ran a Spark job during plan construction —
+    a hidden driver action inside what looks like pure plan building.)"""
+    if dim is None:
+        raise ValueError(
+            f"dim is required: array column {vec_col!r} has no fixed size in the "
+            "schema, and inferring it would run a Spark job during plan construction"
+        )
+    return dim
+
+
 def lsh_bucket(
     df: DataFrame,
     id_col: str,
@@ -101,11 +114,9 @@ def lsh_bucket(
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
-    """Pass ``dim`` explicitly in any hot path: the ``.first()``
-    fallback runs a Spark job during plan construction (a hidden
-    driver action — fine ad hoc, wrong inside a pipeline)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    """Bucket rows by random-hyperplane signature.  ``dim`` is the
+    embedding dimension (required — see :func:`_require_dim`)."""
+    dim = _require_dim(vec_col, dim)
     planes = deterministic_planes(n_planes, dim, seed)
     return ensure_parallelism(df).select(
         F.col(id_col), as_double(vec_col).alias("v"),
@@ -126,8 +137,7 @@ def lsh_ann_topk(
     """Approximate top-k: exact cosine, but only within the query's LSH
     bucket.  The corpus side is bucketed once (write it partitioned by
     ``bucket`` at scale and the join becomes partition-pruned)."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _require_dim(vec_col, dim)
     cb = lsh_bucket(corpus, id_col, vec_col, n_planes, seed, dim).withColumnRenamed(id_col, "neighbor_id")
     qb = F.broadcast(
         lsh_bucket(queries, id_col, vec_col, n_planes, seed, dim)

@@ -125,11 +125,27 @@ def test_brute_force_topk_ordering(vecs):
 
 def test_lsh_ann_same_bucket_recall(vecs):
     q = vecs.filter("vec_id = 0")
-    res = lsh_ann_topk(vecs, q, k=3, n_planes=4)
+    res = lsh_ann_topk(vecs, q, k=3, n_planes=4, dim=3)
     ids = {r["neighbor_id"] for r in res.collect()}
     # near-identical direction vectors must share the bucket
     assert 1 in ids and 4 in ids
     assert 3 not in ids  # opposite vector differs on every hyperplane
+
+
+def test_lsh_bucket_requires_dim_and_runs_no_job(spark, vecs):
+    from pipeline311_spark.ext.similarity import lsh_bucket
+
+    with pytest.raises(ValueError, match="dim is required"):
+        lsh_bucket(vecs, "vec_id", "embedding", n_planes=4)
+    # plan construction with dim given must not trigger a Spark job
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-plan-audit", "plan construction only")
+    try:
+        _plan = lsh_bucket(vecs, "vec_id", "embedding", n_planes=4, dim=3)
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh-plan-audit")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []
 
 
 def test_textstats_basics(docs):
