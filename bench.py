@@ -72,18 +72,35 @@ def main() -> None:
     # otherwise adds a 5-8 s one-time JIT cost to whichever query hits
     # them first (see .claude/skills/verify notes on bench variance).
     for warm in ("q05_nation_revenue", "dedup_minhash_lsh"):
-        plans.REGISTRY[warm].fn(spark, sf_dir).count()
+        try:
+            plans.REGISTRY[warm].fn(spark, sf_dir).count()
+        except Exception as e:  # warm-up failure must not kill the bench
+            print(f"warmup {warm} failed: {e!r}", file=sys.stderr)
 
-    per_query: dict[str, float] = {}
+    # Per-query error isolation: one broken query reports {"err": ...}
+    # and the bench still emits its JSON line — a single regression must
+    # never erase the whole round's perf signal.
+    per_query: dict[str, object] = {}
     total = 0.0
     for name in HEADLINE:
-        spec = plans.REGISTRY[name]
+        spec = plans.REGISTRY.get(name)
+        if spec is None:
+            per_query[name] = {"err": "not in REGISTRY"}
+            continue
         best = float("inf")
+        err = None
         for _ in range(2):  # best-of-2: isolates query cost from JIT/IO noise
             spark.catalog.clearCache()
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
+            try:
+                spec.fn(spark, sf_dir).count()
+            except Exception as e:
+                err = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                break
             best = min(best, time.time() - t0)
+        if err is not None:
+            per_query[name] = {"err": err}
+            continue
         per_query[name] = round(best, 3)
         total += best
 

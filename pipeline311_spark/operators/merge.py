@@ -127,6 +127,31 @@ def merge_with_surrogate(
     merged = merged.join(existing, key, "left")
     need_id = merged.filter(F.col(objectid_col).isNull())
     have_id = merged.filter(F.col(objectid_col).isNotNull())
-    w = Window.orderBy(key)  # deterministic assignment; single-stage zipWithIndex equivalent
-    assigned = need_id.withColumn(objectid_col, F.row_number().over(w) + F.lit(base))
-    return have_id.unionByName(assigned)
+
+    # Two-phase deterministic id assignment (distributed zipWithIndex over
+    # key order) — NEVER a global `Window.orderBy` (that funnels the whole
+    # insert batch through one task, a scale-killer at 100 TB):
+    #   1. range-partition the inserts by key → contiguous key ranges in
+    #      partition-id order, sorted in parallel;
+    #   2. count rows per partition (tiny: one row per partition) and
+    #      build cumulative offsets on the driver;
+    #   3. per-partition `row_number` + broadcast offset = the same dense,
+    #      key-ordered ids the global window produced.
+    ranged = need_id.repartitionByRange(F.col(key)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()  # pin partitioning between count pass and assignment
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__n"]
+    spark = need_id.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(key)
+    assigned = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(objectid_col, F.row_number().over(w) + F.col("__off") + F.lit(base))
+        .drop("__pid", "__off")
+    )
+    return have_id.unionByName(assigned.select(have_id.columns))

@@ -23,23 +23,21 @@ from pipeline311_spark.sources.readers import load_table
 
 
 def _stream_events(spark, sf_dir):
-    """events as a file stream.  The nanos-timestamp parquet needs the
-    same long->micros coercion as the batch reader."""
-    from pyspark.sql import types as T
+    """events as a file stream.  The physical timestamp encoding of the
+    parquet varies across testdata generations (nanos-as-long vs
+    tz-naive micros); probe the actual schema with a batch footer read
+    and normalize event time exactly like the batch reader does, so the
+    stream never assumes a physical type."""
+    from pipeline311_spark.sources.readers import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in EVENTS.fields
-        ]
-    )
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(nanos_schema)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(raw, EVENTS)
 
 
 _STREAM_HOURLY_SQL = f"""

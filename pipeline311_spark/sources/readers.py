@@ -74,28 +74,42 @@ def read_jdbc(
     return reader.load()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md).
+def normalize_event_time(df: DataFrame, expected: T.StructType | None = None) -> DataFrame:
+    """Normalize timestamp columns to one physical type (TIMESTAMP_LTZ)
+    so no downstream plan ever sees the parquet's physical encoding.
 
-    Some driver parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read those as long (``nanosAsLong``) and coerce to
-    micros timestamps per the declared schema (floor division — matches
-    DuckDB's nanos->micros truncation).
+    The driver testdata has shipped as TIMESTAMP(NANOS) (vectorized
+    reader rejects it -> read as long under ``nanosAsLong`` and coerce)
+    and as tz-naive micros (Spark 4 infers TIMESTAMP_NTZ).  Both are
+    mapped to TimestampType here; the session timezone is pinned to UTC
+    (session.prep_session), so NTZ -> LTZ is value-identical and every
+    epoch function (``unix_micros`` etc.) works uniformly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
+    ts_fields = (
+        {f.name for f in expected.fields if isinstance(f.dataType, T.TimestampType)}
+        if expected is not None
+        else None
+    )
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+        elif dtype == "bigint" and ts_fields is not None and col_name in ts_fields:
+            # nanos-as-long: floor-divide to micros (matches DuckDB truncation)
+            df = df.withColumn(
+                col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md), with event-time
+    columns normalized to a single timestamp type regardless of the
+    parquet physical encoding (see :func:`normalize_event_time`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    expected = TESTDATA_SCHEMAS.get(name)
-    if expected is not None:
-        actual = dict(df.dtypes)
-        for field in expected.fields:
-            if isinstance(field.dataType, T.TimestampType) and actual.get(field.name) == "bigint":
-                df = df.withColumn(
-                    field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
-                )
-    return df
+    return normalize_event_time(df, TESTDATA_SCHEMAS.get(name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
