@@ -136,13 +136,23 @@ def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
 
     Duplicate n-grams within a doc are kept: MIN aggregation is
     multiset-insensitive, so signatures match the set formulation.
+
+    Partitioning: the compact pre-explode rows (one per doc) are
+    hash-repartitioned on ``doc``; ``posexplode`` and the projections
+    preserve that partitioning, so the window AND the downstream
+    signature groupBy both run exchange-free — the only shuffle moves
+    the raw text once, never the exploded token rows (at 100 TB the
+    token-row shuffle is the n× bigger one).
     """
     from pipeline311_spark.ext.hashing import MOD
 
     toks = tokens(normalize_text(text_col))
-    t = ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk"))).select(
-        "doc", F.posexplode("tk")
-    )
+    compact = df.select(F.col(id_col).alias("doc"), toks.alias("tk"))
+    # No explicit partition count: AQE may coalesce the tiny case (e.g.
+    # the candidate-restricted verify pass) and keeps the wide case at
+    # spark.sql.shuffle.partitions — both satisfy the window's
+    # ClusteredDistribution(doc), so no second exchange either way.
+    t = compact.repartition("doc").select("doc", F.posexplode("tk"))
     th = t.select("doc", "pos", portable_hash("col").alias("h"))
     if n == 1:  # unigrams: no window needed, g is the token hash itself
         return th.select("doc", F.col("h").alias("g"))
@@ -249,15 +259,18 @@ def minhash_dedup_pairs(
     candidates with exact Jaccard (set intersection restricted to the
     candidate docs).
 
-    Verify shape: the candidate docs' shingle SETS are rebuilt
-    map-side from the source text (``word_shingles`` is already
-    distinct; per-doc cost is bounded by document length, and only
-    candidate docs — a semi-join pushes the filter below the shingle
-    projection — pay it), then each candidate pair is checked row-wise
-    with ``array_intersect`` — two joins total, no per-(pair × shared
-    shingle) row explosion and no per-pair aggregation shuffle.  Join
-    strategy is left to Catalyst/AQE: with few candidates the set
-    table broadcasts, with many it shuffles — both survive scale."""
+    Verify shape: the candidate docs' shingle-HASH sets are rebuilt
+    from the source text through the same codegen'd token-hash window
+    path the signatures use (:func:`_gram_hash_table` — no interpreted
+    shingle-string lambdas in the verify either), restricted to
+    candidate docs by a broadcast semi-join BEFORE any hashing, then
+    each candidate pair is checked row-wise with ``array_intersect`` —
+    two joins total, no per-(pair × shared shingle) row explosion and
+    no per-pair aggregation shuffle.  Jaccard over 60-bit shingle
+    hashes equals Jaccard over the shingle strings up to md5 collisions
+    (~2^-60 per pair — negligible at any scale).  Join strategy is left
+    to Catalyst/AQE: with few candidates the set table broadcasts, with
+    many it shuffles — both survive scale."""
     sig = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
     # Materialize the (tiny) candidate set once: downstream reuse would
     # otherwise re-execute the whole signature+banding pipeline.
@@ -266,18 +279,14 @@ def minhash_dedup_pairs(
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
-    # Semi-join FIRST, project once: pushing word_shingles below the
-    # semi-join is not guaranteed (and CollapseProject would re-inline
-    # the lambda for every derived column), so restrict rows explicitly
-    # before the one shingle projection.  Sizes are computed at pair
-    # level where the arrays are already materialized join output.
-    doc_sets = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
-        .join(F.broadcast(cand_docs), "doc", "left_semi")
-        .select("doc", word_shingles("__t", n).alias("sset"))
-        .persist()
+    small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
+        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
-    doc_sets.count()  # tiny (candidate docs only); both joins below reuse it
+    doc_sets = (
+        _gram_hash_table(small, "__id", "__t", n)
+        .groupBy("doc")
+        .agg(F.collect_set("g").alias("sset"))
+    )
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (

@@ -161,12 +161,12 @@ small AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM small a JOIN small b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(DISTINCT g) AS sz FROM grams GROUP BY doc_id),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  SELECT c.doc_a, c.doc_b, COUNT(DISTINCT a.g) AS inter
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  JOIN grams a ON a.doc_id = c.doc_a
+  JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter / (sa.sz + sb.sz - inter) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
