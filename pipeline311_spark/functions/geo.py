@@ -1,12 +1,21 @@
-"""Geometry functions — EWKT point build/parse and ESRI feature encoding.
+"""Geometry functions — EWKT build/parse and ESRI feature encoding.
 
-The reference's geometry surface is 2D points in EPSG:4326 serialized as
-EWKT ``SRID=4326;POINT (x y)`` (common.py:119-128; config.py:5-6), read
-back via ``st_astext`` and encoded to ESRI feature JSON
-(sync-db2-ago.py:171-246).  SURVEY §2.3 P2/P18/P19.  No geometry UDT is
-needed: WKT strings + a {x,y,srid} struct cover the used surface;
-polygons/linestrings would bring in Sedona (out of scope — dead
-capability in the reference, only exercised for point layers).
+The reference's primary geometry surface is 2D points in EPSG:4326
+serialized as EWKT ``SRID=4326;POINT (x y)`` (common.py:119-128;
+config.py:5-6), read back via ``st_astext`` and encoded to ESRI feature
+JSON (sync-db2-ago.py:171-246).  SURVEY §2.3 P2/P18/P19.  The AGO sink
+also publishes POLYGON / MULTIPOLYGON / LINESTRING layers
+(sync-db2-ago.py:97-126 dispatcher; :60-96 format_ring/format_path;
+:177-205 per-layer empty-geometry conventions) — re-expressed here as
+pure Column expressions (regexp + split + transform), no shapely, no
+UDFs.  Reference parity notes:
+
+* ``format_ring`` reads ``poly.exterior`` only — interior rings (holes)
+  are DROPPED, for both POLYGON and each member of a MULTIPOLYGON.
+* Empty geometry by layer type: point -> NaN x/y; polyline ->
+  ``{"paths": []}``; polygon -> ``{"rings": []}``.
+* No geometry UDT is needed: WKT strings + typed nested arrays cover
+  the used surface.
 """
 
 from __future__ import annotations
@@ -73,6 +82,85 @@ def esri_point_feature(shape: Column | str, attrs: list[Column]) -> Column:
         F.struct(pt["srid"].alias("wkid")).alias("spatial_reference"),
     )
     return F.struct(F.struct(*attrs).alias("attributes"), geometry.alias("geometry"))
+
+
+def _coords(s: Column) -> Column:
+    """``"x y, x y, ..."`` -> ``array<array<double>>`` of [x, y] pairs."""
+    return F.transform(
+        F.split(s, r",\s*"),
+        lambda p: F.transform(F.split(F.trim(p), r"\s+"), lambda t: t.cast("double")),
+    )
+
+
+def parse_wkt_rings(col: Column | str) -> Column:
+    """POLYGON / MULTIPOLYGON WKT -> exterior rings as
+    ``array<array<array<double>>>`` (ESRI "rings").
+
+    One entry per polygon: the ``((`` that opens each polygon is
+    followed immediately by its exterior ring; interior rings open with
+    a single ``(`` and are skipped — exactly the reference's
+    ``poly.exterior``-only behavior (sync-db2-ago.py:73-84).
+    ``POLYGON EMPTY`` / NULL / non-areal WKT -> empty array.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # [^()]* (not [^)]*): MULTIPOLYGON opens with three parens — the
+    # capture must start after the innermost one.
+    exteriors = F.regexp_extract_all(c, F.lit(r"\(\(([^()]*)\)"), F.lit(1))
+    return F.coalesce(
+        F.transform(exteriors, _coords),
+        F.array().cast("array<array<array<double>>>"),
+    )
+
+
+def parse_wkt_path(col: Column | str) -> Column:
+    """LINESTRING WKT -> ``array<array<double>>`` of [x, y] coords
+    (one ESRI "path"; sync-db2-ago.py:85-96).  Empty/NULL -> empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    body = F.regexp_extract(c, r"LINESTRING \(([^)]*)\)", 1)
+    return F.when(
+        F.coalesce(body, F.lit("")) == "", F.array().cast("array<array<double>>")
+    ).otherwise(_coords(body))
+
+
+def _pt_json(p: Column) -> Column:
+    return F.concat(F.lit("["), p[0].cast("string"), F.lit(","), p[1].cast("string"), F.lit("]"))
+
+
+def _ring_json(r: Column) -> Column:
+    return F.concat(F.lit("["), F.array_join(F.transform(r, _pt_json), ","), F.lit("]"))
+
+
+_SR_JSON = f',"spatial_reference":{{"wkid":{SRID}}}}}'
+
+
+def esri_polygon_geometry_json(shape: Column | str) -> Column:
+    """P18 for polygon layers: WKT -> ``{"rings": [...], ...}`` JSON
+    string.  Blank/NULL shape -> ``{"rings": []}`` (the polygon-layer
+    empty convention, sync-db2-ago.py:199-205).  MULTIPOLYGON emits one
+    ring per member polygon (:106-115); POLYGON emits one (:116-120)."""
+    c = F.col(shape) if isinstance(shape, str) else shape
+    rings = F.when(
+        F.coalesce(F.trim(c), F.lit("")) == "",
+        F.array().cast("array<array<array<double>>>"),
+    ).otherwise(parse_wkt_rings(c))
+    return F.concat(
+        F.lit('{"rings":['),
+        F.array_join(F.transform(rings, _ring_json), ","),
+        F.lit("]" + _SR_JSON),
+    )
+
+
+def esri_polyline_geometry_json(shape: Column | str) -> Column:
+    """P18 for polyline layers: LINESTRING WKT -> ``{"paths": [[...]]}``
+    JSON string; blank/NULL -> ``{"paths": []}`` (sync-db2-ago.py:
+    192-198, 242-249)."""
+    c = F.col(shape) if isinstance(shape, str) else shape
+    path = parse_wkt_path(c)
+    return F.concat(
+        F.lit('{"paths":['),
+        F.when(F.size(path) > 0, _ring_json(path)).otherwise(F.lit("")),
+        F.lit("]" + _SR_JSON),
+    )
 
 
 def reproject_identity(x: Column, y: Column, in_srid: int = SRID, out_srid: int = SRID):

@@ -168,6 +168,108 @@ def q_geometry(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# P18 (non-point layers): POLYGON / MULTIPOLYGON / LINESTRING WKT ->
+# ESRI rings/paths JSON.  WKT fixtures are synthesized from p_partkey
+# (kind = key % 4: polygon-with-hole / multipolygon / linestring /
+# empty); the Spark side must PARSE the WKT, the oracle reconstructs
+# the expected JSON directly from the same arithmetic — a wrong parser
+# (e.g. one that keeps interior rings) hash-mismatches.  Coordinates
+# are .5/.25 binary fractions so double->string renders identically in
+# both engines.
+# ---------------------------------------------------------------------------
+
+_GEO2_SR = ',"spatial_reference":{"wkid":4326}}'
+
+
+def _geo2_sql() -> str:
+    x0, y0 = "CAST(-(p_partkey % 120 + 0.5) AS DOUBLE)", "CAST(p_partkey % 60 + 0.25 AS DOUBLE)"
+
+    def v(e):  # render a double expression as VARCHAR
+        return f"CAST({e} AS VARCHAR)"
+
+    def pt(dx, dy):
+        return f"'[' || {v(f'x0 + {dx}')} || ',' || {v(f'y0 + {dy}')} || ']'"
+
+    tri = f"{pt(0,0)} || ',' || {pt(2,0)} || ',' || {pt(0,2)} || ',' || {pt(0,0)}"
+    tri_a = f"{pt(0,0)} || ',' || {pt(1,0)} || ',' || {pt(0,1)} || ',' || {pt(0,0)}"
+    tri_b = f"{pt(3,0)} || ',' || {pt(4,0)} || ',' || {pt(3,1)} || ',' || {pt(3,0)}"
+    path = f"{pt(0,0)} || ',' || {pt(1,1)} || ',' || {pt(2,0)}"
+    return f"""
+WITH src AS (
+  SELECT p_partkey, p_partkey % 4 AS kind, {x0} AS x0, {y0} AS y0 FROM part)
+SELECT p_partkey, CAST(kind AS BIGINT) AS kind,
+  CASE kind
+    WHEN 0 THEN '{{"rings":[[' || {tri} || ']]{_GEO2_SR}'
+    WHEN 1 THEN '{{"rings":[[' || {tri_a} || '],[' || {tri_b} || ']]{_GEO2_SR}'
+    WHEN 2 THEN '{{"paths":[[' || {path} || ']]{_GEO2_SR}'
+    ELSE '{{"rings":[]{_GEO2_SR}'
+  END AS esri_geom,
+  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_parts,
+  CAST(CASE kind WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS n_points
+FROM src
+"""
+
+
+@register("p18_polygon_paths", _geo2_sql(), covers=("P18", "P2"))
+def q_polygon_paths(spark, sf_dir):
+    from pipeline311_spark.functions.geo import (
+        esri_polygon_geometry_json,
+        esri_polyline_geometry_json,
+        parse_wkt_path,
+        parse_wkt_rings,
+    )
+
+    p = table(spark, sf_dir, "part")
+    x0 = (-((F.col("p_partkey") % 120) + F.lit(0.5))).cast("double")
+    y0 = ((F.col("p_partkey") % 60) + F.lit(0.25)).cast("double")
+    kind = (F.col("p_partkey") % 4).cast("long")
+
+    def s(c):
+        return c.cast("string")
+
+    def xy(dx, dy):
+        return F.concat(s(x0 + dx), F.lit(" "), s(y0 + dy))
+
+    def seq(*pts):
+        return F.concat_ws(", ", *pts)
+
+    # kind 0: polygon WITH an interior ring the encoder must drop
+    poly = F.concat(
+        F.lit("POLYGON (("), seq(xy(0, 0), xy(2, 0), xy(0, 2), xy(0, 0)), F.lit("), ("),
+        seq(xy(0.5, 0.5), xy(1, 0.5), xy(0.5, 1), xy(0.5, 0.5)), F.lit("))"),
+    )
+    mpoly = F.concat(
+        F.lit("MULTIPOLYGON ((("), seq(xy(0, 0), xy(1, 0), xy(0, 1), xy(0, 0)),
+        F.lit(")), (("), seq(xy(3, 0), xy(4, 0), xy(3, 1), xy(3, 0)), F.lit(")))"),
+    )
+    line = F.concat(F.lit("LINESTRING ("), seq(xy(0, 0), xy(1, 1), xy(2, 0)), F.lit(")"))
+    wkt = (
+        F.when(kind == 0, poly)
+        .when(kind == 1, mpoly)
+        .when(kind == 2, line)
+        .otherwise(F.lit(""))
+    )
+    src = p.select("p_partkey", kind.alias("kind"), wkt.alias("wkt"))
+    rings = parse_wkt_rings("wkt")
+    pth = parse_wkt_path("wkt")
+    n_parts = F.when(F.col("kind") == 2, F.when(F.size(pth) > 0, 1).otherwise(0)).otherwise(
+        F.size(rings)
+    )
+    n_points = F.when(F.col("kind") == 2, F.size(pth)).otherwise(
+        F.aggregate(rings, F.lit(0), lambda acc, r: acc + F.size(r))
+    )
+    return src.select(
+        "p_partkey",
+        "kind",
+        F.when(
+            F.col("kind") == 2, esri_polyline_geometry_json("wkt")
+        ).otherwise(esri_polygon_geometry_json("wkt")).alias("esri_geom"),
+        n_parts.cast("long").alias("n_parts"),
+        n_points.cast("long").alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P1/P17: rename projection + key lowercasing
 # ---------------------------------------------------------------------------
 

@@ -80,3 +80,41 @@ def test_field_set_equality(spark):
     assert_field_set_equality(a, b, exclude={"objectid", "extra"})
     with pytest.raises(SchemaMismatch):
         assert_field_set_equality(a, b)
+
+
+def test_parse_wkt_rings_drops_holes(spark):
+    from pipeline311_spark.functions.geo import (
+        esri_polygon_geometry_json,
+        esri_polyline_geometry_json,
+        parse_wkt_path,
+        parse_wkt_rings,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("POLYGON ((0.5 0.5, 2.5 0.5, 0.5 2.5, 0.5 0.5), (1.5 1.5, 1.75 1.5, 1.5 1.75, 1.5 1.5))",),
+        ("MULTIPOLYGON (((0.5 0.5, 1.5 0.5, 0.5 1.5, 0.5 0.5), (0.75 0.75, 1.25 0.75, 0.75 1.25, 0.75 0.75)), ((3.5 0.5, 4.5 0.5, 3.5 1.5, 3.5 0.5)))",),
+        ("POLYGON EMPTY",),
+        (None,),
+        ("LINESTRING (0.5 0.5, 1.5 1.5)",),
+    ]
+    df = spark.createDataFrame(rows, "wkt string")
+    got = df.select(
+        parse_wkt_rings("wkt").alias("rings"), parse_wkt_path("wkt").alias("path")
+    ).collect()
+    # holes dropped: one exterior ring of 4 pts
+    assert [len(r) for r in got[0]["rings"]] == [4]
+    assert got[0]["rings"][0][0] == [0.5, 0.5]
+    # multipolygon: two exterior rings, holes dropped
+    assert [len(r) for r in got[1]["rings"]] == [4, 4]
+    assert got[1]["rings"][1][0] == [3.5, 0.5]
+    assert got[2]["rings"] == [] and got[3]["rings"] == []
+    assert got[4]["path"] == [[0.5, 0.5], [1.5, 1.5]] and got[4]["rings"] == []
+    # empty conventions per layer type (sync-db2-ago.py:177-205)
+    j = df.select(
+        esri_polygon_geometry_json("wkt").alias("pg"),
+        esri_polyline_geometry_json("wkt").alias("pl"),
+    ).collect()
+    assert j[2]["pg"] == '{"rings":[],"spatial_reference":{"wkid":4326}}'
+    assert j[3]["pl"] == '{"paths":[],"spatial_reference":{"wkid":4326}}'
+    assert j[4]["pl"].startswith('{"paths":[[[0.5,0.5],[1.5,1.5]]]')
