@@ -141,3 +141,108 @@ def q_merge_partitioned(spark, sf_dir):
     return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
         F.count("*").alias("n_rows"), dsum("price").alias("total_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# K3/K4 write-back: the MERGE result lands in a real JDBC database
+# (embedded Derby — the same ``df.write.format("jdbc")`` call points at
+# Postgres on a cluster, reference ``sync-db2.py:78-88``) and is read
+# BACK through the JDBC scan before being checked against the oracle:
+# the roundtrip itself is what is under test.
+# ---------------------------------------------------------------------------
+
+_K3_JDBC_SQL = """
+WITH unioned AS (
+  SELECT *, 0 AS src FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT *, 1 AS src FROM events WHERE event_id % 2 = 1
+),
+ranked AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, src DESC) AS rn
+  FROM unioned
+)
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("k3_jdbc_writeback", _K3_JDBC_SQL, covers=("K3", "K4", "S4"))
+def q_jdbc_writeback(spark, sf_dir):
+    from pipeline311_spark.operators.merge import upsert
+    from pipeline311_spark.sources.readers import read_jdbc
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    target = e.filter(F.col("event_id") % 2 == 0)
+    updates = e.filter(F.col("event_id") % 2 == 1)
+    merged = upsert(target, updates, key="user_id", version_col="ts").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    db = os.path.join(tempfile.gettempdir(), f"p311_k3db_{uuid.uuid4().hex[:12]}")
+    url = f"jdbc:derby:{db};create=true"
+    merged.write.format("jdbc").option("url", url).option("dbtable", "merged").mode(
+        "overwrite"
+    ).save()
+    return read_jdbc(spark, url, "merged")
+
+
+# ---------------------------------------------------------------------------
+# T5 + T6 under the oracle gate: `df.observe` progress telemetry
+# (reference's print-every-50k counter, sync-db2.py:64-67) plus the
+# throttled batched writer (politeness pause,
+# delete-removed-tickets.py:146-147).  The observation is driven by a
+# SQL action on the observed plan — in production that action IS the
+# sink write (df.write fires observations; `foreachPartition` is an
+# RDD action and does not, which is why the writer pass here is
+# separate).  The returned row exposes the observed metrics next to an
+# independent recount of what actually landed in the throttled sink —
+# the oracle recomputes both from the source table, so a telemetry
+# undercount or a throttle-path row drop both hash-mismatch.
+# ---------------------------------------------------------------------------
+
+_T5_T6_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_observed,
+       CAST(SUM(n_regionkey) AS BIGINT) AS total_region_observed,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_landed
+FROM nation
+"""
+
+
+@register("t5_t6_observe_throttled_sink", _T5_T6_SQL, covers=("T5", "T6", "K5", "T3"))
+def q_observe_throttled(spark, sf_dir):
+    import json
+
+    from pipeline311_spark.operators.telemetry import observed
+
+    out = os.path.join(tempfile.gettempdir(), f"p311_t5t6_{uuid.uuid4().hex[:12]}")
+    os.makedirs(out, exist_ok=True)
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").repartition(2)
+    n, obs = observed(
+        n, f"t5_progress_{uuid.uuid4().hex[:8]}", extra={"total_region": F.sum("n_regionkey")}
+    )
+    n.count()  # SQL action: streams rows through the observe node once
+
+    def send(rows):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        payload = sorted((r["n_nationkey"], r["n_regionkey"]) for r in rows)
+        with open(os.path.join(out, f"batch_{pid}_{payload[0][0]}.jsonl"), "w") as f:
+            for key, region in payload:
+                f.write(json.dumps({"k": key, "r": region}) + "\n")
+
+    # throttle_s > 0: every successful flush takes the politeness pause
+    # (T6) — per executor slot; cap partitions to bound the global rate.
+    batched_foreach_writer(n, send, batch_size=10, throttle_s=0.02)
+
+    m = obs.get  # populated by the writer's action
+    landed = spark.read.json(os.path.join(out, "batch_*.jsonl")).count()
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["total_region"]), int(landed))],
+        "n_rows_observed long, total_region_observed long, n_rows_landed long",
+    )
