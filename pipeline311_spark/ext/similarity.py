@@ -30,7 +30,18 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Pairwise convenience form: three folds per evaluation.  In every
+    join-then-score path below, the per-SIDE norms are precomputed
+    before the join (:func:`cosine_pre`) so each candidate pair pays one
+    fold (the dot), not three — at scale that is the difference between
+    O(pairs·dim) and O(3·pairs·dim) interpreted work."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with both norms precomputed per input row (bit-identical
+    to :func:`cosine`: same dot fold, same sqrt products)."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def as_double(col: Column | str) -> Column:
@@ -53,12 +64,15 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        .withColumn("qn", l2_norm(F.col("qv")))
     )
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -118,9 +132,13 @@ def lsh_bucket(
     embedding dimension (required — see :func:`_require_dim`)."""
     dim = _require_dim(vec_col, dim)
     planes = deterministic_planes(n_planes, dim, seed)
-    return ensure_parallelism(df).select(
-        F.col(id_col), as_double(vec_col).alias("v"),
-        hyperplane_signature(as_double(vec_col), planes).alias("bucket"),
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col), as_double(vec_col).alias("v"),
+            hyperplane_signature(as_double(vec_col), planes).alias("bucket"),
+        )
+        .withColumn("nv", l2_norm(F.col("v")))  # per-row norm, paid once
     )
 
 
@@ -143,9 +161,12 @@ def lsh_ann_topk(
         lsh_bucket(queries, id_col, vec_col, n_planes, seed, dim)
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed("v", "qv")
+        .withColumnRenamed("nv", "qn")
     )
     scored = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -165,10 +186,14 @@ def ivf_assign(
     ``centroid_id`` so probes become partition-pruned reads."""
     c = F.broadcast(
         centroids.select(F.col(id_col).alias(centroid_id), as_double(vec_col).alias("cv"))
+        .withColumn("ccn", l2_norm(F.col("cv")))
     )
-    v = ensure_parallelism(corpus.select(F.col(id_col), as_double(vec_col).alias("v")))
+    v = ensure_parallelism(
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+    ).withColumn("nv", l2_norm(F.col("v")))
     scored = v.join(c).select(
-        id_col, "v", centroid_id, cosine(F.col("v"), F.col("cv")).alias("c_sim")
+        id_col, "v", "nv", centroid_id,
+        cosine_pre(F.col("v"), F.col("cv"), F.col("nv"), F.col("ccn")).alias("c_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col(centroid_id))
     return (
@@ -195,21 +220,31 @@ def ivf_ann_topk(
     )
     c = F.broadcast(
         centroids.select(F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv"))
+        .withColumn("ccn", l2_norm(F.col("cv")))
     )
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
     probes = (
         q.join(c)
-        .select("query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("cv")).alias("c_sim"))
+        .select(
+            "query_id", "qv", "qn", "centroid_id",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("ccn")).alias("c_sim"),
+        )
         .withColumn("__pr", F.row_number().over(probe_w))
         .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
     scored = (
         F.broadcast(probes)
         .join(cells, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")).alias("cos_sim"),
+        )
     )  # each vector lives in exactly one cell, so probes can't duplicate pairs
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -238,7 +273,9 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            cosine_pre(
+                F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

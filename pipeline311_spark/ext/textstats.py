@@ -57,8 +57,35 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str, min_hits: int = 1) -> Column:
     """Predicted language = argmax of marker hits (first-listed wins
-    ties); fewer than ``min_hits`` -> 'und'."""
+    ties); fewer than ``min_hits`` -> 'und'.
+
+    Single-Column convenience form: tokenization is re-inlined by
+    CollapseProject into every per-language score (L+ evaluations per
+    row).  For the hot path use :func:`lang_scores_on_tokens` +
+    :func:`lang_pred_from_scores` across staged selects (see
+    plans' text_lang_id) — tokens and scores each evaluate once."""
     scores = lang_scores(col)
+    return lang_pred_from_scores(scores, min_hits)
+
+
+def lang_scores_on_tokens(toks_lower: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over an ALREADY-lowered token
+    array column (evaluate ``transform(tokens(c), lower)`` once in a
+    prior select so the tokenization isn't re-inlined per language)."""
+    return {
+        lang: F.size(
+            F.filter(
+                toks_lower,
+                lambda t: F.array_contains(F.array([F.lit(m) for m in ms]), t),
+            )
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+
+
+def lang_pred_from_scores(scores: dict[str, Column], min_hits: int = 1) -> Column:
+    """Argmax over per-language score columns (first-listed wins ties);
+    fewer than ``min_hits`` total -> 'und'."""
     langs = list(scores)
     best = F.greatest(*[scores[lg] for lg in langs]) if len(langs) > 1 else scores[langs[0]]
     pred = F.lit("und")

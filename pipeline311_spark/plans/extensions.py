@@ -403,8 +403,24 @@ FROM documents GROUP BY 1, 2
 
 @register("text_lang_id", _lang_id_sql(), covers=("ext:text",))
 def q_lang_id(spark, sf_dir):
+    from pipeline311_spark.ext.textstats import (
+        lang_pred_from_scores,
+        lang_scores_on_tokens,
+        tokens,
+    )
+
     d = table(spark, sf_dir, "documents")
-    return d.groupBy("lang", lang_id("text").alias("predicted_lang")).agg(
+    # Staged selects: tokens evaluate once, each language score once,
+    # argmax over score ATTRIBUTES — CollapseProject cannot re-inline
+    # non-cheap exprs referenced more than once, so none are duplicated
+    # (vs 2L+ tokenizations per row in the single-Column form).
+    toks = d.select("lang", F.transform(tokens("text"), F.lower).alias("__tl"))
+    score_cols = lang_scores_on_tokens(F.col("__tl"))
+    scored = toks.select(
+        "lang", *[c.alias(f"__s_{lg}") for lg, c in score_cols.items()]
+    )
+    pred = lang_pred_from_scores({lg: F.col(f"__s_{lg}") for lg in score_cols})
+    return scored.groupBy("lang", pred.alias("predicted_lang")).agg(
         F.count("*").alias("n_docs")
     )
 
