@@ -65,6 +65,16 @@ def test_minhash_dedup_pairs(docs):
     assert not any(2 in p for p in got)
 
 
+def test_minhash_verify_strategies_agree(docs):
+    # reuse_grams=True (persisted gram table) and False (recompute
+    # restricted to candidates) are two physical plans for the same
+    # operator — results must be identical.
+    kw = dict(k=8, bands=4, n=3, threshold=0.5)
+    reuse = minhash_dedup_pairs(docs, "doc_id", "text", reuse_grams=True, **kw)
+    recomp = minhash_dedup_pairs(docs, "doc_id", "text", reuse_grams=False, **kw)
+    assert sorted(map(tuple, reuse.collect())) == sorted(map(tuple, recomp.collect()))
+
+
 def test_minhash_unigram_signatures(docs):
     # n=1 takes the no-window path (regression: lead-column filter used
     # to reference a nonexistent h0 and raise AnalysisException)
