@@ -172,6 +172,58 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _flip_bit(bucket: Column, i: int) -> Column:
+    """Signature with character ``i`` (0-based) flipped — '1'↔'0'."""
+    return F.concat(
+        F.substring(bucket, 1, i),
+        F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, i + 2, 2147483647),
+    )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query scans its own bucket plus every
+    bucket at Hamming distance 1 (one sign bit flipped) — the classic
+    recall/fan-out trade (Lv et al., VLDB'07): ~(1+n_planes)/2^n_planes
+    of the corpus per query instead of 1/2^n_planes, recovering
+    neighbors that fall just across one hyperplane.
+
+    The corpus side is computed/bucketed ONCE and never expanded — only
+    the (small, broadcast) query side explodes into its probe list.
+    Each corpus vector lives in exactly one bucket, so a (query,
+    neighbor) pair can match at most one probe — no dedup needed.  At
+    scale with the corpus written partitioned by ``bucket``, the probe
+    list prunes to 1+n_planes partitions per query."""
+    dim = _require_dim(vec_col, dim)
+    cb = lsh_bucket(corpus, id_col, vec_col, n_planes, seed, dim).withColumnRenamed(id_col, "neighbor_id")
+    base = lsh_bucket(queries, id_col, vec_col, n_planes, seed, dim)
+    probes = F.array(F.col("bucket"), *[_flip_bit(F.col("bucket"), i) for i in range(n_planes)])
+    qb = F.broadcast(
+        base.select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("qn"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    scored = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -23,6 +23,7 @@ from pipeline311_spark.ext.similarity import (
     deterministic_planes,
     embedding_near_dup_pairs,
     lsh_ann_topk,
+    lsh_multiprobe_topk,
 )
 from pipeline311_spark.ext.textstats import (
     LANG_MARKERS,
@@ -324,6 +325,41 @@ def q_lsh_ann(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     res = lsh_ann_topk(
+        e, q, "vec_id", "embedding",
+        k=_ANN_K, n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_EMB_DIM,
+    )
+    return res.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def _multiprobe_sql() -> str:
+    # probe list = own bucket + each 1-bit flip, as a string-surgery
+    # list_transform over the plane index; corpus buckets stay single.
+    flips = (
+        "list_prepend(bucket, list_transform(range(1, %d + 1), "
+        "i -> concat(substr(bucket, 1, i - 1), "
+        "CASE substr(bucket, i, 1) WHEN '1' THEN '0' ELSE '1' END, "
+        "substr(bucket, i + 1))))" % _ANN_PLANES
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, unnest({flips}) AS bucket
+      FROM b WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM q JOIN b USING (bucket) WHERE b.vec_id != query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+WHERE rn <= {_ANN_K}
+"""
+
+
+@register("sim_lsh_multiprobe_topk", _multiprobe_sql(), covers=("ext:similarity",))
+def q_lsh_multiprobe(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    res = lsh_multiprobe_topk(
         e, q, "vec_id", "embedding",
         k=_ANN_K, n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_EMB_DIM,
     )

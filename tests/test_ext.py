@@ -142,6 +142,22 @@ def test_lsh_ann_same_bucket_recall(vecs):
     assert 3 not in ids  # opposite vector differs on every hyperplane
 
 
+def test_lsh_multiprobe_widens_recall(vecs):
+    from pipeline311_spark.ext.similarity import lsh_multiprobe_topk
+
+    q = vecs.filter("vec_id = 0")
+    single = {r["neighbor_id"] for r in lsh_ann_topk(vecs, q, k=4, n_planes=4, dim=3).collect()}
+    multi = {r["neighbor_id"] for r in lsh_multiprobe_topk(vecs, q, k=4, n_planes=4, dim=3).collect()}
+    # probing 1-bit-flipped buckets can only ADD candidates
+    assert single <= multi
+    assert 1 in multi and 4 in multi
+    # no duplicate (query, neighbor) rows: each corpus vector lives in
+    # exactly one bucket, so at most one probe can match it
+    rows = lsh_multiprobe_topk(vecs, q, k=10, n_planes=4, dim=3).collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_lsh_bucket_requires_dim_and_runs_no_job(spark, vecs):
     from pipeline311_spark.ext.similarity import lsh_bucket
 
