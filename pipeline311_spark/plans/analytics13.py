@@ -160,15 +160,13 @@ scored AS (SELECT e.vec_id, e.v, cent.c_label, {_SQDIST_Q.format(a='e.v', b='cen
 assigned AS (SELECT vec_id, v, c_label
              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, c_label) AS rn
                    FROM scored) t WHERE rn = 1),
-dims AS (SELECT c_label, u.i AS pos, v[u.i] AS val
-         FROM assigned, unnest(generate_series(1, len(v))) AS u(i)),
-means AS (SELECT c_label, pos,
-                 CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
-          FROM dims GROUP BY c_label, pos)
+dims AS (SELECT c_label, vec_id, u.i AS pos, v[u.i] AS val
+         FROM assigned, unnest(generate_series(1, len(v))) AS u(i))
 SELECT CAST(c_label AS BIGINT) AS centroid_label,
-       CAST(count(*) AS BIGINT) AS dim,
-       CAST(sum(CAST(round(m, 9) AS DECIMAL(18,9))) AS DOUBLE) AS centroid_sum
-FROM means GROUP BY c_label
+       CAST(count(DISTINCT pos) AS BIGINT) AS dim,
+       CAST(CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / count(DISTINCT vec_id) AS DOUBLE) AS centroid_sum
+FROM dims GROUP BY c_label
 """
 
 
@@ -193,18 +191,21 @@ def q_kmeans_update(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "c_label")
     )
-    dims = assigned.select("c_label", F.posexplode("v").alias("pos", "val"))
-    means = dims.groupBy("c_label", "pos").agg(
+    dims = assigned.select("c_label", "vec_id", F.posexplode("v").alias("pos", "val"))
+    # Summarize the new centroid per cluster: decimal-exact element sum,
+    # then ONE double division per cluster.  (A per-dim mean + re-round
+    # formulation drifted at sf0.1: Spark and DuckDB round doubles
+    # differently at a boundary digit, so every extra double round is a
+    # hash-mismatch hazard.  Σ_pos(Σ_vec val / n) == (Σ_pos Σ_vec val)/n
+    # exactly, so folding the division to the end changes nothing
+    # semantically and makes the only double op a division of
+    # bit-identical operands — unique IEEE result on both engines.)
+    return dims.groupBy(F.col("c_label").cast("long").alias("centroid_label")).agg(
+        F.countDistinct("pos").cast("long").alias("dim"),
         (
-            F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double") / F.count("*")
-        ).alias("m")
-    )
-    # summarize the new centroid per cluster (dim count + exact sum of
-    # rounded means) — array-valued comparisons stay scalar for the
-    # oracle's value hash while pinning every element through the sum
-    return means.groupBy(F.col("c_label").cast("long").alias("centroid_label")).agg(
-        F.count("*").cast("long").alias("dim"),
-        F.sum(F.round("m", 9).cast("decimal(18,9)")).cast("double").alias("centroid_sum"),
+            F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double")
+            / F.countDistinct("vec_id")
+        ).cast("double").alias("centroid_sum"),
     )
 
 
