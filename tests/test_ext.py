@@ -75,6 +75,25 @@ def test_minhash_verify_strategies_agree(docs):
     assert sorted(map(tuple, reuse.collect())) == sorted(map(tuple, recomp.collect()))
 
 
+def test_minhash_reuse_grams_plan_reads_cache(docs):
+    # reuse_grams=True: the verify branch must read the persisted gram
+    # table (InMemoryTableScan), never re-scan the source text;
+    # reuse_grams=False: the verify branch re-reads the source.
+    def plan_of(df):
+        spark = df.sparkSession
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+
+    kw = dict(k=8, bands=4, n=3, threshold=0.5)
+    reuse = plan_of(minhash_dedup_pairs(docs, "doc_id", "text", reuse_grams=True, **kw))
+    # the verify branch must be fed from the persisted gram table (a
+    # string-negative check on the recompute plan is impossible here:
+    # InMemoryRelation nodes print their stored child plan, so source
+    # scan text appears inside cache descriptions in both modes)
+    assert "InMemoryTableScan" in reuse
+
+
 def test_minhash_unigram_signatures(docs):
     # n=1 takes the no-window path (regression: lead-column filter used
     # to reference a nonexistent h0 and raise AnalysisException)
