@@ -96,6 +96,57 @@ def q_csv_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S9+K1 (JSONL flavor): JSON-lines sink then scan (explicit schema — no
+# inference pass over the data).  JSONL is the interchange format of
+# training corpora, and the text column (quotes, newlines-as-\n,
+# non-ASCII) is exactly what must survive the encode/decode — verified
+# per language with a portable md5-derived fingerprint sum that any
+# mangling would shift.  Oracle reads the original parquet: the round
+# trip itself is what's being checked.
+# ---------------------------------------------------------------------------
+
+
+def _jsonl_sql() -> str:
+    from pipeline311_spark.ext.hashing import portable_hash_sql
+
+    return f"""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM({portable_hash_sql('text')}) AS BIGINT) AS text_fp_sum
+FROM documents GROUP BY lang
+"""
+
+
+@register("s_jsonl_roundtrip", _jsonl_sql(), covers=("S9", "K1"))
+def q_jsonl_roundtrip(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from pipeline311_spark.ext.hashing import portable_hash
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_jsonl_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    d.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(portable_hash("text")).alias("text_fp_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # K9: truncate + reload (overwrite) then scan
 # ---------------------------------------------------------------------------
 
