@@ -247,6 +247,35 @@ def test_connected_components_clusters(spark):
     assert keepers == {1, 10, 20}
 
 
+def test_multiprobe_recall_on_testdata(spark, sf_dir):
+    """Quantified recall@k on real embeddings: multi-probe must dominate
+    single-probe against the brute-force ground truth."""
+    from pipeline311_spark.ext.similarity import lsh_multiprobe_topk
+    from pipeline311_spark.plans.common import table
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5")
+    kw = dict(k=5, n_planes=8, seed=7, dim=64)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(brute_force_topk(e, q, k=5))
+    single = topk_sets(lsh_ann_topk(e, q, **kw))
+    multi = topk_sets(lsh_multiprobe_topk(e, q, **kw))
+
+    def recall(approx):
+        hits = sum(len(truth[qid] & approx.get(qid, set())) for qid in truth)
+        total = sum(len(s) for s in truth.values())
+        return hits / total
+
+    assert recall(multi) >= recall(single)
+    assert recall(multi) > 0  # probes must find some true neighbors
+
+
 def test_ivf_ann_recall(vecs):
     from pipeline311_spark.ext.similarity import ivf_ann_topk
 
