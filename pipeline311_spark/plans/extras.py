@@ -147,6 +147,56 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py): the Morton key must be
+# bit-identical across engines (pure integer math — no float hazard),
+# and the per-cell stats show the key maps 2-D locality onto 1-D
+# ranges (each z-cell covers a narrow x AND y window — the property
+# that makes range-partitioned files skippable on both filter columns).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_CELL_SHIFT = 10  # 2^16 z-space -> 64 cells
+
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"((((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH b AS (SELECT o_custkey % 256 AS x, dayofyear(o_orderdate) % 256 AS y FROM orders),
+z AS (SELECT x, y, ({terms}) AS zval FROM b)
+SELECT CAST(zval >> {_Z_CELL_SHIFT} AS BIGINT) AS zcell,
+       COUNT(*) AS n, CAST(SUM(zval) AS BIGINT) AS z_sum,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+"""
+
+
+@register("layout_zorder_stats", _zorder_sql(), covers=("ext:layout",))
+def q_zorder_stats(spark, sf_dir):
+    from pipeline311_spark.operators.layout import zorder_key
+
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.dayofyear("o_orderdate") % 256).cast("long").alias("y"),
+    )
+    z = b.withColumn("zval", zorder_key(F.col("x"), F.col("y"), bits=_Z_BITS))
+    return z.groupBy(
+        F.shiftright("zval", _Z_CELL_SHIFT).cast("long").alias("zcell")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("zval").cast("long").alias("z_sum"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # K9: truncate + reload (overwrite) then scan
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,66 @@
+"""Z-order layout (operators/layout.py): Morton-key math and the
+actual clustering effect — range-partitioned z-ordered files must be
+narrow in BOTH dimensions at once (the property single-column sorting
+cannot give, and the reason the layout makes parquet min/max stats
+selective for two filter columns simultaneously)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.operators.layout import bucketize, write_zordered, zorder_key
+
+
+def test_zorder_key_known_values(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (255, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=8).alias("z")).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1  # x bit 0 -> position 0
+    assert got[(0, 1)] == 2  # y bit 0 -> position 1
+    assert got[(1, 1)] == 3
+    assert got[(3, 3)] == 15
+    assert got[(255, 255)] == 65535
+
+
+def test_bucketize_clamps(spark):
+    df = spark.createDataFrame([(-5.0,), (0.0,), (49.9,), (100.0,), (250.0,)], "v double")
+    got = [r["b"] for r in df.select(bucketize(F.col("v"), 0, 100, 10).alias("b")).collect()]
+    assert got == [0, 0, 4, 9, 9]
+
+
+def test_zordered_files_narrow_in_both_dims(spark, sf_dir):
+    o = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(
+            (F.col("o_custkey") % 256).cast("long").alias("x"),
+            (F.dayofyear("o_orderdate") % 256).cast("long").alias("y"),
+        )
+    )
+    out = os.path.join(tempfile.gettempdir(), f"p311_zorder_{uuid.uuid4().hex[:12]}")
+    write_zordered(o, out, zorder_key(F.col("x"), F.col("y"), bits=8), num_files=8)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    avg_xr = sum(r["xr"] for r in per_file) / len(per_file)
+    avg_yr = sum(r["yr"] for r in per_file) / len(per_file)
+    # global range is ~255 in each dim; z-clustered files must cover a
+    # strictly narrower window in BOTH dims simultaneously
+    assert avg_xr < 200 and avg_yr < 200, (avg_xr, avg_yr)
+    # and meaningfully narrower in at least one on average
+    assert min(avg_xr, avg_yr) < 140, (avg_xr, avg_yr)

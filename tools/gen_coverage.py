@@ -88,6 +88,7 @@ STATIC = {
     "ext:similarity": ("ext/similarity.py (brute-force top-k, LSH ANN, near-dup)", "tests/test_ext.py"),
     "ext:text": ("ext/textstats.py (lang-id, quality, tokens, fingerprint)", "tests/test_ext.py"),
     "ext:multimodal": ("ext/multimodal.py (binary payloads, stubbed codecs)", "tests/test_ext.py"),
+    "ext:layout": ("operators/layout.py (Z-order clustered writes for 2-D scan pruning)", "tests/test_layout.py"),
     "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
     "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
 }
