@@ -124,52 +124,51 @@ def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     """(doc, g) rows: one row per word n-gram, ``g`` its 64-bit-safe
     hash — WITHOUT ever materializing n-gram strings.
 
-    Shape: posexplode tokens (map-side), md5-hash each token ONCE
-    (codegen'd; each token would otherwise be re-hashed inside n
-    different shingle strings), then ``lead()`` over (doc, pos) pulls
-    the next n-1 token hashes and integer arithmetic combines them.
-    Every operator here is whole-stage-codegen'd — no interpreted
-    higher-order lambdas (the prior shingle-string + per-shingle-md5
-    formulation spent its time in interpreted transform/slice/
-    array_join).  One shuffle (the window's hash partitioning on doc),
-    which the signature groupBy downstream REUSES — no extra exchange.
+    Shape is fully map-side — ZERO shuffles.  Each row hashes its own
+    tokens once into an array (md5 → 60-bit int, evaluated per element
+    inside ``transform``), then a second ``transform`` over gram start
+    positions folds n consecutive token hashes with integer arithmetic
+    (``element_at`` is O(1) on the materialized hash array), and a
+    single ``explode`` emits the (doc, g) rows.
+
+    This replaced a posexplode + ``lead()``-window formulation: the
+    window needed a hash repartition on ``doc`` — a full shuffle of the
+    corpus text plus a per-partition sort of the *exploded* token rows.
+    Per-element interpreted md5 costs slightly more CPU than codegen'd
+    md5 after explode, but removing the corpus shuffle wins at every
+    scale (measured 0.43 s vs 0.59 s at sf0.1/local[32]; at 100 TB the
+    removed shuffle is the whole ballgame — gram generation becomes a
+    pure scan-side map, and the only shuffle left in MinHash is the
+    signature groupBy, which map-side partial aggregation collapses to
+    k longs per doc before the exchange).
 
     Duplicate n-grams within a doc are kept: MIN aggregation is
     multiset-insensitive, so signatures match the set formulation.
-
-    Partitioning: the compact pre-explode rows (one per doc) are
-    hash-repartitioned on ``doc``; ``posexplode`` and the projections
-    preserve that partitioning, so the window AND the downstream
-    signature groupBy both run exchange-free — the only shuffle moves
-    the raw text once, never the exploded token rows (at 100 TB the
-    token-row shuffle is the n× bigger one).
     """
     from pipeline311_spark.ext.hashing import MOD
 
     toks = tokens(normalize_text(text_col))
-    compact = df.select(F.col(id_col).alias("doc"), toks.alias("tk"))
-    # No explicit partition count: AQE may coalesce the tiny case (e.g.
-    # the candidate-restricted verify pass) and keeps the wide case at
-    # spark.sql.shuffle.partitions — both satisfy the window's
-    # ClusteredDistribution(doc), so no second exchange either way.
-    t = compact.repartition("doc").select("doc", F.posexplode("tk"))
-    th = t.select("doc", "pos", portable_hash("col").alias("h"))
-    if n == 1:  # unigrams: no window needed, g is the token hash itself
-        return th.select("doc", F.col("h").alias("g"))
-    w = Window.partitionBy("doc").orderBy("pos")
-    th = th.select(
-        "doc", "h", *[F.lead("h", j).over(w).alias(f"h{j}") for j in range(1, n)]
-    ).filter(F.col(f"h{n-1}").isNotNull())
-    g = F.col("h")
-    for j in range(1, n):
-        g = (g * F.lit(GRAM_BASE) + F.col(f"h{j}")) % F.lit(MOD)
-    return th.select("doc", g.alias("g"))
+    compact = ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk")))
+    hs = F.transform(
+        "tk", lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % MOD
+    )
+    per = compact.withColumn("hs", hs).filter(F.size("tk") >= n)
+
+    def _fold(i: Column) -> Column:
+        g = F.element_at(F.col("hs"), i + 1)
+        for j in range(1, n):
+            g = (g * F.lit(GRAM_BASE) + F.element_at(F.col("hs"), i + 1 + j)) % F.lit(MOD)
+        return g
+
+    grams = F.transform(F.sequence(F.lit(0), F.size("tk") - n), _fold)
+    return per.select("doc", F.explode(grams).alias("g"))
 
 
 def _signatures_from_grams(gh: DataFrame, k: int, seed: int) -> DataFrame:
     """One groupBy with k ``min`` aggregates over a (doc, g) gram table —
-    map-side partial aggregation shrinks the shuffle to k longs per doc,
-    and the groupBy reuses the gram window's partitioning on ``doc``."""
+    map-side partial aggregation shrinks the shuffle to k longs per doc
+    (the only shuffle in signature computation; gram rows themselves
+    never cross the network)."""
     params = hash_params(k, seed)
     aggs = [F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
     return gh.groupBy("doc").agg(*aggs)
@@ -180,12 +179,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc.
 
-    Gram hashes come from the codegen'd token-hash window path
+    Gram hashes come from the map-side per-row fold
     (:func:`_gram_hash_table`), then one groupBy with k ``min``
     aggregates (see :func:`_signatures_from_grams`).
-    A per-row ``array_min(transform(...))`` formulation avoids the
-    shuffle but re-evaluates interpreted lambdas k times per gram —
-    measured 60% slower.  Docs with fewer than n tokens are dropped.
+    A fully per-row ``array_min(transform(...))`` formulation would
+    avoid even that shuffle but re-evaluates interpreted lambdas k
+    times per gram — measured 60% slower.  Docs with fewer than n
+    tokens are dropped.
     """
     return _signatures_from_grams(_gram_hash_table(df, id_col, text_col, n), k, seed)
 
@@ -201,16 +201,20 @@ def lsh_candidate_pairs(
     pairs sharing any band bucket.  ``max_bucket`` caps pathological
     buckets (all-identical docs) to bound the pair blowup.
 
-    Plan shape: a count pass over (band, key) feeds a semi-join that
-    drops oversized/singleton buckets BEFORE any membership is
-    collected — the ``collect_set`` aggregation buffer therefore never
-    holds more than ``max_bucket`` ids (~1.6 KB at the default cap),
-    even for a pathological hot bucket with millions of identical
-    docs.  Both aggregations and the semi-join hash-partition on the
-    same (band, key), so the exchange is reused: still one shuffle of
-    the banded rows.  Pairs are then generated inside each bucket row
-    with nested ``transform`` over the sorted doc array and a final
-    distinct.
+    Plan shape: a ``count(*)`` window over (band, key) tags every
+    banded row with its bucket size, a filter drops oversized/singleton
+    buckets BEFORE any membership is collected, and only then does
+    ``collect_set`` run — its aggregation buffer therefore never holds
+    more than ``max_bucket`` ids (~1.6 KB at the default cap), even for
+    a pathological hot bucket with millions of identical docs (the
+    window itself buffers hot-bucket rows in a spillable external sort,
+    never an in-memory hash map).  The window, the filter, and the
+    ``collect_set`` groupBy all hash-partition on the same (band, key):
+    ONE shuffle of the banded rows, one task wave — this replaced a
+    separate count-aggregation + semi-join gate that produced the same
+    rows through two extra stage waves per run.  Pairs are then
+    generated inside each bucket row with nested ``transform`` over the
+    sorted doc array and a final distinct.
 
     ``distinct_pairs=False`` skips that final exchange and may emit the
     same pair once per agreeing band — for callers (minhash_dedup_pairs)
@@ -230,16 +234,13 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Size-gate FIRST (fixed-size count state), collect membership only
+    # Size-gate FIRST (spill-safe window count), collect membership only
     # for surviving buckets: a hot bucket never reaches collect_set.
-    ok_keys = (
-        banded.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))  # one row per (doc, band) → count == distinct docs
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-        .select("band", "key")
-    )
+    # One row per (doc, band) → count == distinct docs in the bucket.
+    wsz = Window.partitionBy("band", "key")
     buckets = (
-        banded.join(ok_keys, ["band", "key"], "left_semi")
+        banded.withColumn("n", F.count("*").over(wsz))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
     )
