@@ -242,6 +242,67 @@ FROM s GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
+# Watermarked stream-stream join
+# ---------------------------------------------------------------------------
+
+_STREAM_JOIN_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_stream_join", _STREAM_JOIN_SQL, covers=("T1", "J4", "F2"))
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: clicks matched to the same
+    user's purchases within the following hour.  Both sides carry an
+    event-time watermark and the join condition bounds the time range,
+    so the state store evicts a buffered click once the purchase-side
+    watermark passes click_ts + 1 hour — state size tracks the join
+    window, not the stream length (the property that makes this viable
+    on an unbounded 100 TB/day stream).  The stream drains fully under
+    ``availableNow``, so the emitted matches equal the batch/oracle
+    twin exactly."""
+    import uuid
+
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
