@@ -144,6 +144,24 @@ def test_pack_sequences_single_exchange_on_source(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_minhash_gram_path_shuffle_budget(spark, sf_dir):
+    """The r4 gram rework's scale claim, asserted on the physical plan:
+    gram generation is a pure scan-side map (its only possible Exchange
+    is ensure_parallelism's local round-robin — never a hashpartitioning
+    of the corpus on doc), and the full signature pipeline carries
+    exactly ONE hash exchange (the groupBy partial-agg of k longs/doc)."""
+    from pipeline311_spark.ext.dedup import _gram_hash_table, minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gram_plan = explain_str(_gram_hash_table(docs, "doc_id", "text", 5))
+    assert "hashpartitioning" not in gram_plan
+    sig_plan = explain_str(minhash_signatures(docs, "doc_id", "text", k=8, n=5))
+    # exactly one hash exchange, and it carries the doc key (formatted
+    # explain puts partitioning in a single Arguments: line per node)
+    assert sig_plan.count("hashpartitioning(doc#") == 1
+    assert "HashAggregate" in sig_plan  # partial+final agg, codegen'd
+
+
 # Queries whose semantics genuinely require a single-partition stage:
 # global scalar aggregates (two-phase: the final exchange merges partial
 # rows, not data), global sorts, global NTILE (documented in SCALE.md).
