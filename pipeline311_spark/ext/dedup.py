@@ -80,23 +80,29 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
 
-    Plan: explode shingles → drop shingles with doc-frequency > max_df
-    (blowup guard) → self-join on shingle to count the intersection →
-    join per-doc sizes → Jaccard = inter / (|A| + |B| - inter).
-    Shuffles: one per groupBy/join, all on bounded keys.
+    Plan: per-row distinct gram HASHES (the zero-shuffle fold of
+    :func:`_gram_hash_table` — shingle strings are never materialized,
+    so the self-join shuffles 8-byte longs instead of ~n-word strings;
+    Jaccard over 60-bit gram hashes equals string Jaccard up to md5
+    collisions, ~2^-60 per pair) → drop grams with doc-frequency >
+    max_df (blowup guard; per-doc-distinct grams make ``count(*)`` the
+    doc frequency, no count-distinct state) → self-join on gram to
+    count the intersection → join per-doc sizes → Jaccard =
+    inter / (|A| + |B| - inter).  Shuffles: one per groupBy/join, all
+    on bounded 8-byte keys.
     """
-    sh = _shingle_table(df, id_col, text_col, n)
+    sh = _gram_hash_table(df, id_col, text_col, n, distinct=True)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     rare = sh.join(
-        sh.groupBy("shingle").agg(F.countDistinct("doc").alias("df_"))
+        sh.groupBy("g").agg(F.count("*").alias("df_"))
         .filter(F.col("df_") <= max_df)
-        .select("shingle"),
-        "shingle",
+        .select("g"),
+        "g",
         "left_semi",
     )
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -120,9 +126,14 @@ def ngram_jaccard_pairs(
 GRAM_BASE = 31
 
 
-def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _gram_hash_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = False
+) -> DataFrame:
     """(doc, g) rows: one row per word n-gram, ``g`` its 64-bit-safe
-    hash — WITHOUT ever materializing n-gram strings.
+    hash — WITHOUT ever materializing n-gram strings.  With
+    ``distinct=True`` the gram array is deduped per row (map-side
+    ``array_distinct``, still zero shuffles) — the set formulation
+    exact-Jaccard needs.
 
     Shape is fully map-side — ZERO shuffles.  Each row hashes its own
     tokens once into an array (md5 → 60-bit int, evaluated per element
@@ -161,6 +172,8 @@ def _gram_hash_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
         return g
 
     grams = F.transform(F.sequence(F.lit(0), F.size("tk") - n), _fold)
+    if distinct:
+        grams = F.array_distinct(grams)
     return per.select("doc", F.explode(grams).alias("g"))
 
 
