@@ -366,6 +366,65 @@ def q_lsh_multiprobe(spark, sf_dir):
     return res.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register("sim_lsh_partitioned_probe", _ann_sql(), covers=("ext:similarity", "K2"))
+def q_lsh_partitioned_probe(spark, sf_dir):
+    """The ANN scale layout made concrete: the bucketed corpus is
+    WRITTEN ``partitionBy(bucket)`` (what the lsh_ann docstrings
+    prescribe for 100 TB) and the probe joins against the read-back
+    table, so each query's bucket resolves to a directory — a
+    partition-pruned file read, not a corpus scan (static-filter
+    pruning asserted in tests/test_layout.py).  The partition key is
+    prefixed ('b' + signature) because Hive-style partition-value
+    inference would parse a bit-string like '01100110' as a number and
+    drop the leading zero.  Results are identical to sim_lsh_ann_topk
+    — same oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from pipeline311_spark.ext.similarity import cosine_pre, lsh_bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = (
+        lsh_bucket(e, "vec_id", "embedding", _ANN_PLANES, _ANN_SEED, _EMB_DIM)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("pkey", F.concat(F.lit("b"), F.col("bucket")))
+        .drop("bucket")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_annpart_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    cb.write.mode("overwrite").partitionBy("pkey").parquet(out)
+    corpus = spark.read.parquet(out)
+
+    qb = F.broadcast(
+        lsh_bucket(
+            e.filter(F.col("vec_id") < _N_QUERIES),
+            "vec_id", "embedding", _ANN_PLANES, _ANN_SEED, _EMB_DIM,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("qn"),
+            F.concat(F.lit("b"), F.col("bucket")).alias("pkey"),
+        )
+    )
+    scored = qb.join(corpus, "pkey").filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 _NEAR_DUP_THRESHOLD = 0.3
 
 

@@ -64,3 +64,41 @@ def test_zordered_files_narrow_in_both_dims(spark, sf_dir):
     assert avg_xr < 200 and avg_yr < 200, (avg_xr, avg_yr)
     # and meaningfully narrower in at least one on average
     assert min(avg_xr, avg_yr) < 140, (avg_xr, avg_yr)
+
+
+def test_lsh_partitioned_corpus_prunes_probe_reads(spark, sf_dir):
+    """The ANN scale layout: corpus written partitionBy(bucket) must
+    give partition-PRUNED probe reads — a literal bucket predicate
+    lands in the scan's PartitionFilters (directory pruning), never a
+    post-scan filter over all files.  Also guards the 'b' prefix:
+    bit-string partition values survive read-back verbatim."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pipeline311_spark.ext.similarity import lsh_bucket
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = (
+        lsh_bucket(e, "vec_id", "embedding", n_planes=4, seed=7, dim=64)
+        .withColumn("pkey", F.concat(F.lit("b"), F.col("bucket")))
+        .drop("bucket")
+    )
+    out = os.path.join(tempfile.gettempdir(), f"p311_annprune_{uuid.uuid4().hex[:12]}")
+    cb.write.mode("overwrite").partitionBy("pkey").parquet(out)
+    back = spark.read.parquet(out)
+
+    # partition values survive verbatim (leading zeros intact)
+    vals = {r["pkey"] for r in back.select("pkey").distinct().collect()}
+    assert vals == {("b" + r["bucket"]) for r in
+                    lsh_bucket(e, "vec_id", "embedding", n_planes=4, seed=7, dim=64)
+                    .select("bucket").distinct().collect()}
+    assert all(len(v) == 5 and v.startswith("b") for v in vals)
+
+    probe = back.filter(F.col("pkey") == sorted(vals)[0])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(pkey" in plan
+    # the predicate must NOT degrade to a data Filter node after the scan
+    assert "Filter (" not in plan
