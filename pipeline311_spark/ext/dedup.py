@@ -336,12 +336,20 @@ def minhash_dedup_pairs(
             F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
         )
         cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    return _jaccard_verify(cand.distinct(), cand_grams, threshold)
+
+
+def _jaccard_verify(cand: DataFrame, cand_grams: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard check of candidate (doc_a, doc_b) pairs against a
+    (doc, g) gram table already restricted to candidate docs: one
+    ``collect_set`` per doc, then each pair checked row-wise with
+    ``array_intersect`` — two joins total, no per-(pair × shared
+    shingle) row explosion and no per-pair aggregation shuffle."""
     doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (
-        cand.distinct()
-        .join(a, "doc_a")
+        cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -356,6 +364,104 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_incremental_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs that involve at least one
+    NEW doc — the production shape for a growing corpus, where each
+    arriving batch is deduped against everything ingested so far
+    without re-finding old-old pairs or re-verifying the corpus.
+
+    Identical pair semantics to running :func:`minhash_dedup_pairs`
+    over ``existing ∪ new`` and keeping pairs with a new member: the
+    bucket size-gate sees combined bucket sizes, so gating decisions
+    match the full run exactly (ids must be disjoint across the two
+    inputs — caller contract).
+
+    Cost model at scale: signatures here are computed from both inputs
+    for self-containment, but the existing side's signature/banded
+    tables are exactly what previous runs already materialized — read
+    them from storage and per-batch cost is
+    O(batch + matching buckets), not O(corpus).  Verify grams are
+    recomputed restricted to candidate docs (the ``reuse_grams=False``
+    strategy), so the only corpus-proportional work left is the stored
+    signature scan."""
+    ex_sig = _signatures_from_grams(
+        _gram_hash_table(existing, id_col, text_col, n), k, seed
+    ).withColumn("is_new", F.lit(False))
+    new_sig = _signatures_from_grams(
+        _gram_hash_table(new, id_col, text_col, n), k, seed
+    ).withColumn("is_new", F.lit(True))
+    sig = ex_sig.unionByName(new_sig)
+
+    rows = k // bands
+    banded = sig.select(
+        "doc",
+        "is_new",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws("_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias("key"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    wsz = Window.partitionBy("band", "key")
+    buckets = (
+        banded.withColumn("n", F.count("*").over(wsz))
+        # a bucket with no new member can produce no new pair: drop it
+        # before membership collection (the incremental work-pruning)
+        .withColumn("n_new", F.sum(F.col("is_new").cast("int")).over(wsz))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket) & (F.col("n_new") >= 1))
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(F.struct("doc", "is_new"))).alias("members"))
+    )
+    m = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x["doc"].alias("doc_a"),
+                        y["doc"].alias("doc_b"),
+                        (x["is_new"] | y["is_new"]).alias("has_new"),
+                    ),
+                ),
+                lambda p: p["has_new"],
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
+    all_docs = existing.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).unionByName(new.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    small = all_docs.join(
+        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
+    )
+    cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    return _jaccard_verify(cand, cand_grams, threshold)
 
 
 # ---------------------------------------------------------------------------

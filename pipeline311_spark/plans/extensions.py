@@ -122,7 +122,7 @@ _MH_ROWS = _MH_K // _MH_BANDS
 
 # Band explosion is expressed as a UNION ALL over the band index (cleaner
 # than struct unnesting in DuckDB).
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(extra_pred: str = "") -> str:
     from pipeline311_spark.ext.dedup import GRAM_BASE
 
     params = hash_params(_MH_K, _MH_SEED)
@@ -171,7 +171,7 @@ inter AS (
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter / (sa.sz + sb.sz - inter) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= {_MH_THRESHOLD}
+WHERE inter / (sa.sz + sb.sz - inter) >= {_MH_THRESHOLD}{extra_pred}
 """
 
 
@@ -180,6 +180,29 @@ def q_minhash(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
         d, "doc_id", "text",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    _minhash_pairs_sql(extra_pred="\n  AND (doc_a % 2 = 1 OR doc_b % 2 = 1)"),
+    covers=("ext:dedup", "T1"),
+)
+def q_minhash_incremental(spark, sf_dir):
+    """Batch-vs-corpus incremental dedup: even doc_ids play the already
+    ingested corpus, odd doc_ids the arriving batch.  The oracle is the
+    FULL MinHash run filtered to pairs with a new (odd) member —
+    exactly the contract minhash_incremental_pairs promises: no old-old
+    pairs re-found, everything else identical to a full re-dedup."""
+    from pipeline311_spark.ext.dedup import minhash_incremental_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_incremental_pairs(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
         k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pipeline311_spark.ext.dedup import (
     exact_dedup,
     minhash_dedup_pairs,
+    minhash_incremental_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -73,6 +74,27 @@ def test_minhash_verify_strategies_agree(docs):
     reuse = minhash_dedup_pairs(docs, "doc_id", "text", reuse_grams=True, **kw)
     recomp = minhash_dedup_pairs(docs, "doc_id", "text", reuse_grams=False, **kw)
     assert sorted(map(tuple, reuse.collect())) == sorted(map(tuple, recomp.collect()))
+
+
+def test_minhash_incremental_equals_filtered_full(spark):
+    # The incremental contract: existing=even ids, new=odd ids must
+    # yield exactly the full run's pairs restricted to >=1 new member
+    # (and MUST NOT re-find old-old pairs).  doc 4 is an even near-dup
+    # of doc 0 so the full run contains an even-even pair to exclude.
+    docs = spark.createDataFrame(
+        DOCS + [(4, "the quick brown fox jumps over the lazy dog near the river bank tonight")],
+        "doc_id long, text string",
+    )
+    kw = dict(k=8, bands=4, n=3, threshold=0.5)
+    full_rows = minhash_dedup_pairs(docs, "doc_id", "text", **kw).collect()
+    inc = minhash_incremental_pairs(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), "doc_id", "text", **kw
+    )
+    want = sorted(tuple(r) for r in full_rows if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1)
+    got = sorted(tuple(r) for r in inc.collect())
+    assert got == want and len(got) > 0
+    # and the full run has at least one even-even pair that inc excludes
+    assert any(r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 0 for r in full_rows)
 
 
 def test_minhash_reuse_grams_plan_reads_cache(docs):
