@@ -302,17 +302,16 @@ def minhash_dedup_pairs(
       candidates).  Right at extreme corpus scale where caching the
       gram table is unaffordable and candidates ≪ corpus.
 
-    Measured at sf0.1/local[32]: 2.75 s vs 3.98 s (reuse vs recompute).
+    Measured at sf0.1/local[32]: 2.75 s vs 3.98 s (reuse vs recompute)
+    on the r3 window-gram shape; the r4 map-side gram fold cuts the
+    reuse path to ~2 s (see SCALE.md).
 
-    Verify shape: candidate gram sets go through one ``collect_set``
-    per doc, then each candidate pair is checked row-wise with
-    ``array_intersect`` — two joins total, no per-(pair × shared
-    shingle) row explosion and no per-pair aggregation shuffle.
-    Jaccard over 60-bit shingle hashes equals Jaccard over the shingle
-    strings up to md5 collisions (~2^-60 per pair — negligible at any
-    scale).  Join strategy is left to Catalyst/AQE: with few candidates
-    the set table broadcasts, with many it shuffles — both survive
-    scale.  Candidate pairs skip the band-level distinct
+    Verify shape (see :func:`_jaccard_verify`): Jaccard over 60-bit
+    shingle hashes equals Jaccard over the shingle strings up to md5
+    collisions (~2^-60 per pair — negligible at any scale).  Join
+    strategy is left to Catalyst/AQE: with few candidates the set
+    table broadcasts, with many it shuffles — both survive scale.
+    Candidate pairs skip the band-level distinct
     (``distinct_pairs=False``) — a pair agreeing on several bands is
     deduped once, on the tiny persisted candidate set, instead of
     paying an extra exchange over all banded rows."""
