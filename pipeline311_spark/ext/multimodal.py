@@ -114,6 +114,55 @@ def decode_image_features(df: DataFrame, dim: int = 8, fake: bool = True) -> Dat
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def audio_window_features(
+    df: DataFrame, window_chars: int = 256, max_windows: int = 8
+) -> DataFrame:
+    """Audio feature windows, stubbed: decode the payload and emit one
+    row per fixed-length window with a deterministic per-window
+    fingerprint — the exact shape of PCM windowing + per-window
+    feature extraction (RMS, MFCC), with the decoder swapped for
+    UTF-8 and the feature for md5.  A real implementation replaces
+    only the two marked lines inside the same Arrow-batched
+    ``mapInPandas``; the fan-out (≤ ``max_windows`` rows per item),
+    schema, and null handling are production-shaped."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("window_no", T.IntegerType(), False),
+            T.StructField("n_chars", T.LongType(), False),
+            T.StructField("window_md5", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "window_no": [], "n_chars": [], "window_md5": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples = bytes(payload).decode("utf-8")  # real op: PCM decode
+                if not samples:
+                    continue
+                n = min(max_windows, -(-len(samples) // window_chars))
+                for i in range(n):
+                    seg = samples[i * window_chars : (i + 1) * window_chars]
+                    out["media_id"].append(mid)
+                    out["window_no"].append(i)
+                    out["n_chars"].append(len(seg))
+                    # real op: RMS/MFCC over the window's samples
+                    out["window_md5"].append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "window_no": pd.Series(out["window_no"], dtype="int32"),
+                    "n_chars": pd.Series(out["n_chars"], dtype="int64"),
+                    "window_md5": pd.Series(out["window_md5"], dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema)
+
+
 def frame_sample(df: DataFrame, every_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """Video frame sampling, stubbed: deterministically slice the
     payload every ``every_bytes`` as stand-in 'frames'.  The real

@@ -653,6 +653,29 @@ def q_image_features(spark, sf_dir):
     )
 
 
+# Audio windowing (stub codec): one row per fixed-length window, the
+# PCM-windowing shape with UTF-8 standing in for the decoder and md5
+# for the per-window feature.  Windows are CHARACTER-sliced on both
+# sides (Spark decodes the payload bytes back to str; DuckDB substr is
+# char-based) so multi-byte UTF-8 text can't split differently.
+_AUDIO_WINDOWS_SQL = """
+SELECT doc_id AS media_id, CAST(i AS INT) AS window_no,
+       CAST(length(substr(text, i*256+1, 256)) AS BIGINT) AS n_chars,
+       md5(substr(text, i*256+1, 256)) AS window_md5
+FROM documents, unnest(range(0, least(8, CAST(ceil(length(text)/256.0) AS BIGINT)))) AS t(i)
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_WINDOWS_SQL, covers=("ext:multimodal",))
+def q_audio_windows(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import audio_window_features
+
+    d = table(spark, sf_dir, "documents")
+    return audio_window_features(
+        documents_as_media(d), window_chars=256, max_windows=8
+    )
+
+
 # Embedding norm stats (decimal-exact group means over rounded norms).
 _NORM_STATS_SQL = f"""
 WITH n AS (
