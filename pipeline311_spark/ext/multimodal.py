@@ -163,6 +163,50 @@ def audio_window_features(
     return df.select("media_id", "payload").mapInPandas(run, schema)
 
 
+def resize_media(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Image resize, stubbed: nearest-neighbor downsampling stands in
+    as keep-every-``stride``-th sample of the decoded payload — the
+    decode → transform → re-encode shape (PIL ``Image.resize`` slots
+    into the marked line) with input/output sizes and a content
+    fingerprint for lineage.  Same Arrow-batched ``mapInPandas``
+    plumbing; the resized payload is emitted as a binary column so a
+    downstream sink can write it back."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("orig_chars", T.LongType(), False),
+            T.StructField("resized_chars", T.LongType(), False),
+            T.StructField("resized_md5", T.StringType(), False),
+            T.StructField("resized", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples = bytes(payload).decode("utf-8")
+                resized = samples[::stride]  # real op: Image.resize / scipy.signal.resample
+                out["media_id"].append(mid)
+                out["orig_chars"].append(len(samples))
+                out["resized_chars"].append(len(resized))
+                out["resized_md5"].append(hashlib.md5(resized.encode("utf-8")).hexdigest())
+                out["resized"].append(resized.encode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "orig_chars": pd.Series(out["orig_chars"], dtype="int64"),
+                    "resized_chars": pd.Series(out["resized_chars"], dtype="int64"),
+                    "resized_md5": pd.Series(out["resized_md5"], dtype="object"),
+                    "resized": pd.Series(out["resized"], dtype="object"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, schema)
+
+
 def frame_sample(df: DataFrame, every_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """Video frame sampling, stubbed: deterministically slice the
     payload every ``every_bytes`` as stand-in 'frames'.  The real

@@ -676,6 +676,29 @@ def q_audio_windows(spark, sf_dir):
     )
 
 
+# Resize (stub codec): nearest-neighbor downsample as keep-every-4th
+# character; the binary payload column is dropped at the registry
+# boundary (the md5 fingerprints it), orig/resized sizes verified.
+_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS orig_chars,
+       CAST(length(ds) AS BIGINT) AS resized_chars,
+       md5(ds) AS resized_md5
+FROM (SELECT doc_id, text, array_to_string(
+        list_transform(range(1, length(text)+1, 4),
+                       i -> substr(text, CAST(i AS BIGINT), 1)), '') AS ds
+      FROM documents) t
+"""
+
+
+@register("multimodal_resize", _RESIZE_SQL, covers=("ext:multimodal",))
+def q_resize(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import resize_media
+
+    d = table(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(d), stride=4).drop("resized")
+
+
 # Embedding norm stats (decimal-exact group means over rounded norms).
 _NORM_STATS_SQL = f"""
 WITH n AS (
