@@ -699,6 +699,34 @@ def q_resize(spark, sf_dir):
     return resize_media(documents_as_media(d), stride=4).drop("resized")
 
 
+# Video frame sampling (stub codec): frames are BYTE slices of the
+# payload, so the cross-engine fingerprint goes through lowercase hex
+# (DuckDB has no BLOB substring; a hex-string slice at 2x offsets is
+# byte-aligned on both engines).
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+       CAST(octet_length(encode(substring(lower(hex(encode(text))), CAST(i*512+1 AS BIGINT), 512))) / 2 AS BIGINT) AS frame_bytes,
+       md5(substring(lower(hex(encode(text))), CAST(i*512+1 AS BIGINT), 512)) AS frame_hex_md5
+FROM documents,
+     unnest(range(0, least(8, greatest(1, CAST(octet_length(encode(text)) // 256 AS BIGINT))))) AS t(i)
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_SQL, covers=("ext:multimodal",))
+def q_frame_sample(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import frame_sample
+
+    d = table(spark, sf_dir, "documents")
+    frames = frame_sample(documents_as_media(d), every_bytes=256, max_frames=8)
+    hex_frame = F.lower(F.hex("frame"))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.md5(F.encode(hex_frame, "UTF-8")).alias("frame_hex_md5"),
+    )
+
+
 # Embedding norm stats (decimal-exact group means over rounded norms).
 _NORM_STATS_SQL = f"""
 WITH n AS (
