@@ -438,3 +438,36 @@ def q_count_probes(spark, sf_dir):
     return spark.createDataFrame(
         [(total, matched)], "source_count long, matched_customers long"
     )
+
+
+# ---------------------------------------------------------------------------
+# P16 with offset rendering, exercised ACROSS both 2024 DST boundaries
+# (SURVEY §7.5.1 — the reference's to_char(..., 'TZH:TZM') twin).  The
+# testdata's events all live in January, so event-id-derived day shifts
+# spread them over a full year; the oracle hard-codes the two 2024
+# America/New_York transitions (07:00Z Mar 10 / 06:00Z Nov 3) as ground
+# truth the engine's from_utc_timestamp-derived offsets must reproduce.
+# ---------------------------------------------------------------------------
+
+_DST_OFFSET_SQL = """
+WITH s AS (
+  SELECT event_id, ts + (event_id % 365) * INTERVAL 1 DAY AS t FROM events)
+SELECT event_id,
+       strftime(timezone('America/New_York', t AT TIME ZONE 'UTC'), '%Y-%m-%d %H:%M:%S')
+       || ' ' ||
+       CASE WHEN t >= TIMESTAMP '2024-03-10 07:00:00' AND t < TIMESTAMP '2024-11-03 06:00:00'
+            THEN '-04:00' ELSE '-05:00' END AS local_ts
+FROM s
+"""
+
+
+@register("p16_dst_offset_format", _DST_OFFSET_SQL, covers=("P16", "P9"))
+def q_dst_offset_format(spark, sf_dir):
+    from pipeline311_spark.functions.timeparse import to_local_string_with_offset
+
+    e = table(spark, sf_dir, "events")
+    shifted = e.select(
+        "event_id",
+        F.expr("timestampadd(DAY, CAST(event_id % 365 AS INT), ts)").alias("t"),
+    )
+    return shifted.select("event_id", to_local_string_with_offset("t").alias("local_ts"))

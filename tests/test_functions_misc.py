@@ -118,3 +118,25 @@ def test_parse_wkt_rings_drops_holes(spark):
     assert j[2]["pg"] == '{"rings":[],"spatial_reference":{"wkid":4326}}'
     assert j[3]["pl"] == '{"paths":[],"spatial_reference":{"wkid":4326}}'
     assert j[4]["pl"].startswith('{"paths":[[[0.5,0.5],[1.5,1.5]]]')
+
+
+def test_to_local_string_with_offset_dst(spark):
+    from pipeline311_spark.functions.timeparse import to_local_string_with_offset
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 3, 10, 6, 59),),  # 01:59 EST
+            (dt.datetime(2024, 3, 10, 7, 0),),   # 03:00 EDT (spring-forward gap)
+            (dt.datetime(2024, 11, 3, 5, 30),),  # 01:30 EDT (first pass)
+            (dt.datetime(2024, 11, 3, 6, 30),),  # 01:30 EST (second pass)
+        ],
+        "t timestamp",
+    )
+    out = [r[0] for r in df.select(to_local_string_with_offset("t")).collect()]
+    assert out == [
+        "2024-03-10 01:59:00 -05:00",
+        "2024-03-10 03:00:00 -04:00",
+        # the ambiguous fall-back hour is disambiguated by the offset
+        "2024-11-03 01:30:00 -04:00",
+        "2024-11-03 01:30:00 -05:00",
+    ]
