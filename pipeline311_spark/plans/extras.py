@@ -147,6 +147,34 @@ def q_jsonl_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S9+K1 (ORC flavor): columnar sink in a second native format — ORC
+# timestamps/strings/longs must survive the round trip; same
+# fingerprint-sum verification as the JSONL twin, oracle reads the
+# original parquet.
+# ---------------------------------------------------------------------------
+
+
+@register("s_orc_roundtrip", _jsonl_sql(), covers=("S9", "K1", "K2"))
+def q_orc_roundtrip(spark, sf_dir):
+    import uuid
+
+    from pipeline311_spark.ext.hashing import portable_hash
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_orc_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    d.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)  # ORC is self-describing: schema from footer
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(portable_hash("text")).alias("text_fp_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout (operators/layout.py): the Morton key must be
 # bit-identical across engines (pure integer math — no float hazard),
 # and the per-cell stats show the key maps 2-D locality onto 1-D
