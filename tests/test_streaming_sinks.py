@@ -125,3 +125,70 @@ def test_batched_writer_throttle_pauses_between_batches(spark, tmp_path):
     assert len(stamps) == 3
     # T6: a politeness pause separates consecutive successful batches
     assert all(b - a >= 0.18 for a, b in zip(stamps, stamps[1:]))
+
+
+def test_stream_stream_join_matches_cross_batch_boundaries(spark, tmp_path):
+    """Watermarked stream-stream join where matching pairs arrive in
+    DIFFERENT micro-batches: the earlier side must be held in the state
+    store until its partner arrives.  Synthetic, time-ordered chunks;
+    watermark delays are generous so eviction can't race batch order —
+    the eviction bound itself is documented plan behavior, what's under
+    test here is cross-batch buffering correctness."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ssj_src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # batch 1: clicks only; batch 2 (one hour later): their purchases
+    rows1 = [(u, 100 + u, "click", base + dt.timedelta(minutes=u)) for u in range(5)]
+    rows2 = [
+        (u, 200 + u, "purchase", base + dt.timedelta(minutes=u + 30)) for u in range(5)
+    ] + [(99, 299, "purchase", base + dt.timedelta(hours=10))]  # never matches
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 days")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 days")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id")
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_cross_batch")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # every batch-1 click matched by its batch-2 purchase; the 10h-late
+    # purchase matched nothing
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.table("ssj_cross_batch").collect()
+    }
+    assert got == {(u, 100 + u, 200 + u) for u in range(5)}
+    # and the stream genuinely ran more than one micro-batch
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
