@@ -28,8 +28,10 @@ def _stream_events(spark, sf_dir):
     tz-naive micros); probe the actual schema with a batch footer read
     and normalize event time exactly like the batch reader does, so the
     stream never assumes a physical type."""
+    from pipeline311_spark.plans.common import prep_session
     from pipeline311_spark.sources.readers import normalize_event_time
 
+    prep_session(spark)  # streaming bypasses table(): pin tz/conf here too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (

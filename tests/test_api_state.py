@@ -68,3 +68,29 @@ def test_apply_in_pandas_with_state_streaming(spark, tmp_path):
     q.awaitTermination(120)
     first = {r["user_id"]: r["total"] for r in spark.table("state_counts").collect()}
     assert first == {1: 2, 2: 1}
+
+
+def test_hostile_session_timezone_pinned(spark, sf_dir):
+    """The driver harness owns the session passed to __spark_entry__ and
+    may configure any timezone; every query path (batch via table(),
+    streaming via _stream_events) must pin the conf itself so rendered
+    wall times stay oracle-identical.  Sweep the timestamp-rendering
+    queries under a session whose tz starts as America/New_York."""
+    from pipeline311_spark.plans import REGISTRY
+
+    sensitive = (
+        "q_hourly_rollup",
+        "p16_dst_offset_format",
+        "q_session_window_native",
+        "stream_windowed_counts",
+    )
+    baseline = {
+        n: sorted(map(tuple, REGISTRY[n].fn(spark, sf_dir).collect())) for n in sensitive
+    }
+    for n in sensitive:
+        # fresh session per query: the first query's own conf pinning
+        # must not mask a later query that forgot to pin
+        hostile = spark.newSession()
+        hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = sorted(map(tuple, REGISTRY[n].fn(hostile, sf_dir).collect()))
+        assert got == baseline[n], n
