@@ -150,11 +150,14 @@ def chunk_token_windows(
     text_col: str,
     size: int = 32,
     stride: int = 16,
+    carry: tuple[str, ...] = (),
 ):
     """Split documents into overlapping token windows — the
     context-window packing step of an LLM data pipeline.  One chunk
     starts every ``stride`` tokens; each spans up to ``size`` tokens
     (the trailing chunk may be shorter).  Zero-token docs emit nothing.
+    ``carry`` names extra doc-level columns passed through to every
+    chunk row (lang, source, ...).
 
     Pure codegen (split/sequence/slice/array_join + one explode): the
     output is ~size/stride× the token volume of the corpus, produced
@@ -165,16 +168,19 @@ def chunk_token_windows(
 
     toks = tokens(F.col(text_col))
     base = (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
         .filter(F.col("__n") > 0)
     )
     starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
     return (
-        base.select(id_col, "__toks", "__n", F.posexplode(starts).alias("chunk_idx", "__start"))
+        base.select(
+            id_col, *carry, "__toks", "__n", F.posexplode(starts).alias("chunk_idx", "__start")
+        )
         .withColumn("__chunk", F.slice("__toks", F.col("__start") + 1, size))
         .select(
             id_col,
+            *carry,
             F.col("chunk_idx").cast("long"),
             F.size("__chunk").cast("long").alias("n_chunk_tokens"),
             F.array_join("__chunk", " ").alias("chunk_text"),

@@ -1,0 +1,87 @@
+"""End-to-end curation pipeline: the engine's production use case as
+ONE oracle-gated flow — language filter → quality gate → exact dedup →
+context-window chunking.  Every stage reuses an operator that is also
+verified standalone (text_quality_scores, dedup_exact_groups,
+text_chunk_windows); this query proves they COMPOSE: filters stay
+pushed through the dedup window, chunking stays map-side, and the whole
+flow is a single declarative plan Catalyst optimizes end to end.
+
+Scale shape: one shuffle total (the dedup fingerprint window) — the
+language/quality filters are scan-side, and chunking explodes map-side
+after the dedup, so a 100 TB corpus flows scan → filter → one
+hash-partition → chunk without further exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.dedup import exact_dedup
+from pipeline311_spark.ext.textstats import chunk_token_windows, quality_score
+from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.extensions import PUNCT_CLASS, _lang_hits_sql, _norm_sql
+from pipeline311_spark.plans.registry import register
+
+_CUR_LANGS = ("en", "de", "fr")
+_CUR_MIN_QUALITY = 0.5
+_CHUNK, _STRIDE = 32, 16
+
+
+def _curation_sql() -> str:
+    langs = ", ".join(f"'{lg}'" for lg in _CUR_LANGS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents WHERE lang IN ({langs})),
+feat AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_distinct(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)))) AS DOUBLE) AS n_uniq,
+         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+  FROM base),
+scored AS (
+  SELECT doc_id, lang, text,
+         0.4 * least(n_tokens / 64.0, 1.0)
+         + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
+         + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
+         + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))
+         AS qs
+  FROM feat),
+kept AS (SELECT doc_id, lang, text FROM scored WHERE qs >= {_CUR_MIN_QUALITY}),
+dedup AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({_norm_sql('text')}) ORDER BY doc_id) AS rn
+    FROM kept) t
+  WHERE rn = 1),
+t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM dedup WHERE trim(text) <> ''),
+n AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, lang, toks, n, unnest(range(0, n, {_STRIDE})) AS start FROM n)
+SELECT doc_id, lang,
+       CAST(start / {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + {_CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start + 1 : start + {_CHUNK}], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+@register(
+    "curation_end_to_end",
+    _curation_sql(),
+    covers=("ext:text", "ext:dedup", "F1", "O5", "P-class"),
+)
+def q_curation_end_to_end(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("lang").isin(*_CUR_LANGS))
+    kept = d.filter(quality_score("text") >= _CUR_MIN_QUALITY)
+    deduped = exact_dedup(kept, "doc_id", "text")
+    chunks = chunk_token_windows(
+        deduped, "doc_id", "text", size=_CHUNK, stride=_STRIDE, carry=("lang",)
+    )
+    return chunks.select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
