@@ -66,6 +66,62 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic retrieval end-to-end: ANN top-k over the embedding table,
+# joined back to the documents table for the hit text — the RAG-style
+# retrieval flow (query vector → candidate neighbors → payload fetch)
+# as one declarative plan.  The payload join broadcasts the (tiny)
+# top-k hit set against the documents scan; at 100 TB the hit-id join
+# is exactly the point lookup pattern (S5/F6) — never a corpus join.
+# ---------------------------------------------------------------------------
+
+_RETR_K = 5
+_RETR_QUERIES = 3
+
+
+def _retrieval_sql() -> str:
+    from pipeline311_spark.plans.extensions import _N_QUERIES, _cos_sql  # noqa: F401
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_RETR_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM q JOIN e ON e.vec_id != query_id),
+topk AS (
+  SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) t
+  WHERE rn <= {_RETR_K})
+SELECT query_id, rank, neighbor_id, cos_sim, d.lang AS hit_lang,
+       md5(d.text) AS hit_text_md5
+FROM topk JOIN documents d ON d.doc_id = neighbor_id
+"""
+
+
+@register("retrieval_end_to_end", _retrieval_sql(), covers=("ext:similarity", "S5", "F6"))
+def q_retrieval_end_to_end(spark, sf_dir):
+    from pipeline311_spark.ext.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    hits = brute_force_topk(
+        e, e.filter(F.col("vec_id") < _RETR_QUERIES), "vec_id", "embedding", k=_RETR_K
+    )
+    return (
+        F.broadcast(hits.select("query_id", F.col("rank").cast("long"), "neighbor_id", "cos_sim"))
+        .join(docs, F.col("doc_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cos_sim",
+            F.col("lang").alias("hit_lang"),
+            F.md5("text").alias("hit_text_md5"),
+        )
+    )
+
+
 @register(
     "curation_end_to_end",
     _curation_sql(),
