@@ -133,3 +133,32 @@ def test_upsert_algebra(spark, t_rows, u_rows):
     # idempotence: re-applying the same updates changes nothing
     again = upsert(merged, updates, "pk", "updated_datetime")
     assert {r["pk"]: (r["val"], r["updated_datetime"]) for r in again.collect()} == out
+
+
+# --- incremental MinHash contract on random corpora ---
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_minhash_incremental_contract_random(spark, docs):
+    """For ANY corpus split into existing/new halves, the incremental
+    run must equal the full run filtered to pairs with a new member."""
+    from pipeline311_spark.ext.dedup import minhash_dedup_pairs, minhash_incremental_pairs
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=8, bands=4, n=3, threshold=0.3)
+    full = minhash_dedup_pairs(df, "doc_id", "text", **kw).collect()
+    inc = minhash_incremental_pairs(
+        df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1"), "doc_id", "text", **kw
+    ).collect()
+    want = sorted(tuple(r) for r in full if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1)
+    assert sorted(tuple(r) for r in inc) == want
