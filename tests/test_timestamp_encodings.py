@@ -1,0 +1,42 @@
+"""The r3 failure class, armored: the driver regenerates testdata and
+the parquet timestamp PHYSICAL encoding has already shipped three ways
+(tz-naive micros → TIMESTAMP_NTZ, nanos → rejected by the vectorized
+reader, tz-aware micros → TIMESTAMP_LTZ).  load_table must map every
+encoding to the same normalized timestamps so every query is
+encoding-invariant — asserted here by re-encoding events.parquet in
+all three forms and comparing full query results."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pipeline311_spark.plans import REGISTRY
+
+
+def _reencode(src_events: str, out_dir: str, unit: str, tz: str | None) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(src_events)
+    idx = t.schema.get_field_index("ts")
+    target = pa.timestamp(unit, tz=tz)
+    t = t.set_column(idx, pa.field("ts", target), t.column("ts").cast(target))
+    pq.write_table(t, os.path.join(out_dir, "events.parquet"), version="2.6")
+    return out_dir
+
+
+@pytest.mark.parametrize("qname", ["q_hourly_rollup", "q_sessionize", "q_session_window_native"])
+def test_queries_invariant_across_ts_encodings(spark, sf_dir, tmp_path, qname):
+    src = os.path.join(sf_dir, "events.parquet")
+    variants = {
+        "ntz_us": _reencode(src, str(tmp_path / "ntz_us"), "us", None),
+        "nanos": _reencode(src, str(tmp_path / "nanos"), "ns", None),
+        "ltz_us": _reencode(src, str(tmp_path / "ltz_us"), "us", "UTC"),
+    }
+    base = sorted(map(tuple, REGISTRY[qname].fn(spark, sf_dir).collect()))
+    assert len(base) > 0
+    for label, d in variants.items():
+        got = sorted(map(tuple, REGISTRY[qname].fn(spark, d).collect()))
+        assert got == base, f"{qname} differs under {label} encoding"
