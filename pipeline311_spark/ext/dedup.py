@@ -302,9 +302,9 @@ def minhash_dedup_pairs(
       candidates).  Right at extreme corpus scale where caching the
       gram table is unaffordable and candidates ≪ corpus.
 
-    Measured at sf0.1/local[32]: 2.75 s vs 3.98 s (reuse vs recompute)
-    on the r3 window-gram shape; the r4 map-side gram fold cuts the
-    reuse path to ~2 s (see SCALE.md).
+    Measured at sf0.1/local[32] on the r4 map-side-gram shape:
+    1.93 s vs 2.50 s (reuse vs recompute; was 2.75 s vs 3.98 s on the
+    r3 window-gram shape — see SCALE.md).
 
     Verify shape (see :func:`_jaccard_verify`): Jaccard over 60-bit
     shingle hashes equals Jaccard over the shingle strings up to md5
