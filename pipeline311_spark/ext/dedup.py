@@ -314,7 +314,15 @@ def minhash_dedup_pairs(
     Candidate pairs skip the band-level distinct
     (``distinct_pairs=False``) — a pair agreeing on several bands is
     deduped once, on the tiny persisted candidate set, instead of
-    paying an extra exchange over all banded rows."""
+    paying an extra exchange over all banded rows.
+
+    Cache lifecycle: the gram table (``reuse_grams=True``) and the
+    candidate set stay persisted because the RETURNED DataFrame still
+    reads them lazily; a caller done with the result reclaims them via
+    ``spark.catalog.clearCache()`` (or by writing the result out and
+    dropping the lineage).  In a long-lived service, prefer
+    materializing the gram table to storage once per corpus version
+    (see SCALE.md) instead of executor cache."""
     from pyspark.storagelevel import StorageLevel
 
     gh = _gram_hash_table(df, id_col, text_col, n)
