@@ -34,7 +34,14 @@ def apply_per_key_sorted(
     ``schema``.  One shuffle (on ``key``), then a single Arrow stream
     per partition.
     """
-    rep = df.repartition(key).sortWithinPartitions(key, *sort_cols)
+    # Explicit partition count: an expression-only repartition(key) is
+    # AQE-coalescible, and a small shuffle ahead of an EXPENSIVE
+    # per-row stage (the Arrow/pandas pipe here) gets coalesced to ~1
+    # partition, serializing the Python work.  A fixed count pins the
+    # parallelism (same trap as the MinHash gram explode — see
+    # .claude/skills/verify notes on coalesce-before-explode).
+    n = df.sparkSession.sparkContext.defaultParallelism
+    rep = df.repartition(n, key).sortWithinPartitions(key, *sort_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
