@@ -76,7 +76,12 @@ def _grams(df):
 
 @register("text_contamination_13gram", _CONTAM_SQL, covers=("ext:text", "ext:dedup", "J4"))
 def text_contamination(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    from pipeline311_spark.ext.hashing import ensure_parallelism
+
+    # spread compact doc rows BEFORE the 13-gram explode: a one-file
+    # scan otherwise runs the explode+join single-task (at scale file
+    # splits provide this and the repartition no-ops)
+    d = ensure_parallelism(table(spark, sf_dir, "documents"))
     grams = _grams(d)
     eval_grams = F.broadcast(
         grams.filter(F.col("source") == _EVAL_SRC).select("g").distinct()
