@@ -323,11 +323,12 @@ def minhash_dedup_pairs(
     dropping the lineage).  In a long-lived service, prefer
     materializing the gram table to storage once per corpus version
     (see SCALE.md) instead of executor cache."""
-    from pyspark.storagelevel import StorageLevel
-
-    gh = _gram_hash_table(df, id_col, text_col, n)
     if reuse_grams:
-        gh = gh.persist(StorageLevel.MEMORY_AND_DISK)
+        return minhash_pairs_from_grams(
+            _gram_hash_table(df, id_col, text_col, n),
+            k=k, bands=bands, threshold=threshold, seed=seed, persist=True,
+        )
+    gh = _gram_hash_table(df, id_col, text_col, n)
     sig = _signatures_from_grams(gh, k, seed)
     # Materialize the (tiny) candidate set once: downstream reuse would
     # otherwise re-execute the whole signature+banding pipeline.
@@ -336,13 +337,39 @@ def minhash_dedup_pairs(
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
-    if reuse_grams:
-        cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
-    else:
-        small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
-            F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
-        )
-        cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
+        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
+    )
+    cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    return _jaccard_verify(cand.distinct(), cand_grams, threshold)
+
+
+def minhash_pairs_from_grams(
+    gh: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+    persist: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs from a PREBUILT (doc, g) gram table —
+    the stored-corpus-version path (SCALE.md): tokenize/hash once per
+    corpus version, write the gram table to storage, and every
+    dedup/contamination run after that starts here, paying only the
+    signature aggregation.  ``persist=False`` when ``gh`` is already
+    storage-backed (a parquet read) — the verify branch then re-scans
+    the store instead of caching."""
+    from pyspark.storagelevel import StorageLevel
+
+    if persist:
+        gh = gh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_grams(gh, k, seed)
+    cand = lsh_candidate_pairs(sig, k, bands, distinct_pairs=False).persist()
+    cand.count()
+    cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
+        cand.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
     return _jaccard_verify(cand.distinct(), cand_grams, threshold)
 
 

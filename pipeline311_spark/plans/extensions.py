@@ -184,6 +184,32 @@ def q_minhash(spark, sf_dir):
     )
 
 
+@register("dedup_minhash_from_store", _minhash_pairs_sql(), covers=("ext:dedup", "K2"))
+def q_minhash_from_store(spark, sf_dir):
+    """The stored-gram-table production path: materialize the (doc, g)
+    table to parquet once (the per-corpus-version artifact SCALE.md
+    prescribes), then run the whole LSH pipeline FROM the store —
+    signatures, banding, and verify all read the stored table, no
+    re-tokenization.  Same oracle as dedup_minhash_lsh: the storage
+    hop must be invisible in the result."""
+    import os
+    import tempfile
+    import uuid
+
+    from pipeline311_spark.ext.dedup import _gram_hash_table, minhash_pairs_from_grams
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_grams_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    _gram_hash_table(d, "doc_id", "text", _MH_N).write.mode("overwrite").parquet(out)
+    stored = spark.read.parquet(out)
+    return minhash_pairs_from_grams(
+        stored, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED, persist=False
+    )
+
+
 @register(
     "dedup_minhash_incremental",
     _minhash_pairs_sql(extra_pred="\n  AND (doc_a % 2 = 1 OR doc_b % 2 = 1)"),
