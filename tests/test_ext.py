@@ -307,3 +307,18 @@ def test_ivf_ann_recall(vecs):
     ids = {r["neighbor_id"] for r in res.collect()}
     # probing only the x-cell finds the co-directional vectors
     assert {1, 4} <= ids
+
+
+def test_connected_components_long_chain_converges(spark):
+    # adversarial worst case: a 40-node path graph (diameter 39) —
+    # min-label propagation must still converge inside max_iter because
+    # hash-to-min shortcuts via the min label spreading BOTH directions,
+    # and the result is a single component rooted at node 0.
+    from pipeline311_spark.ext.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(edges, "doc_a", "doc_b", max_iter=50).collect()
+    assert len(cc) == 40
+    assert {r["component"] for r in cc} == {0}
