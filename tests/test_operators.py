@@ -157,3 +157,24 @@ def test_observed_telemetry_counts_rows(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] == n > 0
     assert got["total_chars"] == d.agg(F.sum("n_chars")).first()[0]
+
+
+def test_merge_with_surrogate_ids_partitioning_invariant(spark):
+    # The two-phase assignment (range partition -> per-partition
+    # row_number + broadcast offsets) must produce the SAME dense,
+    # key-ordered ids regardless of how the insert batch arrives
+    # partitioned — the determinism the replaced global window gave,
+    # without its single-task funnel.
+    target = spark.createDataFrame(
+        [(100, 0, "old", ts("2024-01-01T00:00:00"))],
+        "objectid long, pk long, val string, updated_datetime timestamp",
+    )
+    ups_rows = [(pk, "new", ts("2024-02-01T00:00:00")) for pk in range(1, 41)]
+    base = spark.createDataFrame(ups_rows, "pk long, val string, updated_datetime timestamp")
+    outs = []
+    for ups in (base.repartition(1), base.repartition(7, "val"), base.repartition(16, "pk")):
+        out = merge_with_surrogate(target, ups, "pk", "updated_datetime")
+        outs.append({r["pk"]: r["objectid"] for r in out.collect()})
+    assert outs[0] == outs[1] == outs[2]
+    new_ids = [outs[0][pk] for pk in range(1, 41)]
+    assert new_ids == list(range(101, 141))  # dense, key-ordered, above max
