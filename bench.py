@@ -104,6 +104,27 @@ def main() -> None:
         per_query[name] = round(best, 3)
         total += best
 
+    # Round-4 composites, timed but NOT in the headline total so `value`
+    # stays comparable across rounds (the headline list is frozen).
+    extra: dict[str, object] = {}
+    for name in (
+        "curation_end_to_end",
+        "retrieval_end_to_end",
+        "dedup_minhash_incremental",
+        "dedup_minhash_from_store",
+        "dedup_ngram_jaccard",
+    ):
+        spec = plans.REGISTRY.get(name)
+        if spec is None:
+            continue
+        try:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            spec.fn(spark, sf_dir).count()
+            extra[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            extra[name] = {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -112,6 +133,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "extra_queries": extra,
                 "sf": float(sf) if sf else sf_dir,
             }
         )

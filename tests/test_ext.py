@@ -117,8 +117,9 @@ def test_minhash_reuse_grams_plan_reads_cache(docs):
 
 
 def test_minhash_unigram_signatures(docs):
-    # n=1 takes the no-window path (regression: lead-column filter used
-    # to reference a nonexistent h0 and raise AnalysisException)
+    # n=1 must work through the generic gram fold (regression: the old
+    # lead-window formulation special-cased it and once referenced a
+    # nonexistent h0 column)
     sig = minhash_signatures(docs, "doc_id", "text", k=4, n=1)
     rows = {r["doc"]: tuple(r[f"mh{i}"] for i in range(4)) for r in sig.collect()}
     assert rows[0] == rows[3]  # same token set after normalization
