@@ -106,6 +106,10 @@ def main() -> None:
 
     # Round-4 composites, timed but NOT in the headline total so `value`
     # stays comparable across rounds (the headline list is frozen).
+    # Best-of-2 like the headline: a single-shot number here mixes
+    # first-compilation JIT + GC debt from the 25 headline queries into
+    # the reading (observed 19.5 s single-shot vs 2.8 s isolated for
+    # dedup_ngram_jaccard on a loaded VM).
     extra: dict[str, object] = {}
     for name in (
         "curation_end_to_end",
@@ -117,13 +121,18 @@ def main() -> None:
         spec = plans.REGISTRY.get(name)
         if spec is None:
             continue
-        try:
+        best = float("inf")
+        err = None
+        for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
-            extra[name] = round(time.time() - t0, 3)
-        except Exception as e:
-            extra[name] = {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
+            try:
+                spec.fn(spark, sf_dir).count()
+            except Exception as e:
+                err = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                break
+            best = min(best, time.time() - t0)
+        extra[name] = {"err": err} if err is not None else round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -6,7 +6,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.quantize import quantized_cosine_error
+from pipeline311_spark.ext.hashing import portable_hash_sql
 from pipeline311_spark.ext.sampling import (
+    cap_per_key,
     deterministic_sample,
     hash_bucket_sql,
     train_test_split,
@@ -47,6 +49,30 @@ def q_split(spark, sf_dir):
     return s.groupBy("split").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+_CAP_N = 15
+
+_CAP_SQL = f"""
+SELECT doc_id, source, keep_rank
+FROM (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {portable_hash_sql('CAST(doc_id AS VARCHAR)')}, doc_id
+             ) AS keep_rank
+      FROM documents)
+WHERE keep_rank <= {_CAP_N}
+"""
+
+
+@register("sample_cap_per_source", _CAP_SQL, covers=("ext:text", "O5"))
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document cap — the anti-hot-domain quota (reference
+    has no analogue; training-data curation north star).  WindowGroupLimit
+    pre-trims map-side, so hot sources never ship their full row count."""
+    d = table(spark, sf_dir, "documents")
+    capped = cap_per_key(d, "source", "doc_id", cap=_CAP_N)
+    return capped.select("doc_id", "source", F.col("keep_rank").cast("long").alias("keep_rank"))
 
 
 _DOT_Q = "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"

@@ -153,3 +153,36 @@ def test_contamination_skips_short_docs(spark):
     g = _grams(df)
     assert g.filter(F.col("doc_id") == 1).count() == 0  # < 13 tokens -> no grams
     assert g.filter(F.col("doc_id") == 2).count() == 20 - 13 + 1
+
+
+def test_cap_per_key_semantics_and_stability(spark):
+    from pipeline311_spark.ext.sampling import cap_per_key
+
+    df = spark.range(0, 600).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    capped = cap_per_key(df, "src", "doc_id", cap=50)
+    counts = {r["src"]: r["n"] for r in capped.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 50, "1": 50, "2": 50}
+    # deterministic under repartitioning: same kept set, same ranks
+    a = sorted((r["doc_id"], r["keep_rank"]) for r in capped.collect())
+    b = sorted(
+        (r["doc_id"], r["keep_rank"])
+        for r in cap_per_key(df.repartition(13), "src", "doc_id", cap=50).collect()
+    )
+    assert a == b
+    # under-cap keys pass through whole
+    small = cap_per_key(df.filter("doc_id < 30"), "src", "doc_id", cap=50)
+    assert small.count() == 30
+
+
+def test_cap_per_key_plan_uses_window_group_limit(spark):
+    from pipeline311_spark.ext.sampling import cap_per_key
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    plan = cap_per_key(df, "src", "doc_id", cap=5)._jdf.queryExecution().executedPlan().toString()
+    # rank<=cap must be pushed into a map-side partial group limit so a
+    # hot key never ships its full row count through the exchange
+    assert "WindowGroupLimit" in plan
