@@ -36,6 +36,47 @@ def q_repeated_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Within-doc repetition metrics (Gopher-filter family): top-token /
+# top-bigram fraction, duplicate-trigram fraction.
+# ---------------------------------------------------------------------------
+
+_REP_SQL = """
+WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+toks AS (SELECT doc_id, CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END AS tk FROM norm),
+ns AS (SELECT unnest([1, 2, 3]) AS n),
+g AS (
+  SELECT doc_id, n, unnest(
+    CASE WHEN len(tk) >= n
+         THEN list_transform(range(1, len(tk) - n + 2),
+                             i -> array_to_string(list_slice(tk, i, i + n - 1), ' '))
+         ELSE [] END) AS g
+  FROM toks CROSS JOIN ns),
+counts AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+per_n AS (
+  SELECT doc_id, n, SUM(c) AS total, MAX(c) AS mx,
+         COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup
+  FROM counts GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(MAX(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_tokens,
+       MAX(CASE WHEN n = 1 THEN mx / total END) AS top_token_frac,
+       MAX(CASE WHEN n = 2 THEN mx / total END) AS top_bigram_frac,
+       MAX(CASE WHEN n = 3 THEN dup / total END) AS dup_trigram_frac
+FROM per_n GROUP BY doc_id
+"""
+
+
+@register("text_repetition_scores", _REP_SQL, covers=("ext:text", "ext:dedup"))
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (Rae et al. 2021
+    §A1.1 adapted to newline-free docs): high top-gram fractions flag
+    keyword-stuffed / looping text for the quality gate."""
+    from pipeline311_spark.ext.textstats import repetition_metrics
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_metrics(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # PII redaction: emails / US-phone-shaped tokens scrubbed with RE2-safe
 # patterns (no lookaround).  Dirty values are injected deterministically
 # so the redaction paths actually fire.

@@ -18,6 +18,7 @@ from pipeline311_spark.ext.dedup import (
 )
 from pipeline311_spark.ext.hashing import MOD, hash_params, portable_hash64_sql, portable_hash_sql
 from pipeline311_spark.ext.multimodal import documents_as_media, media_manifest
+from pipeline311_spark.ext.sampling import hash_bucket, hash_bucket_sql
 from pipeline311_spark.ext.similarity import (
     brute_force_topk,
     deterministic_planes,
@@ -230,6 +231,47 @@ def q_minhash_incremental(spark, sf_dir):
         "doc_id",
         "text",
         k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    )
+
+
+def _split_case_sql(expr: str) -> str:
+    hb = hash_bucket_sql(expr)
+    return f"CASE WHEN {hb} < 80 THEN 'train' WHEN {hb} < 90 THEN 'val' ELSE 'test' END"
+
+
+def _leakage_sql() -> str:
+    return f"""
+SELECT doc_a, doc_b, jaccard, split_a, split_b FROM (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         {_split_case_sql('p.doc_a')} AS split_a,
+         {_split_case_sql('p.doc_b')} AS split_b
+  FROM ({_minhash_pairs_sql()}) p)
+WHERE split_a <> split_b
+"""
+
+
+@register("dedup_cross_split_leakage", _leakage_sql(), covers=("ext:dedup", "ext:text"))
+def q_cross_split_leakage(spark, sf_dir):
+    """Train/test contamination detector: near-dup pairs (full MinHash
+    kernel, same params as dedup_minhash_lsh) whose two docs land in
+    DIFFERENT hash-assigned splits (train_test_split buckets).  The
+    split label is computed per pair member from the stable-id hash —
+    no join against a split table, zero extra shuffles on top of the
+    dedup kernel itself."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    )
+
+    def split_of(c: str):
+        b = hash_bucket(c)
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    return (
+        pairs.withColumn("split_a", split_of("doc_a"))
+        .withColumn("split_b", split_of("doc_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
     )
 
 

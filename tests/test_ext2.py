@@ -186,3 +186,26 @@ def test_cap_per_key_plan_uses_window_group_limit(spark):
     # rank<=cap must be pushed into a map-side partial group limit so a
     # hot key never ships its full row count through the exchange
     assert "WindowGroupLimit" in plan
+
+
+def test_repetition_metrics_flag_looping_text(spark):
+    from pipeline311_spark.ext.textstats import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                      # one token everywhere
+            (2, "alpha beta gamma delta epsilon zeta"),      # all distinct
+            (3, "ab"),                                       # too short for trigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0          # "spam spam" x3 of 3
+    assert rows[1]["dup_trigram_frac"] == 1.0         # "spam spam spam" x2 of 2
+    assert rows[2]["top_token_frac"] == pytest.approx(1 / 6)
+    assert rows[2]["dup_trigram_frac"] == 0.0         # 4 distinct trigrams
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["top_bigram_frac"] is None         # no bigrams
+    assert rows[3]["dup_trigram_frac"] is None
