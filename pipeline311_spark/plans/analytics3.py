@@ -169,3 +169,47 @@ def q_dup_clusters(spark, sf_dir):
         d, "doc_id", "text", n=_JACCARD_N, threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF
     ).select("doc_a", "doc_b")
     return dup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# The deduplicated corpus itself: drop every near-dup cluster member
+# except the canonical (min-id) one.  The drop-set is cluster members
+# only — tiny relative to the corpus — so the anti-join broadcasts and
+# the full corpus flows through one scan with no shuffle.
+# ---------------------------------------------------------------------------
+
+_SURVIVORS_SQL = f"""
+WITH RECURSIVE
+{_NGRAM_JACCARD_SQL.strip().removeprefix('WITH').rsplit('SELECT', 1)[0].rstrip().rstrip(',')},
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}),
+sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
+  UNION
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+dropped AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(r))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
+@register("dedup_surviving_corpus", _SURVIVORS_SQL, covers=("ext:dedup", "J3"))
+def q_surviving_corpus(spark, sf_dir):
+    """The fuzzy-dedup deliverable users actually ship: the corpus with
+    non-canonical near-dup cluster members removed (n-gram Jaccard
+    pairs → connected components → keep each cluster's min id)."""
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=_JACCARD_N, threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF
+    ).select("doc_a", "doc_b")
+    dropped = (
+        dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+    )
+    return d.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
