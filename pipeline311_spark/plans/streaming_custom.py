@@ -128,6 +128,81 @@ def q_stream_merge(spark, sf_dir):
     )
 
 
+@register("stream_connector_incremental_sync", _STREAM_MERGE_SQL, covers=("S1", "T1", "K3", "O5"))
+def q_stream_connector_sync(spark, sf_dir):
+    """The reference's WHOLE sync architecture in one query: the
+    paginated source connector (S1) streamed through its DSv2
+    micro-batch reader with a per-trigger row cap (the polling loop,
+    sync-db2.py:49-50), each micro-batch MERGEd latest-per-key into a
+    parquet serving table via ``foreachBatch`` (T1/K3/O5).  Unlike
+    stream_merge_latest (file-source stream), the source here is the
+    custom connector — offsets are source cursor positions, and each
+    batch's extract is planned as parallel pages on executors."""
+    import time
+    import uuid
+
+    from pipeline311_spark.operators.merge import latest_per_key, upsert
+    from pipeline311_spark.plans.common import prep_session
+    from pipeline311_spark.sources import salesforce_sim
+    from pipeline311_spark.sources.readers import normalize_event_time
+
+    prep_session(spark)
+    salesforce_sim.register(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(path).schema
+    n_rows = spark.read.parquet(path).count()
+    per_trigger = max(1, (n_rows + 2) // 3)  # ~3 polling cycles at any sf
+
+    raw = (
+        spark.readStream.format("sf_cases")
+        .schema(physical)
+        .option("path", path)
+        .option("maxrowspertrigger", str(per_trigger))
+        .load()
+    )
+    stream = normalize_event_time(raw, EVENTS).select("user_id", "event_id", "event_type", "ts")
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"p311_conn_sync_{uuid.uuid4().hex[:12]}"
+    )
+    ckpt = out_dir + ".ckpt"
+
+    def apply_batch(batch_df, batch_id):
+        batch_latest = latest_per_key(batch_df, "user_id", "ts", tiebreak="event_id")
+        if os.path.exists(out_dir):
+            current = batch_df.sparkSession.read.parquet(out_dir)
+            merged = upsert(current, batch_latest, "user_id", "ts")
+        else:
+            merged = batch_latest
+        merged.write.mode("overwrite").parquet(out_dir + ".tmp")
+        final = batch_df.sparkSession.read.parquet(out_dir + ".tmp")
+        final.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # A rate-limited source never "finishes" on its own; drain by
+    # polling committed progress until every source row is processed.
+    deadline = time.time() + 300
+    done = 0
+    while time.time() < deadline and done < n_rows:
+        done = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(60)
+    if done < n_rows:
+        raise TimeoutError(f"connector sync drained {done}/{n_rows} rows in 300s")
+    return spark.read.parquet(out_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
 _APPLY_SQL = """
 SELECT user_id,
        md5(string_agg(CAST(event_id AS VARCHAR), '|' ORDER BY ts, event_id)) AS history_fp,

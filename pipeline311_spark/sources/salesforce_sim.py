@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -116,8 +117,87 @@ class CaseSourceReader(DataSourceReader):
                 yield row
 
 
+class CaseSourceStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector: the reference's watermark
+    polling loop (sync-db2.py:49-50 — repeated SOQL ``WHERE updated >
+    watermark`` queries driven by a driver-side loop) re-expressed as a
+    DSv2 micro-batch stream.
+
+    * **Offsets** are row positions in the append-ordered backing store
+      (the stand-in for the remote API's monotonically increasing
+      updated-timestamp cursor): ``initialOffset`` = 0,
+      ``latestOffset`` advances by at most ``maxrowspertrigger`` rows
+      per micro-batch, so ingestion is rate-limited exactly like the
+      reference's page-size-bounded polling.
+    * **partitions(start, end)** plans one :class:`_Page` per
+      ``pagesize`` rows inside the batch's offset range — each
+      micro-batch's extract runs PARALLEL on executors (the driver only
+      plans offsets; rows never pass through it, unlike
+      ``SimpleDataSourceStreamReader``).
+    * **Exactly-once**: offsets are deterministic row ranges, so a
+      restarted query re-reads the same rows for an uncommitted batch —
+      Spark's checkpointed offset log provides the dedup.
+
+    A real client would resolve ``latestOffset`` with a cheap COUNT /
+    max-updated probe against the API and ``read`` with a paginated
+    range request.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sf_cases stream requires a 'path' option")
+        self.page_size = int(options.get("pagesize", 10_000))
+        # Unbounded by default: ``availableNow`` consults latestOffset
+        # ONCE, so a bounded default would leave rows unread in a
+        # drain-and-stop run.  Set maxrowspertrigger only with a
+        # continuous trigger (the polling-loop mode).
+        self.max_per_trigger = int(options.get("maxrowspertrigger", 0)) or None
+        cols = options.get("columns")
+        self.columns = cols.split(",") if cols else [f.name for f in schema.fields]
+        self._last = 0  # driver-side cursor (monotonic; synced in partitions())
+
+    def _total(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        n = self._total()
+        if self.max_per_trigger is None:
+            self._last = n
+        else:
+            self._last = min(self._last + self.max_per_trigger, n)
+        return {"pos": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        s0, e0 = start["pos"], end["pos"]
+        self._last = max(self._last, e0)  # checkpoint restore can outrun the cursor
+        return [
+            _Page(s, min(s + self.page_size, e0)) for s in range(s0, e0, self.page_size)
+        ] or [_Page(s0, s0)]
+
+    def read(self, partition: _Page):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self.path, columns=self.columns)
+        page = table.slice(partition.start, partition.end - partition.start)
+        for batch in page.to_batches():
+            for row in zip(*[batch.column(i).to_pylist() for i in range(batch.num_columns)]):
+                yield row
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positions in an immutable store; nothing to release
+
+
 class CaseSource(DataSource):
-    """``spark.read.format("sf_cases").schema(...).option("path", ...)``"""
+    """``spark.read.format("sf_cases").schema(...).option("path", ...)``
+    or ``spark.readStream.format("sf_cases")`` for the incremental
+    polling loop (see :class:`CaseSourceStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -128,6 +208,9 @@ class CaseSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return CaseSourceReader(schema, self.options)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        return CaseSourceStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -1,0 +1,129 @@
+"""Streaming half of the sf_cases connector: offset math, multi-batch
+rate limiting, and checkpoint-restart exactly-once."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _start_stream(spark, path, schema, out_name, per_trigger, ckpt=None):
+    from pipeline311_spark.sources import salesforce_sim
+
+    salesforce_sim.register(spark)
+    st = (
+        spark.readStream.format("sf_cases")
+        .schema(schema)
+        .option("path", path)
+        .option("pagesize", "200")
+        .option("maxrowspertrigger", str(per_trigger))
+        .load()
+    )
+    w = st.writeStream.format("memory").queryName(out_name)
+    if ckpt:
+        w = w.option("checkpointLocation", ckpt)
+    return w.start()
+
+
+def _drain(spark, q, out_name, want, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline and spark.table(out_name).count() < want:
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_stream_source_rate_limited_multibatch(spark, sf_dir):
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    n = spark.read.parquet(path).count()
+    name = f"ss_multi_{uuid.uuid4().hex[:8]}"
+    q = _start_stream(spark, path, schema, name, per_trigger=max(1, n // 4))
+    _drain(spark, q, name, n)
+    got = spark.table(name)
+    assert got.count() == n                       # every row exactly once
+    assert got.select("event_id").distinct().count() == n
+    nonempty = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert nonempty >= 4                          # the cap actually paced ingestion
+    # matches the batch read bit-for-bit
+    batch = spark.read.parquet(path)
+    assert got.select(*batch.columns).exceptAll(batch).count() == 0
+
+
+def test_stream_source_availablenow_drains_everything(spark, sf_dir):
+    from pipeline311_spark.sources import salesforce_sim
+
+    salesforce_sim.register(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    n = spark.read.parquet(path).count()
+    name = f"ss_drain_{uuid.uuid4().hex[:8]}"
+    st = (
+        spark.readStream.format("sf_cases")
+        .schema(schema)
+        .option("path", path)
+        .load()  # no per-trigger cap: availableNow must see the full store
+    )
+    q = st.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.table(name).count() == n
+
+
+def test_stream_source_checkpoint_restart_exactly_once(spark, sf_dir):
+    from pipeline311_spark.sources import salesforce_sim
+
+    salesforce_sim.register(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    n = spark.read.parquet(path).count()
+    per = max(1, n // 5)
+    base = os.path.join(tempfile.gettempdir(), f"ss_restart_{uuid.uuid4().hex[:12]}")
+    ckpt, out = base + ".ckpt", base + ".out"
+
+    def start():
+        st = (
+            spark.readStream.format("sf_cases")
+            .schema(schema)
+            .option("path", path)
+            .option("pagesize", "200")
+            .option("maxrowspertrigger", str(per))
+            .load()
+        )
+        return (
+            st.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def sunk():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    # phase 1: ingest at least one batch, then stop mid-stream
+    q1 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and sunk() < per:
+        time.sleep(0.25)
+    q1.stop()
+    q1.awaitTermination(30)
+    seen1 = sunk()
+    assert 0 < seen1 < n                          # genuinely interrupted mid-stream
+
+    # phase 2: a FRESH reader restarts from the checkpointed offset
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and sunk() < n:
+        time.sleep(0.25)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = spark.read.parquet(out).select("event_id")
+    assert got.count() == n                       # no gap, and
+    assert got.distinct().count() == n            # no overlap (exactly-once)
