@@ -65,3 +65,51 @@ def write_zordered(
         else clustered.repartitionByRange("__z")
     )
     part.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    streaming/incremental sink eventually needs (micro-batch appends at
+    100 TB produce millions of KB-sized files; scan planning, footer
+    reads, and the driver's split enumeration all degrade).  Rewrites
+    ``path`` into ``ceil(total_bytes / target_file_bytes)`` files and
+    returns the new file count.
+
+    The rewrite is one job: scan → ``repartition(n)`` (round-robin, no
+    key shuffle skew) → optional ``sortWithinPartitions`` to restore
+    row-group-stat locality → atomic swap via a staging dir.  At scale
+    this runs per partition-directory of the table, bounding the
+    shuffle to one partition's bytes at a time.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path).repartition(n)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    staging = path.rstrip("/") + ".compact.tmp"
+    df.write.mode("overwrite").parquet(staging)
+    # Swap by directory rename — the compacted data is written ONCE
+    # (posix/HDFS rename; an object-store deployment would swap the
+    # table-format manifest instead).
+    old = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )

@@ -499,3 +499,78 @@ def q_dst_offset_format(spark, sf_dir):
         F.expr("timestampadd(DAY, CAST(event_id % 365 AS INT), ts)").alias("t"),
     )
     return shifted.select("event_id", to_local_string_with_offset("t").alias("local_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Lake operations: schema-evolution read and small-file compaction —
+# both proven by content-identity roundtrips through real writes.
+# ---------------------------------------------------------------------------
+
+_EVOLVE_SQL = """
+WITH unioned AS (
+  SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+SELECT lang, COUNT(*) AS n_docs, COUNT(n_chars) AS n_evolved,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+FROM unioned GROUP BY lang
+"""
+
+
+@register("s_schema_evolution_roundtrip", _EVOLVE_SQL, covers=("S9", "K2", "S6"))
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution across table versions: v1 files lack a column
+    later versions carry; ``mergeSchema`` reconciles at read and the
+    missing column surfaces as NULL — exercised through a real
+    two-generation parquet write, not a mock."""
+    import uuid
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_evolve_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(out)
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "append"
+    ).parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_chars").alias("n_evolved"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+    )
+
+
+_COMPACT_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY lang
+"""
+
+
+@register("k_compact_small_files", _COMPACT_SQL, covers=("K2", "T3", "ext:layout"))
+def q_compact_small_files(spark, sf_dir):
+    """Small-file compaction roundtrip: fragment documents into many
+    tiny files (a micro-batch sink's worst case), compact to the target
+    file size, and prove content identity through the oracle.  The
+    file-count reduction itself is asserted in tests/test_layout.py."""
+    import uuid
+
+    from pipeline311_spark.operators.layout import compact_parquet_dir
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_compact_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    d.repartition(64).write.mode("overwrite").parquet(out)  # 64 shards of a tiny table
+    compact_parquet_dir(spark, out, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -102,3 +102,28 @@ def test_lsh_partitioned_corpus_prunes_probe_reads(spark, sf_dir):
     assert "PartitionFilters: [isnotnull(pkey" in plan
     # the predicate must NOT degrade to a data Filter node after the scan
     assert "Filter (" not in plan
+
+
+def test_compact_parquet_dir_reduces_files_preserving_content(spark, tmp_path):
+    import os
+
+    from pipeline311_spark.operators.layout import compact_parquet_dir
+
+    out = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(40).write.mode("overwrite").parquet(out)
+    n_before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_before >= 40
+
+    n_after = compact_parquet_dir(spark, out, target_file_bytes=256 * 1024 * 1024)
+    assert n_after < n_before and n_after >= 1
+    listed = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert listed == n_after
+    # content identity, and the staging dir is gone
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    assert not os.path.exists(out + ".compact.tmp")
+    assert not os.path.exists(out + ".compact.old")
