@@ -77,9 +77,22 @@ def main() -> None:
         except Exception as e:  # warm-up failure must not kill the bench
             print(f"warmup {warm} failed: {e!r}", file=sys.stderr)
 
-    # Per-query error isolation: one broken query reports {"err": ...}
-    # and the bench still emits its JSON line — a single regression must
-    # never erase the whole round's perf signal.
+    def best_time(spec, runs: int = 2):
+        """Best-of-N wall time for one query, or {"err": ...}.  Errors
+        are isolated per query — a single regression must never erase
+        the whole round's perf signal.  Best-of-N because single-shot
+        readings mix JIT/GC debt from earlier queries into the number."""
+        best = float("inf")
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).count()
+            except Exception as e:
+                return {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     per_query: dict[str, object] = {}
     total = 0.0
     for name in HEADLINE:
@@ -87,29 +100,12 @@ def main() -> None:
         if spec is None:
             per_query[name] = {"err": "not in REGISTRY"}
             continue
-        best = float("inf")
-        err = None
-        for _ in range(2):  # best-of-2: isolates query cost from JIT/IO noise
-            spark.catalog.clearCache()
-            t0 = time.time()
-            try:
-                spec.fn(spark, sf_dir).count()
-            except Exception as e:
-                err = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-                break
-            best = min(best, time.time() - t0)
-        if err is not None:
-            per_query[name] = {"err": err}
-            continue
-        per_query[name] = round(best, 3)
-        total += best
+        per_query[name] = t = best_time(spec)
+        if isinstance(t, float):
+            total += t
 
     # Round-4 composites, timed but NOT in the headline total so `value`
     # stays comparable across rounds (the headline list is frozen).
-    # Best-of-2 like the headline: a single-shot number here mixes
-    # first-compilation JIT + GC debt from the 25 headline queries into
-    # the reading (observed 19.5 s single-shot vs 2.8 s isolated for
-    # dedup_ngram_jaccard on a loaded VM).
     extra: dict[str, object] = {}
     for name in (
         "curation_end_to_end",
@@ -121,18 +117,7 @@ def main() -> None:
         spec = plans.REGISTRY.get(name)
         if spec is None:
             continue
-        best = float("inf")
-        err = None
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            try:
-                spec.fn(spark, sf_dir).count()
-            except Exception as e:
-                err = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-                break
-            best = min(best, time.time() - t0)
-        extra[name] = {"err": err} if err is not None else round(best, 3)
+        extra[name] = best_time(spec)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -90,6 +90,13 @@ def compact_parquet_dir(
     import os
     import shutil
 
+    # Recover a previous crashed swap BEFORE touching anything: if the
+    # last run died between its two renames, the only live copy of the
+    # table sits in ``.compact.old`` and ``path`` does not exist.
+    old = path.rstrip("/") + ".compact.old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -102,11 +109,13 @@ def compact_parquet_dir(
         df = df.sortWithinPartitions(*sort_within_by)
     staging = path.rstrip("/") + ".compact.tmp"
     df.write.mode("overwrite").parquet(staging)
-    # Swap by directory rename — the compacted data is written ONCE
+    # Swap by two renames — the compacted data is written ONCE
     # (posix/HDFS rename; an object-store deployment would swap the
-    # table-format manifest instead).
-    old = path.rstrip("/") + ".compact.old"
-    shutil.rmtree(old, ignore_errors=True)
+    # table-format manifest instead).  The swap is NOT atomic: a crash
+    # between the renames leaves no live dir at ``path``, which the
+    # recovery below repairs on the next run — ``.old`` is only removed
+    # once ``path`` exists again, so the data always has a live copy.
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a COMPLETED swap only
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)

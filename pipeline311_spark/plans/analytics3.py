@@ -145,7 +145,11 @@ def q_from_json(spark, sf_dir):
 # a recursive-CTE oracle)
 # ---------------------------------------------------------------------------
 
-_CLUSTERS_SQL = f"""
+# Shared WITH-prefix: the Jaccard-pair CTEs (extracted from
+# _NGRAM_JACCARD_SQL up to its final projection) + symmetric edges +
+# the recursive reachability CTE.  Built ONCE; both the clusters and
+# the surviving-corpus oracles append only their final SELECT.
+_REACH_PREFIX = f"""
 WITH RECURSIVE
 {_NGRAM_JACCARD_SQL.strip().removeprefix('WITH').rsplit('SELECT', 1)[0].rstrip().rstrip(',')},
 pairs AS (
@@ -156,7 +160,9 @@ sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM 
 reach(node, r) AS (
   SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
   UNION
-  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node)
+  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node)"""
+
+_CLUSTERS_SQL = f"""{_REACH_PREFIX}
 SELECT node AS doc_id, MIN(r) AS cluster, node = MIN(r) AS is_keeper
 FROM reach GROUP BY node
 """
@@ -178,18 +184,7 @@ def q_dup_clusters(spark, sf_dir):
 # the full corpus flows through one scan with no shuffle.
 # ---------------------------------------------------------------------------
 
-_SURVIVORS_SQL = f"""
-WITH RECURSIVE
-{_NGRAM_JACCARD_SQL.strip().removeprefix('WITH').rsplit('SELECT', 1)[0].rstrip().rstrip(',')},
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}),
-sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-reach(node, r) AS (
-  SELECT s, s FROM (SELECT DISTINCT s FROM sym) t
-  UNION
-  SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+_SURVIVORS_SQL = f"""{_REACH_PREFIX},
 dropped AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(r))
 SELECT d.doc_id, d.lang, d.source
 FROM documents d WHERE d.doc_id NOT IN (SELECT node FROM dropped)

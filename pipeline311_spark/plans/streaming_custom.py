@@ -85,22 +85,12 @@ FROM (
 """
 
 
-@register("stream_merge_latest", _STREAM_MERGE_SQL, covers=("T1", "K3", "O5"))
-def q_stream_merge(spark, sf_dir):
-    """The incremental MERGE executed through Structured Streaming:
-    each micro-batch upserts into a parquet serving table via
-    ``foreachBatch`` (the reference's whole sync loop, SURVEY §3.1,
-    as a streaming job)."""
+def _parquet_upsert_batch_fn(out_dir: str):
+    """foreachBatch kernel shared by the streaming MERGE queries: each
+    micro-batch is reduced latest-per-key, upserted against the current
+    serving table, and swapped in via a tmp-dir rewrite (updates win on
+    ts ties per the upsert rule; intra-batch ties break on event_id)."""
     from pipeline311_spark.operators.merge import latest_per_key, upsert
-
-    import uuid
-
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"p311_stream_merge_{uuid.uuid4().hex[:12]}"
-    )
-    ckpt = out_dir + ".ckpt"
-
-    stream = _stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
 
     def apply_batch(batch_df, batch_id):
         batch_latest = latest_per_key(batch_df, "user_id", "ts", tiebreak="event_id")
@@ -113,19 +103,41 @@ def q_stream_merge(spark, sf_dir):
         final = batch_df.sparkSession.read.parquet(out_dir + ".tmp")
         final.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    return apply_batch
+
+
+def _serving_table_result(spark, out_dir: str):
     return spark.read.parquet(out_dir).select(
         "user_id",
         "event_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
     )
+
+
+@register("stream_merge_latest", _STREAM_MERGE_SQL, covers=("T1", "K3", "O5"))
+def q_stream_merge(spark, sf_dir):
+    """The incremental MERGE executed through Structured Streaming:
+    each micro-batch upserts into a parquet serving table via
+    ``foreachBatch`` (the reference's whole sync loop, SURVEY §3.1,
+    as a streaming job)."""
+    import uuid
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"p311_stream_merge_{uuid.uuid4().hex[:12]}"
+    )
+    ckpt = out_dir + ".ckpt"
+
+    stream = _stream_events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+
+    q = (
+        stream.writeStream.foreachBatch(_parquet_upsert_batch_fn(out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _serving_table_result(spark, out_dir)
 
 
 @register("stream_connector_incremental_sync", _STREAM_MERGE_SQL, covers=("S1", "T1", "K3", "O5"))
@@ -141,7 +153,6 @@ def q_stream_connector_sync(spark, sf_dir):
     import time
     import uuid
 
-    from pipeline311_spark.operators.merge import latest_per_key, upsert
     from pipeline311_spark.plans.common import prep_session
     from pipeline311_spark.sources import salesforce_sim
     from pipeline311_spark.sources.readers import normalize_event_time
@@ -168,19 +179,8 @@ def q_stream_connector_sync(spark, sf_dir):
     )
     ckpt = out_dir + ".ckpt"
 
-    def apply_batch(batch_df, batch_id):
-        batch_latest = latest_per_key(batch_df, "user_id", "ts", tiebreak="event_id")
-        if os.path.exists(out_dir):
-            current = batch_df.sparkSession.read.parquet(out_dir)
-            merged = upsert(current, batch_latest, "user_id", "ts")
-        else:
-            merged = batch_latest
-        merged.write.mode("overwrite").parquet(out_dir + ".tmp")
-        final = batch_df.sparkSession.read.parquet(out_dir + ".tmp")
-        final.write.mode("overwrite").parquet(out_dir)
-
     q = (
-        stream.writeStream.foreachBatch(apply_batch)
+        stream.writeStream.foreachBatch(_parquet_upsert_batch_fn(out_dir))
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -195,12 +195,7 @@ def q_stream_connector_sync(spark, sf_dir):
     q.awaitTermination(60)
     if done < n_rows:
         raise TimeoutError(f"connector sync drained {done}/{n_rows} rows in 300s")
-    return spark.read.parquet(out_dir).select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-    )
+    return _serving_table_result(spark, out_dir)
 
 
 _APPLY_SQL = """

@@ -55,6 +55,41 @@ def _attr(f: Filter) -> str:
     return f.attribute[0]
 
 
+def _read_rows(path: str, columns: list[str], start: int, end: int):
+    """Rows [start, end) of the backing parquet as an Arrow table,
+    reading ONLY the row groups that intersect the range (a page task
+    must not pay for the whole file — at a 1 GB store with 200-row
+    pages, full-file reads would amplify I/O by the page count)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    pieces = []
+    rg_start = 0
+    for rg in range(pf.metadata.num_row_groups):
+        rg_rows = pf.metadata.row_group(rg).num_rows
+        rg_end = rg_start + rg_rows
+        if rg_end > start and rg_start < end:  # intersects [start, end)
+            t = pf.read_row_group(rg, columns=columns)
+            lo = max(start - rg_start, 0)
+            hi = min(end - rg_start, rg_rows)
+            pieces.append(t.slice(lo, hi - lo))
+        rg_start = rg_end
+        if rg_start >= end:
+            break
+    if not pieces:
+        return pf.schema_arrow.empty_table() if columns is None else pa.table(
+            {c: pa.array([], pf.schema_arrow.field(c).type) for c in columns}
+        )
+    return pa.concat_tables(pieces)
+
+
+def _iter_rows(table):
+    for batch in table.to_batches():
+        for row in zip(*[batch.column(i).to_pylist() for i in range(batch.num_columns)]):
+            yield row
+
+
 class CaseSourceReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options):
         self.schema = schema
@@ -105,16 +140,11 @@ class CaseSourceReader(DataSourceReader):
 
     # -- scan --------------------------------------------------------------
     def read(self, partition: _Page):
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(self.path, columns=self.columns)
-        page = table.slice(partition.start, partition.end - partition.start)
+        page = _read_rows(self.path, self.columns, partition.start, partition.end)
         flt = self._arrow_filter()
         if flt is not None:
             page = page.filter(flt)
-        for batch in page.to_batches():
-            for row in zip(*[batch.column(i).to_pylist() for i in range(batch.num_columns)]):
-                yield row
+        yield from _iter_rows(page)
 
 
 class CaseSourceStreamReader(DataSourceStreamReader):
@@ -176,22 +206,23 @@ class CaseSourceStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s0, e0 = start["pos"], end["pos"]
-        self._last = max(self._last, e0)  # checkpoint restore can outrun the cursor
-        return [
-            _Page(s, min(s + self.page_size, e0)) for s in range(s0, e0, self.page_size)
-        ] or [_Page(s0, s0)]
+        # Checkpoint restore can outrun the fresh cursor: sync with BOTH
+        # ends so latestOffset never plans behind anything the engine
+        # has already shown us (start = committed offset on restart).
+        self._last = max(self._last, s0, e0)
+        if e0 <= s0:  # regressed/empty range: emit nothing
+            return [_Page(s0, s0)]
+        return [_Page(s, min(s + self.page_size, e0)) for s in range(s0, e0, self.page_size)]
 
     def read(self, partition: _Page):
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(self.path, columns=self.columns)
-        page = table.slice(partition.start, partition.end - partition.start)
-        for batch in page.to_batches():
-            for row in zip(*[batch.column(i).to_pylist() for i in range(batch.num_columns)]):
-                yield row
+        yield from _iter_rows(
+            _read_rows(self.path, self.columns, partition.start, partition.end)
+        )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are positions in an immutable store; nothing to release
+        # Positions in an immutable store: nothing to release, but keep
+        # the cursor monotonic w.r.t. everything the engine committed.
+        self._last = max(self._last, end["pos"])
 
 
 class CaseSource(DataSource):

@@ -127,3 +127,24 @@ def test_compact_parquet_dir_reduces_files_preserving_content(spark, tmp_path):
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
     assert not os.path.exists(out + ".compact.tmp")
     assert not os.path.exists(out + ".compact.old")
+
+
+def test_compact_parquet_dir_recovers_crashed_swap(spark, tmp_path):
+    import os
+
+    from pipeline311_spark.operators.layout import compact_parquet_dir
+
+    out = str(tmp_path / "crashed")
+    df = spark.range(0, 1_000).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    df.repartition(8).write.mode("overwrite").parquet(out)
+    # simulate a crash between the two swap renames: the only live copy
+    # of the table sits in .compact.old and the table dir is gone
+    os.rename(out, out + ".compact.old")
+    assert not os.path.exists(out)
+
+    n_after = compact_parquet_dir(spark, out, target_file_bytes=256 * 1024 * 1024)
+    assert n_after >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == 1_000
+    assert back.exceptAll(df).count() == 0
+    assert not os.path.exists(out + ".compact.old")
