@@ -14,6 +14,8 @@ for fan-out without re-reading the corpus.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -120,6 +122,22 @@ def _require_dim(vec_col: str, dim: int | None) -> int:
     return dim
 
 
+@lru_cache(maxsize=64)
+def _signature_expr(vec_col: str, n_planes: int, dim: int, seed: int) -> Column:
+    """Memoized hyperplane-signature Column for a named vector column.
+
+    Building the signature expression costs ~0.55 s of *driver* time
+    (n_planes × dim literal Columns plus the fold lambdas — thousands
+    of py4j round trips), ~3× the executor time of actually bucketing
+    a bench-sized corpus.  The expression is an immutable unresolved
+    Catalyst tree referencing only the column NAME, so one instance is
+    reusable across DataFrames, queries, and sessions within the
+    process (py4j objects outlive ``spark.stop()`` — the JVM is per
+    process).  Cache keyed by everything that determines the tree."""
+    planes = deterministic_planes(n_planes, dim, seed)
+    return hyperplane_signature(as_double(vec_col), planes)
+
+
 def lsh_bucket(
     df: DataFrame,
     id_col: str,
@@ -131,12 +149,11 @@ def lsh_bucket(
     """Bucket rows by random-hyperplane signature.  ``dim`` is the
     embedding dimension (required — see :func:`_require_dim`)."""
     dim = _require_dim(vec_col, dim)
-    planes = deterministic_planes(n_planes, dim, seed)
     return (
         ensure_parallelism(df)
         .select(
             F.col(id_col), as_double(vec_col).alias("v"),
-            hyperplane_signature(as_double(vec_col), planes).alias("bucket"),
+            _signature_expr(vec_col, n_planes, dim, seed).alias("bucket"),
         )
         .withColumn("nv", l2_norm(F.col("v")))  # per-row norm, paid once
     )
