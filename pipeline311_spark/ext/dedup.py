@@ -15,6 +15,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -156,14 +158,28 @@ def _gram_hash_table(
     Duplicate n-grams within a doc are kept: MIN aggregation is
     multiset-insensitive, so signatures match the set formulation.
     """
-    from pipeline311_spark.ext.hashing import MOD
-
     toks = tokens(normalize_text(text_col))
     compact = ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk")))
-    hs = F.transform(
+    per = compact.withColumn("hs", _token_hash_expr()).filter(F.size("tk") >= n)
+    return per.select("doc", F.explode(_gram_fold_expr(n, distinct)).alias("g"))
+
+
+@lru_cache(maxsize=4)
+def _token_hash_expr() -> Column:
+    """Memoized per-token hash array over the fixed ``tk`` intermediate
+    (expression construction is py4j-bound driver time; the tree is an
+    immutable unresolved Column, reusable across plans)."""
+    from pipeline311_spark.ext.hashing import MOD
+
+    return F.transform(
         "tk", lambda tok: F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % MOD
     )
-    per = compact.withColumn("hs", hs).filter(F.size("tk") >= n)
+
+
+@lru_cache(maxsize=8)
+def _gram_fold_expr(n: int, distinct: bool) -> Column:
+    """Memoized n-gram fold over the fixed ``hs``/``tk`` intermediates."""
+    from pipeline311_spark.ext.hashing import MOD
 
     def _fold(i: Column) -> Column:
         g = F.element_at(F.col("hs"), i + 1)
@@ -172,9 +188,7 @@ def _gram_hash_table(
         return g
 
     grams = F.transform(F.sequence(F.lit(0), F.size("tk") - n), _fold)
-    if distinct:
-        grams = F.array_distinct(grams)
-    return per.select("doc", F.explode(grams).alias("g"))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def _signatures_from_grams(gh: DataFrame, k: int, seed: int) -> DataFrame:
@@ -182,9 +196,16 @@ def _signatures_from_grams(gh: DataFrame, k: int, seed: int) -> DataFrame:
     map-side partial aggregation shrinks the shuffle to k longs per doc
     (the only shuffle in signature computation; gram rows themselves
     never cross the network)."""
+    return gh.groupBy("doc").agg(*_minhash_aggs(k, seed))
+
+
+@lru_cache(maxsize=8)
+def _minhash_aggs(k: int, seed: int) -> tuple[Column, ...]:
+    """Memoized k min-affine aggregates over the fixed ``g`` column."""
     params = hash_params(k, seed)
-    aggs = [F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)]
-    return gh.groupBy("doc").agg(*aggs)
+    return tuple(
+        F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)
+    )
 
 
 def minhash_signatures(
@@ -234,18 +255,8 @@ def lsh_candidate_pairs(
     that dedupe later anyway on a much smaller, already-materialized
     candidate set.
     """
-    rows = k // bands
     banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws("_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias("key"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bk"),
+        "doc", F.explode(_band_expr(k, bands)).alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # Size-gate FIRST (spill-safe window count), collect membership only
     # for surviving buckets: a hot bucket never reaches collect_set.
@@ -257,9 +268,31 @@ def lsh_candidate_pairs(
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
     )
-    # all ordered pairs (i < j) within the bucket, generated array-side
+    out = buckets.select(F.explode(_bucket_pairs_expr()).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    )
+    return out.distinct() if distinct_pairs else out
+
+
+@lru_cache(maxsize=8)
+def _band_expr(k: int, bands: int) -> Column:
+    """Memoized band/key struct array over the fixed ``mh*`` columns."""
+    rows = k // bands
+    return F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for bi in range(bands)
+    ])
+
+
+@lru_cache(maxsize=1)
+def _bucket_pairs_expr() -> Column:
+    """Memoized all-ordered-pairs (i < j) generator over the fixed
+    ``docs`` bucket-membership array, generated array-side."""
     docs = F.col("docs")
-    pairs = F.flatten(
+    return F.flatten(
         F.transform(
             docs,
             lambda x, i: F.transform(
@@ -268,10 +301,6 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    out = buckets.select(F.explode(pairs).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
-    )
-    return out.distinct() if distinct_pairs else out
 
 
 def minhash_dedup_pairs(
@@ -524,16 +553,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         F.col(id_col).alias("doc"),
         F.explode(tokens(normalize_text(text_col))).alias("tok"),
     ).select("doc", portable_hash64(F.col("tok")).alias("h"))
-    aggs = [
+    aggs, sig = _simhash_exprs(bits)
+    votes = th.groupBy("doc").agg(*aggs)
+    return votes.select("doc", sig.cast("long").alias("simhash"))
+
+
+@lru_cache(maxsize=8)
+def _simhash_exprs(bits: int) -> tuple[tuple[Column, ...], Column]:
+    """Memoized per-bit vote aggregates + signature assembly (~0.5 s of
+    py4j-bound driver time to build `bits` agg trees; immutable
+    unresolved expressions over fixed intermediate names)."""
+    aggs = tuple(
         F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
         for i in range(bits)
-    ]
-    votes = th.groupBy("doc").agg(*aggs)
+    )
     sig = sum(
         (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)),
         start=F.lit(0),
     )
-    return votes.select("doc", sig.cast("long").alias("simhash"))
+    return aggs, sig
 
 
 def simhash_near_pairs(sig: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4, max_hamming: int = 3) -> DataFrame:

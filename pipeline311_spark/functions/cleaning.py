@@ -21,6 +21,8 @@ SURVEY §7.5:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,8 +122,19 @@ def clean_cases(df: DataFrame, field_map: dict[str, str] | None = None) -> DataF
     Arrow-batched NFKD UDF, shared by three columns.  Contrast with the
     reference's per-row dict loop that materializes everything in driver
     memory (sync-db2.py:62-69 — the #1 anti-pattern at 100 TB).
-    """
-    fm = dict(field_map or FIELD_MAP)
+
+    The ~40-column expression tree costs ~0.5 s of driver time to build
+    (hundreds of py4j round trips) vs ~0.05 s to execute at bench scale,
+    and an incremental runner would otherwise rebuild it every batch
+    cycle — so the select list is memoized per field_map (Columns are
+    immutable unresolved trees keyed only on source column names)."""
+    fm_items = tuple((field_map or FIELD_MAP).items())
+    return df.select(list(_clean_case_cols(fm_items)))
+
+
+@lru_cache(maxsize=8)
+def _clean_case_cols(fm_items: tuple[tuple[str, str], ...]) -> tuple[Column, ...]:
+    fm = dict(fm_items)
     cleaned_desc = clean_description(F.col(fm["description"]))
 
     cols: dict[str, Column] = {}
@@ -159,4 +172,4 @@ def clean_cases(df: DataFrame, field_map: dict[str, str] | None = None) -> DataF
             "description"}]
         + ["shape"]
     )
-    return df.select([cols[name].alias(name) for name in order])
+    return tuple(cols[name].alias(name) for name in order)
