@@ -166,13 +166,83 @@ def esri_polyline_geometry_json(shape: Column | str) -> Column:
 def reproject_identity(x: Column, y: Column, in_srid: int = SRID, out_srid: int = SRID):
     """P19: coordinate reprojection.  For the reference's configured
     4326->4326 this is the identity (sync-db2-ago.py:40-42 hoists a
-    pyproj Transformer that never changes anything).  A real CRS change
-    would be a pandas UDF wrapping pyproj — gated off because pyproj is
-    not a dependency and the capability is unused.
+    pyproj Transformer that never changes anything).  Real CRS changes
+    for the two targets a Philadelphia GIS pipeline actually uses are
+    implemented below in pure Column math — no pyproj, no UDF:
+    :func:`reproject_4326_to_3857` (Web Mercator, the basemap CRS) and
+    :func:`reproject_4326_to_2272` (NAD83 / Pennsylvania South ftUS,
+    the city's State Plane zone that ``Centerline_2272x__c/y__c`` —
+    see the reference field map — are expressed in).
     """
-    if in_srid != out_srid:
-        raise NotImplementedError(
-            "non-identity reprojection requires pyproj (pandas UDF); "
-            "reference only ever runs 4326->4326 (config.py:5-6)"
-        )
+    if in_srid == out_srid:
+        return x, y
+    if (in_srid, out_srid) == (4326, 3857):
+        return reproject_4326_to_3857(x, y)
+    if (in_srid, out_srid) == (4326, 2272):
+        return reproject_4326_to_2272(x, y)
+    raise NotImplementedError(
+        f"reprojection {in_srid}->{out_srid} not implemented; supported: "
+        "identity, 4326->3857 (Web Mercator), 4326->2272 (PA South ftUS)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real reprojection in pure Column math (P19 capability surface).
+#
+# Cross-engine determinism notes (these feed DuckDB oracle twins):
+# * All projection constants are precomputed Python doubles embedded as
+#   identical literals on both engines (never recomputed per engine —
+#   e.g. RADIANS() is avoided because Spark's Math.toRadians computes
+#   d/180*PI while DuckDB computes d*(PI/180), which differ in the last
+#   ulp; an explicit multiply by the same literal is exactly rounded and
+#   therefore bit-identical).
+# * Per-row transcendentals (sin/cos/tan/ln/pow) are evaluated by each
+#   engine's libm and may differ by ~1 ulp; oracle-gated queries must
+#   round projected coordinates (integer feet/meters keeps the
+#   boundary-flip probability ~1e-9 per value).
+# ---------------------------------------------------------------------------
+
+_RAD = 0.017453292519943295  # pi/180
+_RAD_2 = 0.008726646259971648  # pi/360
+_PI_4 = 0.7853981633974483  # pi/4
+_M_TO_FTUS = 3.2808333333333333  # 3937/1200 (US survey feet per meter)
+_WEBMERC_R = 6378137.0
+_WEBMERC_X = 111319.49079327358  # R * pi/180
+
+# NAD83 / Pennsylvania South (EPSG:2272): Lambert Conformal Conic 2SP on
+# GRS80; std parallels 40°58' / 39°56', origin 39°20'N 77°45'W, false
+# easting 1,968,500 ftUS.  Derived constants (Snyder, "Map Projections —
+# A Working Manual", eq. 15-1..15-9) precomputed from those parameters:
+_LCC2272_E = 0.08181919104281579  # GRS80 first eccentricity
+_LCC2272_E_HALF = 0.040909595521407896
+_LCC2272_N = 0.6487931516193333  # cone constant n
+_LCC2272_AF = 12336392.186729575  # a * F
+_LCC2272_RHO0 = 7615193.758064943  # a * F * t(phi0)^n
+_LCC2272_N_RAD = 0.011323576660148145  # n * pi/180
+_LCC2272_LON0 = -77.75
+_LCC2272_FE_FT = 1968500.0
+
+
+def reproject_4326_to_3857(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Forward spherical (Web) Mercator: meters east/north of (0, 0)."""
+    x = lon * F.lit(_WEBMERC_X)
+    y = F.lit(_WEBMERC_R) * F.log(F.tan(F.lit(_PI_4) + lat * F.lit(_RAD_2)))
     return x, y
+
+
+def reproject_4326_to_2272(lon: Column, lat: Column) -> tuple[Column, Column]:
+    """Forward LCC to NAD83 / Pennsylvania South, in US survey feet.
+
+    Accurate to the datum-shift-free ellipsoidal projection (NAD83 and
+    WGS84 lon/lat are treated as equal, the standard GIS convention for
+    sub-meter-irrelevant work — the reference's pyproj Transformer with
+    ``always_xy=True`` does the same for these CRSs)."""
+    esin = F.lit(_LCC2272_E) * F.sin(lat * F.lit(_RAD))
+    t = F.tan(F.lit(_PI_4) - lat * F.lit(_RAD_2)) / F.pow(
+        (F.lit(1.0) - esin) / (F.lit(1.0) + esin), F.lit(_LCC2272_E_HALF)
+    )
+    rho = F.lit(_LCC2272_AF) * F.pow(t, F.lit(_LCC2272_N))
+    theta = (lon - F.lit(_LCC2272_LON0)) * F.lit(_LCC2272_N_RAD)
+    easting = rho * F.sin(theta) * F.lit(_M_TO_FTUS) + F.lit(_LCC2272_FE_FT)
+    northing = (F.lit(_LCC2272_RHO0) - rho * F.cos(theta)) * F.lit(_M_TO_FTUS)
+    return easting, northing

@@ -574,3 +574,76 @@ def q_compact_small_files(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P19 (real reprojection): EPSG:4326 -> Web Mercator (3857) and
+# NAD83 / Pennsylvania South ftUS (2272) — the reference's actual State
+# Plane zone (its Centerline_2272x__c/y__c fields) — in pure Column
+# math, no pyproj, no UDF (functions/geo.py).  The oracle twin runs the
+# SAME formula with the SAME precomputed constant literals; coordinates
+# are rounded to integer feet/meters because per-row transcendentals
+# (sin/tan/pow/ln) may differ by ~1 ulp between libms, and an integer
+# grid makes the boundary-flip probability ~1e-9 per value.
+# ---------------------------------------------------------------------------
+
+def _p19_sql() -> str:
+    from pipeline311_spark.functions.geo import (
+        _LCC2272_AF, _LCC2272_E, _LCC2272_E_HALF, _LCC2272_FE_FT,
+        _LCC2272_LON0, _LCC2272_N, _LCC2272_N_RAD, _LCC2272_RHO0,
+        _M_TO_FTUS, _PI_4, _RAD, _RAD_2, _WEBMERC_R, _WEBMERC_X,
+    )
+
+    return f"""
+WITH pts AS (
+  SELECT p_partkey,
+         -80.0 + (p_partkey % 500) * 0.01 AS lon,
+         39.72 + (p_partkey % 130) * 0.01 AS lat
+  FROM part),
+lcc AS (
+  SELECT p_partkey, lon, lat,
+         {_LCC2272_E!r} * sin(lat * {_RAD!r}) AS esin
+  FROM pts),
+rho_t AS (
+  SELECT p_partkey, lon, lat,
+         {_LCC2272_AF!r} * pow(
+           tan({_PI_4!r} - lat * {_RAD_2!r})
+             / pow((1.0 - esin) / (1.0 + esin), {_LCC2272_E_HALF!r}),
+           {_LCC2272_N!r}) AS rho,
+         (lon - {_LCC2272_LON0!r}) * {_LCC2272_N_RAD!r} AS theta
+  FROM lcc)
+SELECT p_partkey,
+       CAST(round(lon * {_WEBMERC_X!r}, 0) AS BIGINT) AS x_3857,
+       CAST(round({_WEBMERC_R!r} * ln(tan({_PI_4!r} + lat * {_RAD_2!r})), 0) AS BIGINT) AS y_3857,
+       CAST(round(rho * sin(theta) * {_M_TO_FTUS!r} + {_LCC2272_FE_FT!r}, 0) AS BIGINT) AS e_2272_ft,
+       CAST(round(({_LCC2272_RHO0!r} - rho * cos(theta)) * {_M_TO_FTUS!r}, 0) AS BIGINT) AS n_2272_ft
+FROM rho_t
+"""
+
+
+@register("p19_reproject_real", _p19_sql(), covers=("P19", "P2"))
+def q_reproject_real(spark, sf_dir):
+    """P19 beyond the reference's identity case: forward Web Mercator +
+    forward Lambert Conformal Conic to the city's own State Plane zone
+    (EPSG:2272), both as whole-stage-codegen'd Column expressions over
+    synthetic in-zone coordinates (sync-db2-ago.py:40-42 is the pyproj
+    transformer this replaces; config.py:5-6 pins identity in the
+    reference's own config)."""
+    from pipeline311_spark.functions.geo import (
+        reproject_4326_to_2272,
+        reproject_4326_to_3857,
+    )
+
+    p = table(spark, sf_dir, "part")
+    lon = F.lit(-80.0) + (F.col("p_partkey") % 500) * F.lit(0.01)
+    lat = F.lit(39.72) + (F.col("p_partkey") % 130) * F.lit(0.01)
+    src = p.select("p_partkey", lon.alias("lon"), lat.alias("lat"))
+    x, y = reproject_4326_to_3857(F.col("lon"), F.col("lat"))
+    e, n = reproject_4326_to_2272(F.col("lon"), F.col("lat"))
+    return src.select(
+        "p_partkey",
+        F.round(x, 0).cast("long").alias("x_3857"),
+        F.round(y, 0).cast("long").alias("y_3857"),
+        F.round(e, 0).cast("long").alias("e_2272_ft"),
+        F.round(n, 0).cast("long").alias("n_2272_ft"),
+    )

@@ -63,8 +63,31 @@ def test_parse_point_roundtrip(spark):
 
 
 def test_reproject_identity_guard():
+    # unsupported CRS pairs still refuse loudly
     with pytest.raises(NotImplementedError):
-        reproject_identity(None, None, 4326, 2272)
+        reproject_identity(None, None, 4326, 26918)
+
+
+def test_reproject_real_crs(spark):
+    """Forward 3857 + 2272 sanity against independently known values:
+    Philadelphia City Hall (-75.1635, 39.9527) is ~(2,693,500 E,
+    236,200 N) ftUS in PA South and ~(-8,367,163, 4,859,071) m in Web
+    Mercator; determinism: two evaluations are bit-identical."""
+    from pipeline311_spark.functions.geo import (
+        reproject_4326_to_2272,
+        reproject_4326_to_3857,
+    )
+
+    df = spark.createDataFrame([(-75.1635, 39.9527)], "lon double, lat double")
+    x, y = reproject_4326_to_3857(F.col("lon"), F.col("lat"))
+    e, n = reproject_4326_to_2272(F.col("lon"), F.col("lat"))
+    [r1] = df.select(x.alias("x"), y.alias("y"), e.alias("e"), n.alias("n")).collect()
+    assert abs(r1["x"] - -8367162.5) < 1.0
+    assert abs(r1["y"] - 4859071.2) < 1.0
+    assert abs(r1["e"] - 2693535.6) < 5.0  # sub-5ft of the zone's published grid
+    assert abs(r1["n"] - 236245.3) < 5.0
+    [r2] = df.select(x.alias("x"), y.alias("y"), e.alias("e"), n.alias("n")).collect()
+    assert (r1["x"], r1["y"], r1["e"], r1["n"]) == (r2["x"], r2["y"], r2["e"], r2["n"])
 
 
 def test_window_bounds_rollover():
