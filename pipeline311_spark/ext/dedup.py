@@ -129,7 +129,12 @@ GRAM_BASE = 31
 
 
 def _gram_hash_table(
-    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct: bool = False,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc, g) rows: one row per word n-gram, ``g`` its 64-bit-safe
     hash — WITHOUT ever materializing n-gram strings.  With
@@ -159,9 +164,12 @@ def _gram_hash_table(
     multiset-insensitive, so signatures match the set formulation.
     """
     toks = tokens(normalize_text(text_col))
-    compact = ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk")))
+    passthrough = [F.col(c) for c in extra]
+    compact = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), toks.alias("tk"), *passthrough)
+    )
     per = compact.withColumn("hs", _token_hash_expr()).filter(F.size("tk") >= n)
-    return per.select("doc", F.explode(_gram_fold_expr(n, distinct)).alias("g"))
+    return per.select("doc", *extra, F.explode(_gram_fold_expr(n, distinct)).alias("g"))
 
 
 @lru_cache(maxsize=4)
@@ -459,28 +467,26 @@ def minhash_incremental_pairs(
     O(batch + matching buckets), not O(corpus).  Verify grams are
     recomputed restricted to candidate docs (the ``reuse_grams=False``
     strategy), so the only corpus-proportional work left is the stored
-    signature scan."""
-    ex_sig = _signatures_from_grams(
-        _gram_hash_table(existing, id_col, text_col, n), k, seed
-    ).withColumn("is_new", F.lit(False))
-    new_sig = _signatures_from_grams(
-        _gram_hash_table(new, id_col, text_col, n), k, seed
-    ).withColumn("is_new", F.lit(True))
-    sig = ex_sig.unionByName(new_sig)
+    signature scan.
 
-    rows = k // bands
+    Plan shape: the two inputs are tagged and UNIONED BEFORE gram
+    generation, so the self-contained form pays ONE tokenize pass and
+    ONE signature shuffle over existing∪new (the flag rides the gram
+    rows into the groupBy key — (doc, is_new) has the same cardinality
+    as doc under the disjoint-ids contract), not one pipeline per
+    side."""
+    tagged = existing.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), F.lit(False).alias("is_new")
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), F.lit(True).alias("is_new")
+        )
+    )
+    gh = _gram_hash_table(tagged, "__id", "__t", n, extra=("is_new",))
+    sig = gh.groupBy("doc", "is_new").agg(*_minhash_aggs(k, seed))
+
     banded = sig.select(
-        "doc",
-        "is_new",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws("_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias("key"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bk"),
+        "doc", "is_new", F.explode(_band_expr(k, bands)).alias("bk")
     ).select("doc", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     wsz = Window.partitionBy("band", "key")
     buckets = (
@@ -517,10 +523,7 @@ def minhash_incremental_pairs(
     )
     cand.count()
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
-    all_docs = existing.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
-    ).unionByName(new.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
-    small = all_docs.join(
+    small = tagged.join(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
