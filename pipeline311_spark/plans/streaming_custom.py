@@ -477,3 +477,38 @@ def q_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register("stream_session_window", _SESSION_WINDOW_SQL, covers=("T1", "O5", "A-class"))
+def q_stream_session_window(spark, sf_dir):
+    """Session-window aggregation as a Structured Streaming job —
+    gap-merged event-time sessions maintained in streaming state
+    (complete mode: no watermark required, every session re-emitted per
+    trigger; ``availableNow`` drains the file source so the final
+    memory-sink table equals the batch twin exactly — same oracle as
+    q_session_window_native).  The production shape for an unbounded
+    stream is update/append mode + ``withWatermark`` so closed sessions
+    evict (state bounded by open sessions per key, not stream length);
+    that path is exercised in tests/test_streaming_sinks.py where
+    emission timing, not final content, is the contract."""
+    import uuid
+
+    stream = _stream_events(spark, sf_dir)
+    agg = stream.groupBy(
+        F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    name = f"stream_sessw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+    )

@@ -192,3 +192,50 @@ def test_stream_stream_join_matches_cross_batch_boundaries(spark, tmp_path):
     assert got == {(u, 100 + u, 200 + u) for u in range(5)}
     # and the stream genuinely ran more than one micro-batch
     assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+
+def test_stream_session_window_watermark_eviction(spark, tmp_path):
+    """Append-mode streaming session windows: a session is emitted
+    exactly once, only after the watermark passes its end; sessions the
+    watermark has not closed stay in state and are NOT emitted.  This
+    is the unbounded-stream production shape of stream_session_window
+    (the registry query drains in complete mode to equal the batch
+    oracle); state here is bounded by open sessions, not stream
+    length."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sessw_src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp"
+    # batch 1: user 1 has a 2-event session; user 2 a 1-event session
+    rows1 = [(1, base), (1, base + dt.timedelta(minutes=10)), (2, base + dt.timedelta(hours=2))]
+    # batch 2: much later events push the watermark past both sessions;
+    # these new sessions remain open at shutdown
+    rows2 = [(1, base + dt.timedelta(hours=4)), (2, base + dt.timedelta(hours=4))]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessw_evict")
+        .option("checkpointLocation", str(tmp_path / "sessw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["w"]["start"], r["n_events"])
+        for r in spark.table("sessw_evict").collect()
+    }
+    # only the two watermark-closed sessions; the T0+4h sessions are
+    # open (watermark = T0+4h - 10min < their end) and must not appear
+    assert got == {(1, base, 2), (2, base + dt.timedelta(hours=2), 1)}
