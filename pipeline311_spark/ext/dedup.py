@@ -484,15 +484,30 @@ def minhash_incremental_pairs(
     )
     gh = _gram_hash_table(tagged, "__id", "__t", n, extra=("is_new",))
     sig = gh.groupBy("doc", "is_new").agg(*_minhash_aggs(k, seed))
+    cand = _incremental_candidates(sig, k, bands, max_bucket)
+    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
+    small = tagged.join(
+        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
+    )
+    cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    return _jaccard_verify(cand, cand_grams, threshold)
 
+
+def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int) -> DataFrame:
+    """Band a flagged signature table (doc, is_new, mh*) and emit the
+    distinct candidate pairs with >=1 NEW member, persisted + counted
+    (the tiny materialization every caller reuses three times).
+
+    The bucket size-gate sees COMBINED bucket sizes (existing + new),
+    so gating matches a full re-dedup exactly; buckets with no new
+    member are dropped before membership collection — the incremental
+    work-pruning."""
     banded = sig.select(
         "doc", "is_new", F.explode(_band_expr(k, bands)).alias("bk")
     ).select("doc", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     wsz = Window.partitionBy("band", "key")
     buckets = (
         banded.withColumn("n", F.count("*").over(wsz))
-        # a bucket with no new member can produce no new pair: drop it
-        # before membership collection (the incremental work-pruning)
         .withColumn("n_new", F.sum(F.col("is_new").cast("int")).over(wsz))
         .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket) & (F.col("n_new") >= 1))
         .groupBy("band", "key")
@@ -522,11 +537,46 @@ def minhash_incremental_pairs(
         .persist()
     )
     cand.count()
+    return cand
+
+
+def minhash_incremental_from_store(
+    existing_sig: DataFrame,
+    existing_grams: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The true per-batch production shape of incremental dedup: the
+    corpus side arrives as the STORED signature table (doc, mh0..mh*)
+    and STORED gram table (doc, g) that previous runs materialized
+    (see :func:`minhash_pairs_from_grams` / dedup_minhash_from_store) —
+    the corpus text is never re-tokenized.  Per-batch work is the
+    batch's own gram+signature pipeline, one banding pass over
+    stored ∪ batch signatures, and exact-Jaccard verify over grams
+    restricted to candidate docs (stored grams for the corpus side,
+    the batch's for the new side).  Result provably equals
+    :func:`minhash_incremental_pairs` on the same inputs (oracle-gated:
+    dedup_minhash_incr_store).
+
+    ``existing_sig``/``existing_grams`` must come from the same corpus
+    version with the same (k, n, seed); ids disjoint from ``new``."""
+    new_gh = _gram_hash_table(new, id_col, text_col, n).persist()
+    new_sig = _signatures_from_grams(new_gh, k, seed)
+    sig = existing_sig.select("doc", *[f"mh{i}" for i in range(k)]).withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(new_sig.withColumn("is_new", F.lit(True)))
+    cand = _incremental_candidates(sig, k, bands, max_bucket)
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
-    small = tagged.join(
-        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
-    )
-    cand_grams = _gram_hash_table(small, "__id", "__t", n)
+    cand_grams = existing_grams.select("doc", "g").join(
+        F.broadcast(cand_docs), "doc", "left_semi"
+    ).unionByName(new_gh.join(F.broadcast(cand_docs), "doc", "left_semi"))
     return _jaccard_verify(cand, cand_grams, threshold)
 
 

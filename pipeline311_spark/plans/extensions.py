@@ -234,6 +234,50 @@ def q_minhash_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_minhash_incr_store",
+    _minhash_pairs_sql(extra_pred="\n  AND (doc_a % 2 = 1 OR doc_b % 2 = 1)"),
+    covers=("ext:dedup", "T1", "K2"),
+)
+def q_minhash_incr_store(spark, sf_dir):
+    """The per-batch production path end-to-end: the corpus side's gram
+    and signature tables are materialized to parquet (the once-per-
+    corpus-version artifacts), then an arriving batch (odd doc_ids) is
+    deduped against the STORE — corpus text never re-tokenized.  Same
+    oracle as dedup_minhash_incremental: the storage hop and the
+    batch-vs-recompute split must be invisible in the result."""
+    import os
+    import tempfile
+    import uuid
+
+    from pipeline311_spark.ext.dedup import (
+        _gram_hash_table,
+        _signatures_from_grams,
+        minhash_incremental_from_store,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_incr_store_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    gh = _gram_hash_table(existing, "doc_id", "text", _MH_N)
+    gh.write.mode("overwrite").parquet(base + "_grams")
+    stored_grams = spark.read.parquet(base + "_grams")
+    _signatures_from_grams(stored_grams, _MH_K, _MH_SEED).write.mode("overwrite").parquet(
+        base + "_sig"
+    )
+    return minhash_incremental_from_store(
+        spark.read.parquet(base + "_sig"),
+        stored_grams,
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    )
+
+
 def _split_case_sql(expr: str) -> str:
     hb = hash_bucket_sql(expr)
     return f"CASE WHEN {hb} < 80 THEN 'train' WHEN {hb} < 90 THEN 'val' ELSE 'test' END"

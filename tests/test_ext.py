@@ -96,6 +96,26 @@ def test_minhash_incremental_equals_filtered_full(spark):
     # and the full run has at least one even-even pair that inc excludes
     assert any(r["doc_a"] % 2 == 0 and r["doc_b"] % 2 == 0 for r in full_rows)
 
+    # the from-store path (stored corpus signatures + grams, batch-only
+    # recompute) must produce the identical pair set
+    from pipeline311_spark.ext.dedup import (
+        _gram_hash_table,
+        _signatures_from_grams,
+        minhash_incremental_from_store,
+    )
+
+    existing = docs.filter("doc_id % 2 = 0")
+    gh = _gram_hash_table(existing, "doc_id", "text", 3)
+    store = minhash_incremental_from_store(
+        _signatures_from_grams(gh, 8, 42),
+        gh,
+        docs.filter("doc_id % 2 = 1"),
+        "doc_id",
+        "text",
+        k=8, bands=4, n=3, threshold=0.5,
+    )
+    assert sorted(tuple(r) for r in store.collect()) == want
+
 
 def test_minhash_reuse_grams_plan_reads_cache(docs):
     # reuse_grams=True: the verify branch must read the persisted gram
