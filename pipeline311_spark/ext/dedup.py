@@ -584,7 +584,14 @@ def minhash_incremental_from_store(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits = the full entropy of portable_hash64 (md5-derived), and with
+# 4 bands it gives 15-bit band keys (32k buckets per band).  The
+# amplified-corpus probe (tools/scale_amplify.py) caught the old 32-bit
+# default SATURATING: 8-bit band keys → 256 buckets, bucket occupancy
+# grows linearly with corpus size, and within-bucket pair generation
+# quadratically — 4.2M "near" pairs at 80k docs, mostly band-collision
+# false positives.  Wider keys keep occupancy (and pair volume) linear.
+SIMHASH_BITS = 60
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -627,10 +634,26 @@ def _simhash_exprs(bits: int) -> tuple[tuple[Column, ...], Column]:
     return aggs, sig
 
 
-def simhash_near_pairs(sig: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
     """Hamming-near pairs via band join (a pair within ``max_hamming``
     of ``bands`` bands must agree on ≥1 band when max_hamming < bands),
-    verified with an exact popcount."""
+    verified with an exact popcount.
+
+    ``max_bucket`` drops band buckets larger than the cap BEFORE the
+    self-join — the same spill-safe window gate as
+    :func:`lsh_candidate_pairs`, and the guard that keeps a saturated
+    band key (or a degenerate signature shared by millions of
+    boilerplate docs) from quadratic-blowing a reducer.  A dropped
+    bucket costs recall only for pairs whose OTHER agreeing bands are
+    also oversaturated; with ``bits``/``bands`` sized so keys don't
+    saturate (see SIMHASH_BITS note) the cap never triggers on healthy
+    data."""
     width = bits // bands
     mask = (1 << width) - 1
     banded = sig.select(
@@ -646,6 +669,10 @@ def simhash_near_pairs(sig: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4,
             ])
         ).alias("bk"),
     ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    wsz = Window.partitionBy("band", "key")
+    banded = banded.withColumn("n", F.count("*").over(wsz)).filter(
+        F.col("n") <= max_bucket
+    ).drop("n")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -321,9 +321,10 @@ def q_cross_split_leakage(spark, sf_dir):
 
 # -- SimHash ----------------------------------------------------------------
 
-_SH_BITS = 32
+_SH_BITS = 60  # full portable_hash64 entropy; 15-bit band keys (see ext/dedup.py SIMHASH_BITS)
 _SH_BANDS = 4
 _SH_MAX_HAMMING = 3
+_SH_MAX_BUCKET = 200
 
 
 def _simhash_sig_cte() -> str:
@@ -365,10 +366,13 @@ WITH {_simhash_sig_cte()},
 banded AS (
 {band_selects}
 ),
+gated AS (
+  SELECT * FROM banded WHERE (band, key) IN (
+    SELECT (band, key) FROM banded GROUP BY band, key HAVING COUNT(*) <= {_SH_MAX_BUCKET})),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sig_a, b.simhash AS sig_b
-  FROM banded a JOIN banded b
+  FROM gated a JOIN gated b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, sig_a, sig_b,
        CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
@@ -381,7 +385,8 @@ def q_simhash_pairs(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     sig = simhash(d, "doc_id", "text", bits=_SH_BITS)
     return simhash_near_pairs(
-        sig, bits=_SH_BITS, bands=_SH_BANDS, max_hamming=_SH_MAX_HAMMING
+        sig, bits=_SH_BITS, bands=_SH_BANDS, max_hamming=_SH_MAX_HAMMING,
+        max_bucket=_SH_MAX_BUCKET,
     ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
