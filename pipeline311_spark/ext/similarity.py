@@ -327,11 +327,25 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     only compared within a bucket (near-identical vectors agree on all
-    sign bits with high probability)."""
+    sign bits with high probability).
+
+    Scale sizing: there are 2^n_planes buckets, so average occupancy is
+    n/2^n_planes and the within-bucket self-join is quadratic in it —
+    pick ``n_planes ≈ log2(corpus / desired_occupancy)`` (the signature
+    is just n_planes sign bits; more planes cost one extra dot each).
+    ``max_bucket`` is the backstop, the same spill-safe window gate as
+    the MinHash/SimHash band joins: an oversaturated or degenerate
+    bucket (millions of identical vectors) is dropped instead of
+    quadratic-blowing a task."""
     b = lsh_bucket(df, id_col, vec_col, n_planes, seed, dim)
+    wsz = Window.partitionBy("bucket")
+    b = b.withColumn("__n", F.count("*").over(wsz)).filter(
+        F.col("__n") <= max_bucket
+    ).drop("__n")
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(

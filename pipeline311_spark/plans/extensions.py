@@ -568,10 +568,15 @@ def q_lsh_partitioned_probe(spark, sf_dir):
 _NEAR_DUP_THRESHOLD = 0.3
 
 
+_NEAR_DUP_MAX_BUCKET = 200
+
+
 def _near_dup_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e)
+b0 AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e),
+b AS (SELECT * FROM b0 WHERE bucket IN (
+  SELECT bucket FROM b0 GROUP BY bucket HAVING COUNT(*) <= {_NEAR_DUP_MAX_BUCKET}))
 SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_cos_sql('a.v', 'b2.v')} AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE {_cos_sql('a.v', 'b2.v')} >= {_NEAR_DUP_THRESHOLD}
@@ -584,6 +589,7 @@ def q_emb_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(
         e, "vec_id", "embedding",
         threshold=_NEAR_DUP_THRESHOLD, n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_EMB_DIM,
+        max_bucket=_NEAR_DUP_MAX_BUCKET,
     )
 
 

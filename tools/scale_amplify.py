@@ -112,7 +112,11 @@ def main() -> None:
         simhash,
         simhash_near_pairs,
     )
-    from pipeline311_spark.ext.similarity import brute_force_topk, lsh_ann_topk
+    from pipeline311_spark.ext.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        lsh_ann_topk,
+    )
     from pipeline311_spark.ext.textstats import lang_id
 
     base = tempfile.mkdtemp(prefix="p311_amplify_")
@@ -164,6 +168,15 @@ def main() -> None:
         ),
         "lsh_ann_topk": lambda m: lsh_ann_topk(
             embs(m), embs(m).filter(F.col("vec_id") < 10), k=10, n_planes=8, dim=64
+        ),
+        # n_planes follows the documented sizing rule (~log2(n/occupancy),
+        # occupancy ≈ 8): bucket population stays constant as the corpus
+        # grows, so the within-bucket self-join stays linear overall
+        "emb_near_dup_pairs": lambda m: embedding_near_dup_pairs(
+            embs(m),
+            threshold=0.95,
+            n_planes=max(8, (2000 * m // 8 - 1).bit_length()),
+            dim=64,
         ),
     }
 
