@@ -362,3 +362,54 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid,
+    find within-cluster cosine near-duplicates, and drop every doc
+    that has a lower-id near-duplicate in its cluster.  Returns the
+    KEPT (id, centroid_id) rows.
+
+    Spark shape: one broadcast-centroid assignment scan
+    (:func:`ivf_assign`), then a within-cluster self-join — quadratic
+    in CLUSTER size only, so K must scale with the corpus (the paper
+    uses K ~ 0.1·n; constant cluster occupancy keeps total pair work
+    linear).  ``max_cluster`` is the spill-safe backstop, the same
+    window gate as the other bucketed joins: an oversized cluster is
+    exempted from dedup (kept whole) rather than quadratic-blowing a
+    task — at sane K it never triggers.
+
+    Keep rule: a doc is dropped iff some LOWER-id doc in its cluster
+    is ≥ threshold similar — deterministic, order-free, and exactly
+    one survivor per duplicate chain head (the paper's random-keep is
+    replaced by lowest-id for reproducibility)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)  # id, v, nv, centroid_id
+    wsz = Window.partitionBy("centroid_id")
+    gated = assigned.withColumn("__n", F.count("*").over(wsz))
+    small = gated.filter(F.col("__n") <= max_cluster).drop("__n")
+    oversized = gated.filter(F.col("__n") > max_cluster).drop("__n")
+    a = small.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    b = small.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = small.join(dropped, id_col, "left_anti").select(id_col, "centroid_id")
+    return kept.unionByName(oversized.select(id_col, "centroid_id"))

@@ -593,6 +593,64 @@ def q_emb_near_dup(spark, sf_dir):
     )
 
 
+# -- SemDeDup (semantic dedup over embedding clusters) ----------------------
+
+_SEMDEDUP_THRESHOLD = 0.3
+_SEMDEDUP_MAX_CLUSTER = 10_000
+
+
+def _semdedup_sql() -> str:
+    cos = _cos_sql("a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT label AS c_id, v AS cv
+         FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+               FROM e) t WHERE rn = 1),
+assigned AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, cent.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'cent.cv')} DESC, cent.c_id) AS rn
+    FROM e CROSS JOIN cent) t WHERE rn = 1),
+small AS (
+  SELECT * FROM assigned WHERE c_id IN (
+    SELECT c_id FROM assigned GROUP BY c_id HAVING COUNT(*) <= {_SEMDEDUP_MAX_CLUSTER})),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM small a JOIN small b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_SEMDEDUP_THRESHOLD})
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(c_id AS BIGINT) AS centroid_label
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register("dedup_semantic_keep", _semdedup_sql(), covers=("ext:dedup", "ext:similarity"))
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al., arXiv:2303.09540) composed from the
+    engine's kernels: cosine assignment to the kmeans seed centroids
+    (one broadcast scan), within-cluster near-dup pruning (cluster-
+    bounded self-join with the max_cluster gate), lowest-id keep rule.
+    Returns the surviving (vec_id, centroid_label) rows."""
+    from pyspark.sql import Window
+
+    from pipeline311_spark.ext.similarity import semantic_dedup_keep
+
+    e = table(spark, sf_dir, "embeddings")
+    first = Window.partitionBy("label").orderBy("vec_id")
+    cent = (
+        e.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("vec_id"), F.col("embedding"))
+    )
+    kept = semantic_dedup_keep(
+        table(spark, sf_dir, "embeddings"), cent, "vec_id", "embedding",
+        threshold=_SEMDEDUP_THRESHOLD, max_cluster=_SEMDEDUP_MAX_CLUSTER,
+    )
+    return kept.select(
+        F.col("vec_id").cast("long"), F.col("centroid_id").cast("long").alias("centroid_label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
