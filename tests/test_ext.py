@@ -343,3 +343,38 @@ def test_connected_components_long_chain_converges(spark):
     cc = connected_components(edges, "doc_a", "doc_b", max_iter=50).collect()
     assert len(cc) == 40
     assert {r["component"] for r in cc} == {0}
+
+
+def test_semantic_dedup_keep_rules(spark):
+    from pipeline311_spark.ext.similarity import semantic_dedup_keep
+
+    # two well-separated clusters; in-cluster ids 0/1/2 are near-identical
+    # (drop 1 and 2, keep 0), id 3 is same-cluster but dissimilar (kept)
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.998, 0.02, 0.0]),
+            (3, [0.6, 0.0, 0.8]),       # x-cluster, but far from 0/1/2
+            (10, [0.0, 1.0, 0.0]),
+            (11, [0.0, 0.999, 0.01]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        (r["vec_id"], r["centroid_id"])
+        for r in semantic_dedup_keep(corpus, cents, threshold=0.95).collect()
+    }
+    assert kept == {(0, 100), (3, 100), (10, 200)}
+
+    # oversized-cluster exemption: with max_cluster below the x-cluster
+    # size, that cluster is kept WHOLE (no pruning), the other still prunes
+    kept2 = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(corpus, cents, threshold=0.95, max_cluster=3).collect()
+    }
+    assert kept2 == {0, 1, 2, 3, 10}
