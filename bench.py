@@ -111,8 +111,11 @@ def main() -> None:
         "curation_end_to_end",
         "retrieval_end_to_end",
         "dedup_minhash_incremental",
+        "dedup_minhash_incr_store",
         "dedup_minhash_from_store",
         "dedup_ngram_jaccard",
+        "dedup_semantic_keep",
+        "p19_reproject_real",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:
