@@ -180,6 +180,8 @@ def reproject_identity(x: Column, y: Column, in_srid: int = SRID, out_srid: int 
         return reproject_4326_to_3857(x, y)
     if (in_srid, out_srid) == (4326, 2272):
         return reproject_4326_to_2272(x, y)
+    if (in_srid, out_srid) == (3857, 4326):
+        return reproject_3857_to_4326(x, y)
     raise NotImplementedError(
         f"reprojection {in_srid}->{out_srid} not implemented; supported: "
         "identity, 4326->3857 (Web Mercator), 4326->2272 (PA South ftUS)"
@@ -246,3 +248,15 @@ def reproject_4326_to_2272(lon: Column, lat: Column) -> tuple[Column, Column]:
     easting = rho * F.sin(theta) * F.lit(_M_TO_FTUS) + F.lit(_LCC2272_FE_FT)
     northing = (F.lit(_LCC2272_RHO0) - rho * F.cos(theta)) * F.lit(_M_TO_FTUS)
     return easting, northing
+
+
+def reproject_3857_to_4326(x: Column, y: Column) -> tuple[Column, Column]:
+    """Inverse spherical Mercator: meters -> degrees.  Exact inverse of
+    :func:`reproject_4326_to_3857` up to float rounding (roundtrip
+    verified < 1e-9 degrees in tests).  The LCC (2272) inverse needs a
+    fixed-point iteration for the isometric latitude and is not
+    implemented — at the reference's surface only the forward direction
+    is ever used (publishing to a projected layer)."""
+    lon = x / F.lit(_WEBMERC_X)
+    lat = (F.atan(F.exp(y / F.lit(_WEBMERC_R))) * F.lit(2.0) - F.lit(_PI_4 * 2)) / F.lit(_RAD)
+    return lon, lat

@@ -163,3 +163,21 @@ def test_to_local_string_with_offset_dst(spark):
         "2024-11-03 01:30:00 -04:00",
         "2024-11-03 01:30:00 -05:00",
     ]
+
+
+def test_reproject_mercator_roundtrip(spark):
+    from pipeline311_spark.functions.geo import (
+        reproject_3857_to_4326,
+        reproject_4326_to_3857,
+    )
+
+    df = spark.createDataFrame(
+        [(-75.1635, 39.9527), (0.001, -0.001), (179.9, 84.9), (-179.9, -84.9)],
+        "lon double, lat double",
+    )
+    x, y = reproject_4326_to_3857(F.col("lon"), F.col("lat"))
+    lon2, lat2 = reproject_3857_to_4326(x, y)
+    rows = df.select(
+        (F.abs(lon2 - F.col("lon"))).alias("dlon"), (F.abs(lat2 - F.col("lat"))).alias("dlat")
+    ).collect()
+    assert all(r["dlon"] < 1e-9 and r["dlat"] < 1e-9 for r in rows)
