@@ -53,3 +53,57 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     # user 2: emitted only in its batch; state kept (no timeout) but not re-emitted
     assert rows[(2, b0)] == (1, 50)
     assert (2, b1) not in rows
+
+
+def test_event_time_timeout_evicts_state(spark, tmp_path):
+    """EventTimeTimeout: a key silent past its gap emits one final row
+    from the timeout branch and its state is removed; active keys keep
+    accumulating.  This is the eviction bound that makes custom state
+    safe on an unbounded stream."""
+    import datetime as dt
+
+    from pipeline311_spark.streaming.stateful import expiring_totals_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, cents long, ts timestamp"
+    # batch 1: both users active
+    spark.createDataFrame(
+        [(1, 100, base), (2, 50, base)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: only user 1, four hours later — watermark sweeps past
+    # user 2's (last_seen + 30min) timeout
+    spark.createDataFrame(
+        [(1, 200, base + dt.timedelta(hours=4))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        expiring_totals_stream(stream, gap_ms=30 * 60 * 1000)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = [
+        (r["user_id"], r["final"], r["n_events"], r["total_cents"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    # user 2 fired exactly one FINAL row with its frozen totals
+    assert rows.count((2, True, 1, 50)) == 1
+    # user 1 stayed active: progress rows only, never finalized
+    assert (1, False, 2, 300) in rows
+    assert not any(u == 1 and f for (u, f, _, _) in rows)
