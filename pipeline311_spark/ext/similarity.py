@@ -413,3 +413,63 @@ def semantic_dedup_keep(
     )
     kept = small.join(dropped, id_col, "left_anti").select(id_col, "centroid_id")
     return kept.unionByName(oversized.select(id_col, "centroid_id"))
+
+
+def kmeans_iterate(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means for a FIXED number of rounds, centroids carried
+    as a DataFrame between iterations — the iterative-algorithm shape
+    (each round: broadcast-centroid assignment scan + one (cluster,
+    dim) hash aggregate; k·dim rows flow between rounds, never the
+    corpus).  Returns the final assignment (id, centroid_id).
+
+    Cross-engine determinism (the reason this is oracle-checkable, see
+    q_kmeans_update's hazard note): each centroid element is an exact
+    DECIMAL sum of 6-decimal-rounded members followed by ONE double
+    division — bit-identical on every engine — so round r+1's
+    assignment compares identical doubles everywhere; squared-distance
+    ties break by centroid id.  A cluster that loses all members drops
+    out (deterministically, on both engines).
+
+    Empty input / convergence: fixed rounds, no driver-side loop state
+    beyond the plan itself; at 100 TB each round is one scan + one
+    k·dim aggregate, and `localCheckpoint` between rounds would cap the
+    lineage if rounds grew large (at rounds ≤ 4 the chained plan is
+    fine)."""
+    v = corpus.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("v"))
+    cent = centroids.select(
+        F.col("centroid_id").alias("c_id"), F.col("cv")
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nearest = Window.partitionBy("__id").orderBy("sqdist", "c_id")
+    assigned = None
+    for _ in range(rounds):
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("sqdist", sq)
+            .withColumn("__rn", F.row_number().over(nearest))
+            .filter("__rn = 1")
+            .select("__id", "v", "c_id")
+        )
+        dims = assigned.select("c_id", F.posexplode("v").alias("pos", "val"))
+        cent_dims = dims.groupBy("c_id", "pos").agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("cval")
+        )
+        cent = cent_dims.groupBy("c_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda x: x["cval"]
+            ).alias("cv")
+        )
+    return assigned.select(F.col("__id").alias(id_col), F.col("c_id").alias("centroid_id"))

@@ -267,3 +267,65 @@ def q_event_outliers(spark, sf_dir):
             F.max("value").alias("max_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means: TWO full Lloyd rounds (assign -> update -> assign)
+# chained as one plan, oracle-matched end-to-end.  The unrolled-CTE
+# oracle mirrors each round exactly; the output is the round-2
+# assignment census (integers — immune to the double-rounding hazards
+# the update query documents).
+# ---------------------------------------------------------------------------
+
+_KMEANS_FIT_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT label AS c_id, v AS cv
+          FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                FROM e) t WHERE rn = 1),
+a0 AS (SELECT vec_id, v, c_id
+       FROM (SELECT e.vec_id, e.v, cent0.c_id,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_SQDIST_Q.format(a='e.v', b='cent0.cv')}, cent0.c_id) AS rn
+             FROM e CROSS JOIN cent0) t WHERE rn = 1),
+d0 AS (SELECT c_id, u.i AS pos, v[u.i] AS val
+       FROM a0, unnest(generate_series(1, len(v))) AS u(i)),
+c1d AS (SELECT c_id, pos,
+               CAST(sum(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS cval
+        FROM d0 GROUP BY c_id, pos),
+cent1 AS (SELECT c_id, list(cval ORDER BY pos) AS cv FROM c1d GROUP BY c_id),
+a1 AS (SELECT vec_id, c_id
+       FROM (SELECT e.vec_id, cent1.c_id,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_SQDIST_Q.format(a='e.v', b='cent1.cv')}, cent1.c_id) AS rn
+             FROM e CROSS JOIN cent1) t WHERE rn = 1)
+SELECT CAST(c_id AS BIGINT) AS centroid_label,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       CAST(min(vec_id) AS BIGINT) AS min_vec,
+       CAST(max(vec_id) AS BIGINT) AS max_vec
+FROM a1 GROUP BY c_id
+"""
+
+
+@register("q_kmeans_fit2", _KMEANS_FIT_SQL, covers=("ext:similarity", "A-class", "O5"))
+def q_kmeans_fit2(spark, sf_dir):
+    """Two Lloyd rounds end-to-end (ext/similarity.kmeans_iterate):
+    round-2 assignments depend on round-1's recomputed centroids, so a
+    hash match here certifies the whole iterative chain — broadcast
+    assignment scans, decimal-exact centroid math, deterministic tie
+    breaks — not just one step."""
+    from pipeline311_spark.ext.similarity import as_double, kmeans_iterate
+
+    e = table(spark, sf_dir, "embeddings")
+    first = Window.partitionBy("label").orderBy("vec_id")
+    cents = (
+        e.withColumn("v", as_double("embedding"))
+        .withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    assigned = kmeans_iterate(e, cents, "vec_id", "embedding", rounds=2)
+    return assigned.groupBy(F.col("centroid_id").cast("long").alias("centroid_label")).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.min("vec_id").cast("long").alias("min_vec"),
+        F.max("vec_id").cast("long").alias("max_vec"),
+    )
