@@ -27,7 +27,17 @@ def _reencode(src_events: str, out_dir: str, unit: str, tz: str | None) -> str:
     return out_dir
 
 
-@pytest.mark.parametrize("qname", ["q_hourly_rollup", "q_sessionize", "q_session_window_native"])
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_hourly_rollup",
+        "q_sessionize",
+        "q_session_window_native",
+        # streaming paths probe the footer themselves — armor them too
+        "stream_windowed_counts",
+        "stream_session_window",
+    ],
+)
 def test_queries_invariant_across_ts_encodings(spark, sf_dir, tmp_path, qname):
     src = os.path.join(sf_dir, "events.parquet")
     variants = {
