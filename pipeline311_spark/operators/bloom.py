@@ -1,0 +1,117 @@
+"""Bloom-gated reconciliation: the at-scale form of the reference's
+IN-list deletion check (delete-removed-tickets.py:114 sends 1000-id
+SOQL IN-lists; at 100 TB the key list itself is the bottleneck).
+
+A Bloom filter of the destination keys is built with ONE aggregation
+(map-side ORs collapse to ``m/64`` longs per partition before the
+exchange; the filter is a few KB regardless of table size), broadcast,
+and probed map-side on the source scan:
+
+* probe says **no** → the key is definitely absent (Bloom filters have
+  no false negatives) — a confirmed deletion with zero join work;
+* probe says **maybe** → false-positive candidates only (a tunable few
+  % of the source) proceed to the exact anti-join.
+
+The union of the two is EXACTLY the plain anti-join result — which is
+why the oracle twin for the gated query is the plain anti-join SQL.
+
+Everything is deterministic integer math over the shared portable
+hash family (ext/hashing.py) — no UDFs, no RNG, engine-portable.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.hashing import affine, hash_params, portable_hash64
+
+
+@lru_cache(maxsize=1)
+def _bit_masks() -> Column:
+    """array<long> of the 64 single-bit masks (bit 63 is the sign bit —
+    its mask is LONG_MIN).  ``element_at(_bit_masks(), bit+1)`` shifts
+    by a COLUMN, which ``F.shiftleft`` (literal-only shift) cannot."""
+    return F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)
+    ])
+
+
+def _positions(key: Column, m_bits: int, k: int, seed: int) -> Column:
+    """Array of k bit positions in [0, m_bits) for a key — the shared
+    affine family over the portable 60-bit hash (keys are hashed
+    through their string rendering so any key type works and the
+    DuckDB-side hash twin stays applicable)."""
+    from pipeline311_spark.ext.hashing import MOD
+
+    # reduce to < MOD first so affine's multiply stays inside a long
+    # (same pre-reduction the MinHash signature path relies on)
+    h = portable_hash64(key.cast("string")) % MOD
+    return F.array(*[affine(h, a, b) % m_bits for a, b in hash_params(k, seed)])
+
+
+def bloom_build(
+    df: DataFrame, key: str, m_bits: int = 1 << 16, k: int = 5, seed: int = 7
+) -> DataFrame:
+    """ONE-row DataFrame ``{words: array<long>}`` — the m_bits-wide
+    filter as m_bits/64 longs.  One shuffle of at most
+    ``partitions × m_bits/64`` pre-aggregated rows (``bit_or`` combines
+    map-side), then a map assembly; independent of table size."""
+    n_words = (m_bits + 63) // 64
+    pos = df.select(F.explode(_positions(F.col(key), m_bits, k, seed)).alias("p"))
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("word"),
+            F.element_at(_bit_masks(), (F.col("p") % 64).cast("int") + 1).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("mp", i.cast("int")), F.lit(0).cast("long")),
+        ).alias("words")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame, key: str, bloom: DataFrame, m_bits: int = 1 << 16, k: int = 5, seed: int = 7
+) -> DataFrame:
+    """Adds ``__maybe``: true iff all k bits for the key are set.  The
+    one-row filter is broadcast; the probe is pure map-side Column math
+    on the scan — no shuffle, no join of the key list."""
+    probed = df.crossJoin(F.broadcast(bloom))
+    hit = F.forall(
+        _positions(F.col(key), m_bits, k, seed),
+        lambda p: (
+            F.element_at("words", (p / 64).cast("int") + 1)
+            .bitwiseAND(F.element_at(_bit_masks(), (p % 64).cast("int") + 1))
+        )
+        != 0,
+    )
+    return probed.withColumn("__maybe", hit).drop("words")
+
+
+def anti_join_bloom(
+    source: DataFrame,
+    dest: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Source rows whose key is NOT in dest — bit-identical to a plain
+    left-anti join, but only Bloom false positives (plus true members)
+    ever reach the join: definite-missing rows short-circuit map-side,
+    so the join's probe side shrinks from |source| to
+    |members| + fp_rate·|source|."""
+    bloom = bloom_build(dest.select(key), key, m_bits, k, seed)
+    probed = bloom_might_contain(source, key, bloom, m_bits, k, seed)
+    definite = probed.filter(~F.col("__maybe")).drop("__maybe")
+    maybes = probed.filter(F.col("__maybe")).drop("__maybe")
+    return definite.unionByName(maybes.join(dest.select(key), key, "left_anti"))

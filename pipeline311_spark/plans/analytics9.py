@@ -95,3 +95,37 @@ def q_ri_audit(spark, sf_dir):
         "lineitem_dangling_part long, lineitem_dangling_supp long, "
         "customer_dangling_nation long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated deletion reconciliation (J3 at 100 TB): the destination
+# key set ships as a few-KB Bloom filter probed map-side on the source
+# scan — definite-missing keys are confirmed deletions with zero join
+# work; only false positives reach the exact anti-join.  The result is
+# EXACTLY the plain anti-join (no false negatives), which is the
+# oracle: a simple NOT EXISTS twin.
+# ---------------------------------------------------------------------------
+
+_BLOOM_RECON_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_acctbal > 5000 AND c.c_custkey = o.o_custkey)
+"""
+
+
+@register("j3_bloom_reconcile", _BLOOM_RECON_SQL, covers=("J3", "S3", "K6"))
+def q_bloom_reconcile(spark, sf_dir):
+    """operators/bloom.py end-to-end: orders whose customer is not in
+    the surviving (acctbal > 5000) set — the delete-removed-tickets
+    reconciliation shape (delete-removed-tickets.py:114's chunked
+    IN-lists, replaced by one broadcastable filter)."""
+    from pipeline311_spark.operators.bloom import anti_join_bloom
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dest = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return anti_join_bloom(o, dest, "o_custkey")

@@ -1,0 +1,49 @@
+"""operators/bloom.py: Bloom-gated reconciliation semantics + shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.operators.bloom import (
+    anti_join_bloom,
+    bloom_build,
+    bloom_might_contain,
+)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    dest = spark.range(0, 9999, 3).select(F.col("id").alias("k"))
+    bloom = bloom_build(dest, "k")
+    # every member MUST hit (Bloom's defining guarantee)
+    members = bloom_might_contain(dest, "k", bloom)
+    assert members.filter(~F.col("__maybe")).count() == 0
+    # non-members: fp rate near theory ((1-e^{-kn/m})^k ~ 6e-4 here)
+    nonmem = spark.range(100_000, 150_000).select(F.col("id").alias("k"))
+    fp = bloom_might_contain(nonmem, "k", bloom).filter("__maybe").count()
+    assert fp / 50_000 < 0.005, f"fp rate {fp / 50_000} way above theory"
+
+
+def test_anti_join_bloom_equals_plain_anti_join(spark):
+    src = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("payload"))
+    dest = spark.range(0, 10_000, 3).select(F.col("id").alias("k"))
+    got = anti_join_bloom(src, dest, "k")
+    want = src.join(dest, "k", "left_anti")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_probe_is_map_side(spark):
+    # the probe itself must add no Exchange: broadcast filter + Column
+    # math on the scan
+    dest = spark.range(100).select(F.col("id").alias("k"))
+    bloom = bloom_build(dest, "k")
+    probed = bloom_might_contain(spark.range(1000).select(F.col("id").alias("k")), "k", bloom)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # shuffle exchanges print as "Exchange hashpartitioning/range..." —
+    # the probed table must reach the filter via broadcast join only.
+    # (The filter BUILD legitimately aggregates: its exchanges sit
+    # behind the broadcast and move m/64-long rows, not the probe side.)
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side
+    assert "Exchange rangepartitioning" not in probe_side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -180,6 +180,10 @@ _SINGLE_PARTITION_OK = {
     "q_events_funnel",
     "sample_rebalance_sources",
     "t2_backfill_window",
+    # bloom filter assembly: global agg over ≤ m/64 pre-reduced word
+    # rows (bit_or combined map-side) into the one-row broadcast filter
+    # — bytes, not data, cross the single partition (operators/bloom.py)
+    "j3_bloom_reconcile",
 }
 
 
