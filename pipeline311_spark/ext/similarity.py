@@ -390,10 +390,19 @@ def semantic_dedup_keep(
     Keep rule: a doc is dropped iff some LOWER-id doc in its cluster
     is ≥ threshold similar — deterministic, order-free, and exactly
     one survivor per duplicate chain head (the paper's random-keep is
-    replaced by lowest-id for reproducibility)."""
+    replaced by lowest-id for reproducibility).
+
+    The gated assignment feeds FOUR consumers (both self-join sides,
+    the keep anti-join, the oversized exemption), so it is persisted —
+    without the cache each consumer re-runs the centroid-assignment
+    scan (measured 2.7 s → 1.5 s at sf0.1).  The cache is
+    corpus-sized (id + vector + cluster); at a scale where that is
+    unaffordable, write the assignment out partitioned by
+    ``centroid_id`` once (the IVF layout sim_lsh_partitioned_probe
+    demonstrates) and run the pruning from the store."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)  # id, v, nv, centroid_id
     wsz = Window.partitionBy("centroid_id")
-    gated = assigned.withColumn("__n", F.count("*").over(wsz))
+    gated = assigned.withColumn("__n", F.count("*").over(wsz)).persist()
     small = gated.filter(F.col("__n") <= max_cluster).drop("__n")
     oversized = gated.filter(F.col("__n") > max_cluster).drop("__n")
     a = small.select(
