@@ -47,3 +47,29 @@ def test_bloom_probe_is_map_side(spark):
     assert "Exchange hashpartitioning" not in probe_side
     assert "Exchange rangepartitioning" not in probe_side
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_anti_join_property(spark):
+    """Property: on random (string!) key sets — mixed types, unicode,
+    collision-prone short keys — the bloom-gated anti-join equals the
+    plain anti-join exactly.  Few hypothesis examples, each a real
+    Spark job; the point is weird keys, not volume."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=40, unique=True)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(src_keys=keys, dest_keys=keys)
+    def run(src_keys, dest_keys):
+        src = spark.createDataFrame([(k,) for k in src_keys], "k string")
+        dest = spark.createDataFrame([(k,) for k in dest_keys], "k string")
+        got = sorted(r["k"] for r in anti_join_bloom(src, dest, "k", m_bits=256, k=3).collect())
+        want = sorted(set(src_keys) - set(dest_keys))
+        assert got == want
+
+    run()
