@@ -94,6 +94,10 @@ def bloom_might_contain(
         )
         != 0,
     )
+    # NULL key → NULL positions; short-circuit to false BEFORE forall
+    # (a NULL-element predicate NPEs in codegen, and semantically a
+    # NULL key is never "in" the filter)
+    hit = F.when(F.col(key).isNull(), F.lit(False)).otherwise(hit)
     return probed.withColumn("__maybe", hit).drop("words")
 
 
@@ -112,6 +116,10 @@ def anti_join_bloom(
     |members| + fp_rate·|source|."""
     bloom = bloom_build(dest.select(key), key, m_bits, k, seed)
     probed = bloom_might_contain(source, key, bloom, m_bits, k, seed)
-    definite = probed.filter(~F.col("__maybe")).drop("__maybe")
-    maybes = probed.filter(F.col("__maybe")).drop("__maybe")
+    # NULL keys hash to NULL → __maybe is NULL; a NULL key never equi-
+    # matches dest, so anti-join semantics KEEP it — route it with the
+    # definite-missing rows (coalesce false), not into limbo.
+    maybe = F.coalesce(F.col("__maybe"), F.lit(False))
+    definite = probed.filter(~maybe).drop("__maybe")
+    maybes = probed.filter(maybe).drop("__maybe")
     return definite.unionByName(maybes.join(dest.select(key), key, "left_anti"))

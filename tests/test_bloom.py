@@ -32,6 +32,17 @@ def test_anti_join_bloom_equals_plain_anti_join(spark):
     assert want.exceptAll(got).count() == 0
 
 
+def test_anti_join_bloom_keeps_null_keys(spark):
+    # anti-join semantics: a NULL key never matches dest, so the row
+    # survives — the bloom gate must route it with the definite-missing
+    # rows, not drop it (NULL hashes to NULL → __maybe is NULL)
+    src = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    dest = spark.createDataFrame([("a",)], "k string")
+    got = sorted(r["k"] or "" for r in anti_join_bloom(src, dest, "k").collect())
+    want = sorted(r["k"] or "" for r in src.join(dest, "k", "left_anti").collect())
+    assert got == want == ["", "b"]
+
+
 def test_bloom_probe_is_map_side(spark):
     # the probe itself must add no Exchange: broadcast filter + Column
     # math on the scan
