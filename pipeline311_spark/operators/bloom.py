@@ -60,7 +60,11 @@ def bloom_build(
     ``partitions × m_bits/64`` pre-aggregated rows (``bit_or`` combines
     map-side), then a map assembly; independent of table size."""
     n_words = (m_bits + 63) // 64
-    pos = df.select(F.explode(_positions(F.col(key), m_bits, k, seed)).alias("p"))
+    # NULL keys set no bits: they can never equi-match, and a NULL
+    # position would otherwise become a NULL map key downstream
+    pos = df.filter(F.col(key).isNotNull()).select(
+        F.explode(_positions(F.col(key), m_bits, k, seed)).alias("p")
+    )
     words = (
         pos.select(
             (F.col("p") / 64).cast("int").alias("word"),

@@ -41,6 +41,11 @@ def test_anti_join_bloom_keeps_null_keys(spark):
     got = sorted(r["k"] or "" for r in anti_join_bloom(src, dest, "k").collect())
     want = sorted(r["k"] or "" for r in src.join(dest, "k", "left_anti").collect())
     assert got == want == ["", "b"]
+    # NULL keys in DEST must not break the build (they set no bits) and
+    # must not match anything
+    dest_with_null = spark.createDataFrame([("a",), (None,)], "k string")
+    got2 = sorted(r["k"] or "" for r in anti_join_bloom(src, dest_with_null, "k").collect())
+    assert got2 == ["", "b"]
 
 
 def test_bloom_probe_is_map_side(spark):
