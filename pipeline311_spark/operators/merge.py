@@ -103,7 +103,14 @@ def merge_incremental_partitioned(
     finds no existing rows for it).
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    target = spark.read.parquet(target_path).filter(F.col(partition_col).isin(touched))
+    # schema from the updates side: an empty warehouse (zero-row base
+    # write) has no partition dirs to infer from, and parquet matches
+    # columns by name anyway
+    target = (
+        spark.read.schema(updates.schema)
+        .parquet(target_path)
+        .filter(F.col(partition_col).isin(touched))
+    )
     merged = upsert(target, updates.select(target.columns), key, version_col)
     merged = merged.localCheckpoint(eager=True)
     (

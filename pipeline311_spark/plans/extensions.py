@@ -538,7 +538,8 @@ def q_lsh_partitioned_probe(spark, sf_dir):
         f"p311_annpart_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
     )
     cb.write.mode("overwrite").partitionBy("pkey").parquet(out)
-    corpus = spark.read.parquet(out)
+    # explicit schema: an empty corpus leaves no partition dirs to infer
+    corpus = spark.read.schema(cb.schema).parquet(out)
 
     qb = F.broadcast(
         lsh_bucket(

@@ -107,6 +107,12 @@ def _parquet_upsert_batch_fn(out_dir: str):
 
 
 def _serving_table_result(spark, out_dir: str):
+    if not os.path.isdir(out_dir):
+        # empty stream: foreachBatch never fired, nothing landed — an
+        # empty serving table with the declared schema, not a read error
+        return spark.createDataFrame(
+            [], "user_id long, event_id long, event_type string, ts_str string"
+        )
     return spark.read.parquet(out_dir).select(
         "user_id",
         "event_id",

@@ -89,7 +89,8 @@ FROM v WHERE val > 0.02 * (SELECT total FROM t)
 def q11(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     stock_val = F.sum(dec("p_retailprice") * F.col("p_size")).cast("double")
-    total = p.agg(stock_val.alias("t")).first()["t"]
+    # empty input → SUM is NULL; 0.0 keeps the scalar predicate sane
+    total = p.agg(stock_val.alias("t")).first()["t"] or 0.0
     v = p.groupBy("p_brand").agg(stock_val.alias("val"))
     return v.filter(F.col("val") > 0.02 * total).select(
         "p_brand", "val", (F.col("val") / F.lit(total)).alias("share")
