@@ -378,3 +378,32 @@ def test_semantic_dedup_keep_rules(spark):
         for r in semantic_dedup_keep(corpus, cents, threshold=0.95, max_cluster=3).collect()
     }
     assert kept2 == {0, 1, 2, 3, 10}
+
+
+def test_degenerate_identical_corpus_is_gated(spark):
+    """The ultimate hot bucket: EVERY doc identical.  All three fuzzy
+    candidate generators must gate the saturated bucket (bounded work,
+    zero pairs — a 500-doc corpus would otherwise attempt ~125k pairs),
+    while exact dedup — the right tool for identical docs — still finds
+    the single group.  This is the division of labor the max_df /
+    max_bucket caps encode."""
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.dedup import (
+        exact_dup_groups,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog tonight again").alias("text"),
+    )
+    groups = exact_dup_groups(d, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 500
+    kw = dict(k=16, bands=4, n=5, threshold=0.2)
+    assert minhash_dedup_pairs(d, "doc_id", "text", **kw).count() == 0
+    assert ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.2, max_df=50).count() == 0
+    assert simhash_near_pairs(simhash(d, "doc_id", "text")).count() == 0
