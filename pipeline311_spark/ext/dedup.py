@@ -20,6 +20,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline311_spark.ext.cache import persist_tracked
 from pipeline311_spark.ext.hashing import (
     affine,
     ensure_parallelism,
@@ -28,6 +29,15 @@ from pipeline311_spark.ext.hashing import (
     portable_hash64,
 )
 from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
+
+# Identical-content groups up to this size emit their full pair clique
+# (matching ungated pre-collapse semantics); larger groups emit star
+# pairs rep↔member — linear output, same downstream clusters.  See the
+# "Content-identity collapse" note below.
+IDENT_MAX_GROUP = 200
+# Two affine keys for the XOR content fingerprints (independent of the
+# MinHash permutation family, which uses seed=42).
+FP_PARAMS = hash_params(2, seed=97)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -79,6 +89,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int = 50,
+    max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
 
@@ -103,12 +114,39 @@ def ngram_jaccard_pairs(
     (~8·max_df bytes) and the per-bucket pair fan-out (≤ C(max_df, 2))
     exactly as before; measured 2.18 s → 1.61 s at sf0.1/local[32],
     identical output (exceptAll == 0 both ways).
+
+    Content-identity collapse (r5, see the module-level note): content
+    stats ride each gram row from the map-side fold, and the first
+    reduction after the single ``repartition("g")`` exchange collapses
+    each (gram, content-group) to the group's representative (min doc
+    id = the rep, since every member of an identical-content group
+    carries every gram).  The doc-frequency gate therefore counts
+    CONTENT GROUPS, not raw docs — a gram shared by 500 identical
+    boilerplate docs plus 3 distinct docs has df 4, so dup mass no
+    longer inflates df past ``max_df`` and suppresses legitimate
+    near-dup pairs.  All later stages (window gate, collect_set, pair
+    gen, inter groupBy) reuse the same hash(g) distribution — still
+    exactly one gram-row exchange (the old shape paid two: this one
+    plus a per-doc sizes aggregation that is now a map-side row stat).
+
+    ``max_group`` bounds identical-group pair OUTPUT: clique up to the
+    cap, star beyond (see ``IDENT_MAX_GROUP``).
     """
-    sh = _gram_hash_table(df, id_col, text_col, n, distinct=True)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    toks = tokens(normalize_text(text_col))
+    per = (
+        ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk")))
+        .withColumn("hs", _token_hash_expr())
+        .filter(F.size("tk") >= n)
+    )
+    rs = _row_stats(per, n)
+    groups = _with_groups(rs.select("doc", "sz", "fp1", "fp2"))
+    sh = rs.select("doc", "sz", "fp1", "fp2", F.explode("garr").alias("g"))
     wsz = Window.partitionBy("g")
     buckets = (
-        sh.withColumn("df_", F.count("*").over(wsz))
+        sh.repartition("g")
+        .groupBy("g", "sz", "fp1", "fp2")
+        .agg(F.min("doc").alias("doc"))
+        .withColumn("df_", F.count("*").over(wsz))
         .filter((F.col("df_") >= 2) & (F.col("df_") <= max_df))
         .groupBy("g")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
@@ -118,13 +156,22 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    rsizes = groups.filter(F.col("doc") == F.col("rep")).select("doc", "sz")
+    cross = (
+        inter.join(rsizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(rsizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
     )
+    expanded = _expand_cross(
+        cross, groups, ["inter", "sz_a", "sz_b", "jaccard"], swap_cols=(("sz_a", "sz_b"),)
+    )
+    ident = _ident_member_pairs(groups, max_group, carry=("sz",)).select(
+        "doc_a", "doc_b",
+        F.col("sz").alias("inter"), F.col("sz").alias("sz_a"), F.col("sz").alias("sz_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return expanded.unionByName(ident)
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +270,131 @@ def _minhash_aggs(k: int, seed: int) -> tuple[Column, ...]:
     params = hash_params(k, seed)
     return tuple(
         F.min(affine(F.col("g"), a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(params)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-identity collapse
+# ---------------------------------------------------------------------------
+#
+# Identical-content docs (equal DISTINCT-gram sets) are the dedup hot
+# spot at corpus scale: web corpora carry 20-40% exact duplicates, and
+# every member of a dup group lands in the same LSH buckets with the
+# same signature.  Left alone they either saturate the ``max_bucket``
+# gate — the r4 semantics, where the strongest duplicates in the corpus
+# were exactly the pairs silently dropped — or quadratic-blow candidate
+# generation and the exact-Jaccard verify (the ×64 amplified-corpus
+# asymptote, SCALE.md).  Every fuzzy generator therefore collapses the
+# corpus to one REPRESENTATIVE (min doc id) per distinct content before
+# banding/bucketing, and emits identical-group pairs directly:
+#
+# * groups with ``gn <= max_group``: the full clique — identical output
+#   to the ungated pre-collapse semantics;
+# * larger groups: star pairs rep↔member — linear output for degenerate
+#   groups, with the same connectivity for downstream clustering
+#   (connected components yields identical clusters from star edges).
+#
+# Content identity is (sz, fp1, fp2): distinct-gram-set size plus two
+# independently-keyed XOR fingerprints over affine-mapped gram hashes
+# (the products are NOT reduced mod MOD, so each fingerprint carries
+# ~60 bits — combined collision odds ~2^-120 per same-size doc pair,
+# the same negligible-collision class as the md5 gram hashes).  The
+# DuckDB oracle twins group by the exact sorted gram list instead, so
+# a fingerprint collision would surface as an oracle mismatch.
+
+def _stat_aggs() -> tuple[Column, ...]:
+    """Content-identity stat aggregates over per-doc-DISTINCT (doc, g)
+    rows — all map-side combinable, so they ride an existing groupBy
+    ("doc") exchange (e.g. the signature aggregation) for free."""
+    (a1, b1), (a2, b2) = FP_PARAMS
+    return (
+        F.count("*").alias("sz"),
+        F.bit_xor(F.col("g") * F.lit(a1) + F.lit(b1)).alias("fp1"),
+        F.bit_xor(F.col("g") * F.lit(a2) + F.lit(b2)).alias("fp2"),
+    )
+
+
+def _row_stats(per: DataFrame, n: int) -> DataFrame:
+    """Map-side (doc, sz, fp1, fp2, garr): the distinct-gram array plus
+    its content-identity stats, computed per row with ZERO shuffles —
+    one gram-fold pass and one combined two-fingerprint fold.  The
+    projections are staged so Catalyst does not inline (and so
+    re-evaluate) the expensive array expressions (CollapseProject only
+    inlines aliases that are cheap or referenced once)."""
+    (a1, b1), (a2, b2) = FP_PARAMS
+    g1 = per.select("doc", _gram_fold_expr(n, True).alias("garr"))
+    acc0 = F.struct(F.lit(0).cast("long").alias("f1"), F.lit(0).cast("long").alias("f2"))
+    fps = F.aggregate(
+        "garr",
+        acc0,
+        lambda a, x: F.struct(
+            a["f1"].bitwiseXOR(x * F.lit(a1) + F.lit(b1)).alias("f1"),
+            a["f2"].bitwiseXOR(x * F.lit(a2) + F.lit(b2)).alias("f2"),
+        ),
+    )
+    g2 = g1.select("doc", F.size("garr").cast("long").alias("sz"), fps.alias("__fps"), "garr")
+    return g2.select(
+        "doc", "sz",
+        F.col("__fps.f1").alias("fp1"), F.col("__fps.f2").alias("fp2"), "garr",
+    )
+
+
+def _with_groups(stats: DataFrame) -> DataFrame:
+    """Attach rep (min doc id) and gn (group size) over the
+    (sz, fp1, fp2) content key — one narrow shuffle of doc-cardinality
+    rows (4 longs each), never gram rows."""
+    w = Window.partitionBy("sz", "fp1", "fp2")
+    return stats.withColumn("rep", F.min("doc").over(w)).withColumn("gn", F.count("*").over(w))
+
+
+def _ident_member_pairs(groups: DataFrame, max_group: int, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_a, doc_b, *carry) member pairs inside identical-content
+    groups: clique for gn <= max_group (a narrow self-join on rep —
+    row-level, spill-safe, no membership arrays buffered), star
+    rep↔member beyond.  ``carry`` columns are group-constant and copied
+    from one member row."""
+    a = groups.select(F.col("rep").alias("__r"), F.col("doc").alias("doc_a"), "gn", *carry)
+    b = groups.select(F.col("rep").alias("__r"), F.col("doc").alias("doc_b"))
+    clique = (
+        a.filter(F.col("gn") <= max_group)
+        .join(b, "__r")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    star = groups.filter((F.col("gn") > max_group) & (F.col("doc") != F.col("rep"))).select(
+        F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"), *carry
+    )
+    return clique.select("doc_a", "doc_b", *carry).unionByName(star)
+
+
+def _expand_cross(
+    cross: DataFrame,
+    groups: DataFrame,
+    value_cols: list[str],
+    swap_cols: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Expand verified rep↔rep pairs to member↔member pairs: two narrow
+    joins against the (doc, rep) membership table (the verified pair
+    set is tiny and broadcasts; values are group-constant so they carry
+    over unchanged).  Output keeps doc_a < doc_b; side-specific value
+    pairs listed in ``swap_cols`` (e.g. (sz_a, sz_b)) follow the
+    least/greatest member swap so they stay attributed to the right
+    doc."""
+    mem = groups.select("doc", "rep")
+    a = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
+    b = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
+    swap = F.col("__ma") < F.col("__mb")
+    exprs = {c: F.col(c) for c in value_cols}
+    for ca, cb in swap_cols:
+        exprs[ca] = F.when(swap, F.col(ca)).otherwise(F.col(cb))
+        exprs[cb] = F.when(swap, F.col(cb)).otherwise(F.col(ca))
+    return (
+        cross.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            *[exprs[c].alias(c) for c in value_cols],
+        )
     )
 
 
@@ -331,6 +503,8 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     reuse_grams: bool = True,
+    max_bucket: int = 200,
+    max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures → band candidates → verify
     candidates with exact Jaccard (set intersection restricted to the
@@ -363,23 +537,38 @@ def minhash_dedup_pairs(
     deduped once, on the tiny persisted candidate set, instead of
     paying an extra exchange over all banded rows.
 
-    Cache lifecycle: the gram table (``reuse_grams=True``) and the
-    candidate set stay persisted because the RETURNED DataFrame still
-    reads them lazily; a caller done with the result reclaims them via
-    ``spark.catalog.clearCache()`` (or by writing the result out and
-    dropping the lineage).  In a long-lived service, prefer
+    Content-identity collapse (r5, module-level note): stats ride the
+    signature aggregation for free, banding sees one representative per
+    distinct gram set, identical-group pairs are emitted by expansion
+    (never banded, never verified), and verified rep pairs expand back
+    to member pairs.  Dup mass can no longer saturate ``max_bucket``
+    (which now gates on distinct-content counts) and the exact-Jaccard
+    verify only ever runs on pairs of DISTINCT gram sets.
+
+    Cache lifecycle: the gram table (``reuse_grams=True``), the
+    signature/group table, and the candidate set stay persisted because
+    the RETURNED DataFrame still reads them lazily.  Wrap the call and
+    the consuming action in :func:`pipeline311_spark.ext.cache.cache_scope`
+    for deterministic reclaim; without a scope, reclaim remains
+    ``spark.catalog.clearCache()``.  In a long-lived service, prefer
     materializing the gram table to storage once per corpus version
     (see SCALE.md) instead of executor cache."""
     if reuse_grams:
         return minhash_pairs_from_grams(
-            _gram_hash_table(df, id_col, text_col, n),
+            _gram_hash_table(df, id_col, text_col, n, distinct=True),
             k=k, bands=bands, threshold=threshold, seed=seed, persist=True,
+            max_bucket=max_bucket, max_group=max_group,
         )
-    gh = _gram_hash_table(df, id_col, text_col, n)
-    sig = _signatures_from_grams(gh, k, seed)
+    gh = _gram_hash_table(df, id_col, text_col, n, distinct=True)
+    sigg = persist_tracked(
+        _with_groups(gh.groupBy("doc").agg(*_minhash_aggs(k, seed), *_stat_aggs()))
+    )
+    reps = sigg.filter(F.col("doc") == F.col("rep"))
     # Materialize the (tiny) candidate set once: downstream reuse would
     # otherwise re-execute the whole signature+banding pipeline.
-    cand = lsh_candidate_pairs(sig, k, bands, distinct_pairs=False).persist()
+    cand = persist_tracked(
+        lsh_candidate_pairs(reps, k, bands, max_bucket=max_bucket, distinct_pairs=False)
+    )
     cand.count()
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
@@ -388,7 +577,10 @@ def minhash_dedup_pairs(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
-    return _jaccard_verify(cand.distinct(), cand_grams, threshold)
+    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
+        _ident_member_pairs(sigg, max_group).withColumn("jaccard", F.lit(1.0))
+    )
 
 
 def minhash_pairs_from_grams(
@@ -398,6 +590,8 @@ def minhash_pairs_from_grams(
     threshold: float = 0.5,
     seed: int = 42,
     persist: bool = True,
+    max_bucket: int = 200,
+    max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs from a PREBUILT (doc, g) gram table —
     the stored-corpus-version path (SCALE.md): tokenize/hash once per
@@ -405,32 +599,71 @@ def minhash_pairs_from_grams(
     dedup/contamination run after that starts here, paying only the
     signature aggregation.  ``persist=False`` when ``gh`` is already
     storage-backed (a parquet read) — the verify branch then re-scans
-    the store instead of caching."""
-    from pyspark.storagelevel import StorageLevel
+    the store instead of caching.
 
+    Contract: ``gh`` rows are per-doc DISTINCT (the
+    ``_gram_hash_table(distinct=True)`` shape, and the stored-table
+    format) — signature MINs are multiset-insensitive but the content
+    stats that ride the same aggregation are not."""
     if persist:
-        gh = gh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _signatures_from_grams(gh, k, seed)
-    cand = lsh_candidate_pairs(sig, k, bands, distinct_pairs=False).persist()
+        gh = persist_tracked(gh)
+    sigg = persist_tracked(
+        _with_groups(gh.groupBy("doc").agg(*_minhash_aggs(k, seed), *_stat_aggs()))
+    )
+    reps = sigg.filter(F.col("doc") == F.col("rep"))
+    cand = persist_tracked(
+        lsh_candidate_pairs(reps, k, bands, max_bucket=max_bucket, distinct_pairs=False)
+    )
     cand.count()
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
     cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
-    return _jaccard_verify(cand.distinct(), cand_grams, threshold)
+    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
+        _ident_member_pairs(sigg, max_group).withColumn("jaccard", F.lit(1.0))
+    )
 
 
-def _jaccard_verify(cand: DataFrame, cand_grams: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_verify(
+    cand: DataFrame,
+    cand_grams: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact-Jaccard check of candidate (doc_a, doc_b) pairs against a
     (doc, g) gram table already restricted to candidate docs: one
     ``collect_set`` per doc, then each pair checked row-wise with
     ``array_intersect`` — two joins total, no per-(pair × shared
-    shingle) row explosion and no per-pair aggregation shuffle."""
-    doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
+    shingle) row explosion and no per-pair aggregation shuffle.
+
+    Size-ratio pre-gate (r5): Jaccard is bounded above by
+    min(|A|,|B|) / max(|A|,|B|), so pairs failing that ratio against
+    ``threshold`` are dropped on a join of 8-byte sizes BEFORE any gram
+    set is collected or shipped — docs appearing only in such pairs
+    never even get their ``collect_set`` built.  Output-neutral (a
+    sound bound), so the DuckDB oracles need no mirror.  ``sizes``
+    (doc, sz distinct-gram count) is passed in when the caller already
+    has it (it rides the signature aggregation); the fallback computes
+    it from ``cand_grams``."""
+    if sizes is None:
+        sizes = cand_grams.groupBy("doc").agg(F.count_distinct("g").alias("sz"))
+    gated = (
+        cand.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b") >= F.lit(threshold))
+    )
+    live = gated.select(F.col("doc_a").alias("doc")).union(
+        gated.select(F.col("doc_b").alias("doc"))
+    ).distinct()
+    doc_sets = cand_grams.join(F.broadcast(live), "doc", "left_semi").groupBy("doc").agg(
+        F.collect_set("g").alias("sset")
+    )
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (
-        cand.join(a, "doc_a")
+        gated.select("doc_a", "doc_b")
+        .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
@@ -458,6 +691,7 @@ def minhash_incremental_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 200,
+    max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """Incremental MinHash-LSH: near-dup pairs that involve at least one
     NEW doc — the production shape for a growing corpus, where each
@@ -492,26 +726,94 @@ def minhash_incremental_pairs(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), F.lit(True).alias("is_new")
         )
     )
-    gh = _gram_hash_table(tagged, "__id", "__t", n, extra=("is_new",))
-    sig = gh.groupBy("doc", "is_new").agg(*_minhash_aggs(k, seed))
-    cand = _incremental_candidates(sig, k, bands, max_bucket)
+    gh = _gram_hash_table(tagged, "__id", "__t", n, distinct=True, extra=("is_new",))
+    sig = gh.groupBy("doc", "is_new").agg(*_minhash_aggs(k, seed), *_stat_aggs())
+    sigg = persist_tracked(_with_groups_flagged(sig))
+    reps = sigg.filter(F.col("doc") == F.col("rep"))
+    cand = _incremental_candidates(
+        reps.select("doc", F.col("g_new").alias("is_new"), *[f"mh{i}" for i in range(k)]),
+        k, bands, max_bucket,
+    )
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
     small = tagged.join(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
-    return _jaccard_verify(cand, cand_grams, threshold)
+    cross = _jaccard_verify(cand, cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    return _flag_expand_ident(cross, sigg, max_group)
+
+
+def _with_groups_flagged(sig: DataFrame) -> DataFrame:
+    """:func:`_with_groups` plus the flag columns the incremental paths
+    need: ``rep_new`` (is the representative itself a new doc) and
+    ``g_new`` (does the group contain ANY new doc).  One narrow window
+    shuffle, same as the unflagged variant."""
+    w = Window.partitionBy("sz", "fp1", "fp2")
+    mn = F.min(F.struct(F.col("doc"), F.col("is_new"))).over(w)
+    return (
+        sig.withColumn("rep", mn["doc"])
+        .withColumn("rep_new", mn["is_new"])
+        .withColumn("gn", F.count("*").over(w))
+        .withColumn("g_new", F.max(F.col("is_new").cast("int")).over(w) == 1)
+    )
+
+
+def _flag_expand_ident(cross: DataFrame, sigg: DataFrame, max_group: int) -> DataFrame:
+    """Expansion + identical-group pairs for the incremental paths:
+    exactly the full-run expansion (:func:`_expand_cross` /
+    :func:`_ident_member_pairs`) filtered to member pairs with >= 1 NEW
+    doc — so the result provably equals the full re-dedup filtered to
+    pairs involving a new member, star/clique semantics included."""
+    a = sigg.select(
+        F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"), F.col("is_new").alias("__na")
+    )
+    b = sigg.select(
+        F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"), F.col("is_new").alias("__nb")
+    )
+    expanded = (
+        cross.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("__na") | F.col("__nb"))
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    ga = sigg.select(
+        F.col("rep").alias("__r"), F.col("doc").alias("doc_a"),
+        F.col("is_new").alias("__na"), "gn",
+    )
+    gb = sigg.select(
+        F.col("rep").alias("__r"), F.col("doc").alias("doc_b"), F.col("is_new").alias("__nb")
+    )
+    clique = (
+        ga.filter(F.col("gn") <= max_group)
+        .join(gb, "__r")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("__na") | F.col("__nb")))
+        .select("doc_a", "doc_b")
+    )
+    star = sigg.filter(
+        (F.col("gn") > max_group)
+        & (F.col("doc") != F.col("rep"))
+        & (F.col("rep_new") | F.col("is_new"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+    ident = clique.unionByName(star).withColumn("jaccard", F.lit(1.0))
+    return expanded.unionByName(ident)
 
 
 def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int) -> DataFrame:
-    """Band a flagged signature table (doc, is_new, mh*) and emit the
-    distinct candidate pairs with >=1 NEW member, persisted + counted
-    (the tiny materialization every caller reuses three times).
+    """Band a flagged signature table (doc, is_new, mh*) — since the r5
+    content collapse, one REPRESENTATIVE row per distinct gram set,
+    with ``is_new`` meaning "the group contains any new doc" — and emit
+    the distinct candidate rep pairs with >=1 flagged member, persisted
+    + counted (the tiny materialization every caller reuses).
 
-    The bucket size-gate sees COMBINED bucket sizes (existing + new),
-    so gating matches a full re-dedup exactly; buckets with no new
-    member are dropped before membership collection — the incremental
-    work-pruning."""
+    The bucket size-gate sees COMBINED rep counts (existing + new
+    content groups together), so gating matches a full re-dedup
+    exactly; buckets with no new-flagged group are dropped before
+    membership collection — the incremental work-pruning (their pairs
+    could only ever expand to old-old member pairs)."""
     banded = sig.select(
         "doc", "is_new", F.explode(_band_expr(k, bands)).alias("bk")
     ).select("doc", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -544,8 +846,8 @@ def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int)
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        .persist()
     )
+    cand = persist_tracked(cand)
     cand.count()
     return cand
 
@@ -562,6 +864,7 @@ def minhash_incremental_from_store(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int = 200,
+    max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """The true per-batch production shape of incremental dedup: the
     corpus side arrives as the STORED signature table (doc, mh0..mh*)
@@ -576,18 +879,33 @@ def minhash_incremental_from_store(
     dedup_minhash_incr_store).
 
     ``existing_sig``/``existing_grams`` must come from the same corpus
-    version with the same (k, n, seed); ids disjoint from ``new``."""
-    new_gh = _gram_hash_table(new, id_col, text_col, n).persist()
-    new_sig = _signatures_from_grams(new_gh, k, seed)
-    sig = existing_sig.select("doc", *[f"mh{i}" for i in range(k)]).withColumn(
-        "is_new", F.lit(False)
-    ).unionByName(new_sig.withColumn("is_new", F.lit(True)))
-    cand = _incremental_candidates(sig, k, bands, max_bucket)
+    version with the same (k, n, seed); ids disjoint from ``new``.
+    ``existing_grams`` rows are per-doc DISTINCT (the stored-table
+    contract, :func:`minhash_pairs_from_grams`) — the corpus-side
+    content stats are re-derived from them with one combinable
+    aggregation (3 longs per doc across the wire)."""
+    new_gh = persist_tracked(_gram_hash_table(new, id_col, text_col, n, distinct=True))
+    new_sig = new_gh.groupBy("doc").agg(*_minhash_aggs(k, seed), *_stat_aggs()).withColumn(
+        "is_new", F.lit(True)
+    )
+    old_stats = existing_grams.select("doc", "g").groupBy("doc").agg(*_stat_aggs())
+    old_sig = (
+        existing_sig.select("doc", *[f"mh{i}" for i in range(k)])
+        .join(old_stats, "doc")
+        .withColumn("is_new", F.lit(False))
+    )
+    sigg = persist_tracked(_with_groups_flagged(old_sig.unionByName(new_sig)))
+    reps = sigg.filter(F.col("doc") == F.col("rep"))
+    cand = _incremental_candidates(
+        reps.select("doc", F.col("g_new").alias("is_new"), *[f"mh{i}" for i in range(k)]),
+        k, bands, max_bucket,
+    )
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
     cand_grams = existing_grams.select("doc", "g").join(
         F.broadcast(cand_docs), "doc", "left_semi"
     ).unionByName(new_gh.join(F.broadcast(cand_docs), "doc", "left_semi"))
-    return _jaccard_verify(cand, cand_grams, threshold)
+    cross = _jaccard_verify(cand, cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    return _flag_expand_ident(cross, sigg, max_group)
 
 
 # ---------------------------------------------------------------------------
@@ -650,23 +968,40 @@ def simhash_near_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 200,
+    max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """Hamming-near pairs via band join (a pair within ``max_hamming``
     of ``bands`` bands must agree on ≥1 band when max_hamming < bands),
     verified with an exact popcount.
 
-    ``max_bucket`` drops band buckets larger than the cap BEFORE the
-    self-join — the same spill-safe window gate as
-    :func:`lsh_candidate_pairs`, and the guard that keeps a saturated
-    band key (or a degenerate signature shared by millions of
-    boilerplate docs) from quadratic-blowing a reducer.  A dropped
-    bucket costs recall only for pairs whose OTHER agreeing bands are
-    also oversaturated; with ``bits``/``bands`` sized so keys don't
+    Signature-level collapse (r5): hamming distance depends ONLY on the
+    signatures, so docs sharing a signature are collapsed to one
+    representative (min doc id) before banding — EXACT, no fingerprint
+    involved.  Same-signature groups emit their hamming-0 pairs by
+    expansion (clique up to ``max_group``, star beyond — see
+    ``IDENT_MAX_GROUP``), so a degenerate signature shared by millions
+    of boilerplate docs — the strongest duplicates in the corpus, and
+    the pairs the r4 ``max_bucket`` gate silently dropped — is always
+    reported, while the band self-join only ever sees distinct
+    signatures.
+
+    ``max_bucket`` drops band buckets with more than the cap's worth of
+    DISTINCT signatures before the self-join — the same spill-safe
+    window gate as :func:`lsh_candidate_pairs`.  A dropped bucket costs
+    recall only for cross-signature pairs whose OTHER agreeing bands
+    are also oversaturated; with ``bits``/``bands`` sized so keys don't
     saturate (see SIMHASH_BITS note) the cap never triggers on healthy
     data."""
+    w = Window.partitionBy("simhash")
+    groups = (
+        sig.select("doc", "simhash")
+        .withColumn("rep", F.min("doc").over(w))
+        .withColumn("gn", F.count("*").over(w))
+    )
+    reps = groups.filter(F.col("doc") == F.col("rep")).select("doc", "simhash")
     width = bits // bands
     mask = (1 << width) - 1
-    banded = sig.select(
+    banded = reps.select(
         "doc",
         "simhash",
         F.explode(
@@ -684,7 +1019,7 @@ def simhash_near_pairs(
         F.col("n") <= max_bucket
     ).drop("n")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -698,7 +1033,28 @@ def simhash_near_pairs(
             F.col("b.simhash").alias("sig_b"),
         )
         .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    ).filter(F.col("hamming") <= max_hamming)
+    # Expansion: sig columns must follow the least/greatest member swap.
+    mem = groups.select("doc", "rep")
+    ea = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
+    eb = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
+    swap = F.col("__ma") < F.col("__mb")
+    expanded = (
+        cross.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            F.least("__ma", "__mb").alias("doc_a"),
+            F.greatest("__ma", "__mb").alias("doc_b"),
+            F.when(swap, F.col("sig_a")).otherwise(F.col("sig_b")).alias("sig_a"),
+            F.when(swap, F.col("sig_b")).otherwise(F.col("sig_a")).alias("sig_b"),
+            "hamming",
+        )
+    )
+    ident = _ident_member_pairs(groups, max_group, carry=("simhash",)).select(
+        "doc_a", "doc_b",
+        F.col("simhash").alias("sig_a"), F.col("simhash").alias("sig_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    return expanded.withColumn("hamming", F.col("hamming").cast("integer")).unionByName(ident)

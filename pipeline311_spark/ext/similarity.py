@@ -328,6 +328,7 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     dim: int | None = None,
     max_bucket: int = 200,
+    max_group: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are
     only compared within a bucket (near-identical vectors agree on all
@@ -338,16 +339,29 @@ def embedding_near_dup_pairs(
     pick ``n_planes ≈ log2(corpus / desired_occupancy)`` (the signature
     is just n_planes sign bits; more planes cost one extra dot each).
     ``max_bucket`` is the backstop, the same spill-safe window gate as
-    the MinHash/SimHash band joins: an oversaturated or degenerate
-    bucket (millions of identical vectors) is dropped instead of
-    quadratic-blowing a task."""
+    the MinHash/SimHash band joins — but since the r5 content collapse
+    it gates on DISTINCT vectors: byte-identical vectors (the classic
+    degenerate bucket — millions of copies of one embedding) are
+    collapsed to a representative before bucketing and their pairs
+    emitted by expansion (clique up to ``max_group`` per group, star
+    beyond — linear output, same downstream clusters), so the
+    strongest duplicates can no longer be silently dropped by the gate
+    and the self-join only ever compares distinct vectors.  Vector
+    identity is the exact array value (grouped directly — no
+    fingerprint), mirrored 1:1 by the DuckDB oracle."""
     b = lsh_bucket(df, id_col, vec_col, n_planes, seed, dim)
+    wg = Window.partitionBy("v")
+    groups = (
+        b.withColumn("rep", F.min(id_col).over(wg))
+        .withColumn("gn", F.count("*").over(wg))
+    )
+    reps = groups.filter(F.col(id_col) == F.col("rep")).drop("rep", "gn")
     wsz = Window.partitionBy("bucket")
-    b = b.withColumn("__n", F.count("*").over(wsz)).filter(
+    gated = reps.withColumn("__n", F.count("*").over(wsz)).filter(
         F.col("__n") <= max_bucket
     ).drop("__n")
-    a, c = b.alias("a"), b.alias("b")
-    return (
+    a, c = gated.alias("a"), gated.alias("b")
+    cross = (
         a.join(
             c,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -362,6 +376,36 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    mem = groups.select(F.col(id_col).alias("__m"), "rep")
+    ea = mem.select(F.col("rep").alias("id_a"), F.col("__m").alias("__ma"))
+    eb = mem.select(F.col("rep").alias("id_b"), F.col("__m").alias("__mb"))
+    expanded = (
+        cross.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    # Identical-vector pairs: cosine computed with the SAME expression
+    # as cross pairs (on v,v) so the value matches the oracle bit-wise.
+    ga = groups.select(
+        F.col("rep").alias("__r"), F.col(id_col).alias("id_a"), "gn", "v", "nv"
+    )
+    gb = groups.select(F.col("rep").alias("__r"), F.col(id_col).alias("id_b"))
+    self_cos = cosine_pre(F.col("v"), F.col("v"), F.col("nv"), F.col("nv"))
+    clique = (
+        ga.filter(F.col("gn") <= max_group)
+        .join(gb, "__r")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", self_cos.alias("cos_sim"))
+    )
+    star = groups.filter((F.col("gn") > max_group) & (F.col(id_col) != F.col("rep"))).select(
+        F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"), self_cos.alias("cos_sim")
+    )
+    ident = clique.unionByName(star).filter(F.col("cos_sim") >= threshold)
+    return expanded.unionByName(ident)
 
 
 def semantic_dedup_keep(

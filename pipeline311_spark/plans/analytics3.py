@@ -152,10 +152,7 @@ def q_from_json(spark, sf_dir):
 _REACH_PREFIX = f"""
 WITH RECURSIVE
 {_NGRAM_JACCARD_SQL.strip().removeprefix('WITH').rsplit('SELECT', 1)[0].rstrip().rstrip(',')},
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE inter / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}),
+pairs AS (SELECT doc_a, doc_b FROM allpairs),
 sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
 reach(node, r) AS (
   SELECT s, s FROM (SELECT DISTINCT s FROM sym) t

@@ -68,21 +68,59 @@ sh AS (
 _JACCARD_N = 5
 _JACCARD_THRESHOLD = 0.2
 _JACCARD_MAX_DF = 50
+_IDENT_MAX_GROUP = 200  # mirrors ext.dedup.IDENT_MAX_GROUP
+
+# Content-identity collapse (mirrors ext/dedup.py r5 semantics): docs
+# are grouped by their exact sorted distinct-shingle list (the oracle's
+# exact twin of the engine's (sz, fp1, fp2) fingerprint — a fingerprint
+# collision would surface here as a mismatch), pair generation runs
+# over one representative (min doc_id) per group with doc-frequency /
+# bucket gates counting GROUPS, identical-group pairs are emitted
+# directly (clique up to _IDENT_MAX_GROUP, star beyond), and verified
+# rep pairs expand back to member pairs.
 
 _NGRAM_JACCARD_SQL = f"""
 WITH {_shingle_cte(_JACCARD_N)},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+gsets AS (
+  SELECT doc_id, list_sort(list_distinct(list(shingle))) AS gs
+  FROM sh GROUP BY doc_id),
+grp AS (
+  SELECT doc_id, gs, len(gs) AS sz,
+         MIN(doc_id) OVER (PARTITION BY gs) AS rep,
+         COUNT(*) OVER (PARTITION BY gs) AS gn
+  FROM gsets),
+rsh AS (SELECT doc_id, unnest(gs) AS shingle FROM grp WHERE doc_id = rep),
+sizes AS (SELECT doc_id, sz FROM grp WHERE doc_id = rep),
 rare AS (
-  SELECT * FROM sh WHERE shingle IN (
-    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= {_JACCARD_MAX_DF})),
+  SELECT * FROM rsh WHERE shingle IN (
+    SELECT shingle FROM rsh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= {_JACCARD_MAX_DF})),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       inter / (sa.sz + sb.sz - inter) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+  GROUP BY 1, 2),
+cross_rep AS (
+  SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         inter / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}),
+expanded AS (
+  SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a, GREATEST(ga.doc_id, gb.doc_id) AS doc_b,
+         c.inter,
+         CASE WHEN ga.doc_id < gb.doc_id THEN c.sz_a ELSE c.sz_b END AS sz_a,
+         CASE WHEN ga.doc_id < gb.doc_id THEN c.sz_b ELSE c.sz_a END AS sz_b,
+         c.jaccard
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b),
+ident AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS inter,
+         a.sz AS sz_a, a.sz AS sz_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  WHERE a.gn <= {_IDENT_MAX_GROUP}
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b, sz AS inter, sz AS sz_a, sz AS sz_b,
+         CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp WHERE gn > {_IDENT_MAX_GROUP} AND doc_id <> rep),
+allpairs AS (SELECT * FROM expanded UNION ALL SELECT * FROM ident)
+SELECT doc_a, doc_b, inter, sz_a, sz_b, jaccard FROM allpairs
 """
 
 
@@ -122,7 +160,10 @@ _MH_ROWS = _MH_K // _MH_BANDS
 
 
 # Band explosion is expressed as a UNION ALL over the band index (cleaner
-# than struct unnesting in DuckDB).
+# than struct unnesting in DuckDB).  Same content-identity collapse as
+# the n-gram oracle: group by the exact sorted gram-hash list, run the
+# LSH pipeline over representatives, expand + emit identical-group
+# pairs (see the note above _NGRAM_JACCARD_SQL).
 def _minhash_pairs_sql(extra_pred: str = "") -> str:
     from pipeline311_spark.ext.dedup import GRAM_BASE
 
@@ -140,20 +181,27 @@ def _minhash_pairs_sql(extra_pred: str = "") -> str:
     gram = "th[i]"
     for j in range(1, _MH_N):
         gram = f"(({gram}) * {GRAM_BASE} + th[i+{j}]) % {MOD}"
+    where_pred = f"WHERE TRUE{extra_pred}" if extra_pred else ""
     return f"""
 WITH {_shingle_cte(_MH_N)},
 tokh AS (SELECT doc_id,
     list_transform(string_split(nt, ' '), t -> {portable_hash_sql('t')}) AS th
   FROM norm),
-grams AS (
-  SELECT doc_id, unnest(
+gsets AS (
+  SELECT doc_id, list_sort(list_distinct(
     CASE WHEN len(th) >= {_MH_N}
          THEN list_transform(range(1, len(th) - {_MH_N} + 2), i -> {gram})
-         ELSE [] END) AS g
+         ELSE [] END)) AS gs
   FROM tokh),
+grp AS (
+  SELECT doc_id, gs, len(gs) AS sz,
+         MIN(doc_id) OVER (PARTITION BY gs) AS rep,
+         COUNT(*) OVER (PARTITION BY gs) AS gn
+  FROM gsets WHERE len(gs) > 0),
+rgrams AS (SELECT doc_id, unnest(gs) AS g FROM grp WHERE doc_id = rep),
 sig AS (SELECT doc_id,
     {mins}
-  FROM grams GROUP BY doc_id),
+  FROM rgrams GROUP BY doc_id),
 banded AS (
 {band_selects}
 ),
@@ -163,16 +211,30 @@ small AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM small a JOIN small b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(DISTINCT g) AS sz FROM grams GROUP BY doc_id),
+sizes AS (SELECT doc_id, sz FROM grp WHERE doc_id = rep),
 inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(DISTINCT a.g) AS inter
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
   FROM cand c
-  JOIN grams a ON a.doc_id = c.doc_a
-  JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, inter / (sa.sz + sb.sz - inter) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= {_MH_THRESHOLD}{extra_pred}
+  JOIN rgrams a ON a.doc_id = c.doc_a
+  JOIN rgrams b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY 1, 2),
+cross_rep AS (
+  SELECT doc_a, doc_b, inter / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= {_MH_THRESHOLD}),
+expanded AS (
+  SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a, GREATEST(ga.doc_id, gb.doc_id) AS doc_b,
+         c.jaccard
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b),
+ident AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  WHERE a.gn <= {_IDENT_MAX_GROUP}
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM grp WHERE gn > {_IDENT_MAX_GROUP} AND doc_id <> rep),
+allpairs AS (SELECT * FROM expanded UNION ALL SELECT * FROM ident)
+SELECT doc_a, doc_b, jaccard FROM allpairs {where_pred}
 """
 
 
@@ -204,7 +266,7 @@ def q_minhash_from_store(spark, sf_dir):
         tempfile.gettempdir(),
         f"p311_grams_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
     )
-    _gram_hash_table(d, "doc_id", "text", _MH_N).write.mode("overwrite").parquet(out)
+    _gram_hash_table(d, "doc_id", "text", _MH_N, distinct=True).write.mode("overwrite").parquet(out)
     stored = spark.read.parquet(out)
     return minhash_pairs_from_grams(
         stored, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED, persist=False
@@ -262,7 +324,7 @@ def q_minhash_incr_store(spark, sf_dir):
         tempfile.gettempdir(),
         f"p311_incr_store_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
     )
-    gh = _gram_hash_table(existing, "doc_id", "text", _MH_N)
+    gh = _gram_hash_table(existing, "doc_id", "text", _MH_N, distinct=True)
     gh.write.mode("overwrite").parquet(base + "_grams")
     stored_grams = spark.read.parquet(base + "_grams")
     _signatures_from_grams(stored_grams, _MH_K, _MH_SEED).write.mode("overwrite").parquet(
@@ -354,15 +416,26 @@ def q_simhash_sig(spark, sf_dir):
     return simhash(d, "doc_id", "text", bits=_SH_BITS).withColumnRenamed("doc", "doc_id")
 
 
+# Signature-level collapse (mirrors ext/dedup.py simhash_near_pairs
+# r5): hamming depends only on the signature, so docs are grouped by
+# the signature VALUE itself — exact, no fingerprint — banded over one
+# representative per signature, with same-signature (hamming-0) pairs
+# emitted by clique/star expansion.
 def _simhash_pairs_sql() -> str:
     width = _SH_BITS // _SH_BANDS
     mask = (1 << width) - 1
     band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * width}) & {mask} AS key FROM sig"
+        f"  SELECT doc_id, simhash, {bi} AS band, (simhash >> {bi * width}) & {mask} AS key FROM reps"
         for bi in range(_SH_BANDS)
     )
     return f"""
 WITH {_simhash_sig_cte()},
+grp AS (
+  SELECT doc_id, simhash,
+         MIN(doc_id) OVER (PARTITION BY simhash) AS rep,
+         COUNT(*) OVER (PARTITION BY simhash) AS gn
+  FROM sig),
+reps AS (SELECT doc_id, simhash FROM grp WHERE doc_id = rep),
 banded AS (
 {band_selects}
 ),
@@ -373,10 +446,28 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sig_a, b.simhash AS sig_b
   FROM gated a JOIN gated b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, sig_a, sig_b,
-       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAX_HAMMING}
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+cross_rep AS (
+  SELECT doc_a, doc_b, sig_a, sig_b,
+         CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAX_HAMMING}),
+expanded AS (
+  SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a, GREATEST(ga.doc_id, gb.doc_id) AS doc_b,
+         CASE WHEN ga.doc_id < gb.doc_id THEN c.sig_a ELSE c.sig_b END AS sig_a,
+         CASE WHEN ga.doc_id < gb.doc_id THEN c.sig_b ELSE c.sig_a END AS sig_b,
+         c.hamming
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b),
+ident AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sig_a, a.simhash AS sig_b,
+         CAST(0 AS INTEGER) AS hamming
+  FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  WHERE a.gn <= {_IDENT_MAX_GROUP}
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b, simhash AS sig_a, simhash AS sig_b,
+         CAST(0 AS INTEGER) AS hamming
+  FROM grp WHERE gn > {_IDENT_MAX_GROUP} AND doc_id <> rep),
+allpairs AS (SELECT * FROM expanded UNION ALL SELECT * FROM ident)
+SELECT doc_a, doc_b, sig_a, sig_b, hamming FROM allpairs
 """
 
 
@@ -572,15 +663,40 @@ _NEAR_DUP_THRESHOLD = 0.3
 _NEAR_DUP_MAX_BUCKET = 200
 
 
+# Vector-identity collapse (mirrors ext/similarity.py
+# embedding_near_dup_pairs r5): group by the exact vector value, bucket
+# one representative per distinct vector, expand; identical-vector
+# pairs compute cosine with the SAME formula (on v, v) as cross pairs.
 def _near_dup_sql() -> str:
+    self_cos = _cos_sql("a.v", "a.v")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b0 AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e),
+grp AS (
+  SELECT vec_id, v,
+         MIN(vec_id) OVER (PARTITION BY v) AS rep,
+         COUNT(*) OVER (PARTITION BY v) AS gn
+  FROM e),
+b0 AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM grp WHERE vec_id = rep),
 b AS (SELECT * FROM b0 WHERE bucket IN (
-  SELECT bucket FROM b0 GROUP BY bucket HAVING COUNT(*) <= {_NEAR_DUP_MAX_BUCKET}))
-SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_cos_sql('a.v', 'b2.v')} AS cos_sim
-FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE {_cos_sql('a.v', 'b2.v')} >= {_NEAR_DUP_THRESHOLD}
+  SELECT bucket FROM b0 GROUP BY bucket HAVING COUNT(*) <= {_NEAR_DUP_MAX_BUCKET})),
+cross_rep AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_cos_sql('a.v', 'b2.v')} AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE {_cos_sql('a.v', 'b2.v')} >= {_NEAR_DUP_THRESHOLD}),
+expanded AS (
+  SELECT LEAST(ga.vec_id, gb.vec_id) AS id_a, GREATEST(ga.vec_id, gb.vec_id) AS id_b,
+         c.cos_sim
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.id_a JOIN grp gb ON gb.rep = c.id_b),
+ident AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {self_cos} AS cos_sim
+  FROM grp a JOIN grp b ON a.rep = b.rep AND a.vec_id < b.vec_id
+  WHERE a.gn <= {_IDENT_MAX_GROUP} AND {self_cos} >= {_NEAR_DUP_THRESHOLD}
+  UNION ALL
+  SELECT a.rep AS id_a, a.vec_id AS id_b, {self_cos} AS cos_sim
+  FROM grp a WHERE a.gn > {_IDENT_MAX_GROUP} AND a.vec_id <> a.rep
+    AND {self_cos} >= {_NEAR_DUP_THRESHOLD}),
+allpairs AS (SELECT * FROM expanded UNION ALL SELECT * FROM ident)
+SELECT id_a, id_b, cos_sim FROM allpairs
 """
 
 

@@ -380,13 +380,14 @@ def test_semantic_dedup_keep_rules(spark):
     assert kept2 == {0, 1, 2, 3, 10}
 
 
-def test_degenerate_identical_corpus_is_gated(spark):
-    """The ultimate hot bucket: EVERY doc identical.  All three fuzzy
-    candidate generators must gate the saturated bucket (bounded work,
-    zero pairs — a 500-doc corpus would otherwise attempt ~125k pairs),
-    while exact dedup — the right tool for identical docs — still finds
-    the single group.  This is the division of labor the max_df /
-    max_bucket caps encode."""
+def test_degenerate_identical_corpus_star_pairs(spark):
+    """The ultimate hot bucket: EVERY doc identical.  Since the r5
+    content collapse, the fuzzy generators no longer drop these pairs
+    (the r4 semantics ADVICE flagged: the strongest duplicates were
+    exactly the ones silently lost) — the 500-member group exceeds
+    max_group, so each op emits the 499 STAR pairs rep↔member: linear
+    output, bounded work (one representative reaches banding), full
+    connectivity for downstream clustering."""
     from pyspark.sql import functions as F
 
     from pipeline311_spark.ext.dedup import (
@@ -404,6 +405,64 @@ def test_degenerate_identical_corpus_is_gated(spark):
     groups = exact_dup_groups(d, "doc_id", "text").collect()
     assert len(groups) == 1 and groups[0]["n_docs"] == 500
     kw = dict(k=16, bands=4, n=5, threshold=0.2)
-    assert minhash_dedup_pairs(d, "doc_id", "text", **kw).count() == 0
-    assert ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.2, max_df=50).count() == 0
-    assert simhash_near_pairs(simhash(d, "doc_id", "text")).count() == 0
+    mh = minhash_dedup_pairs(d, "doc_id", "text", **kw).collect()
+    assert len(mh) == 499
+    assert all(r["doc_a"] == 0 and r["jaccard"] == 1.0 for r in mh)
+    assert {r["doc_b"] for r in mh} == set(range(1, 500))
+    ng = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.2, max_df=50).collect()
+    assert len(ng) == 499 and all(r["doc_a"] == 0 and r["jaccard"] == 1.0 for r in ng)
+    sh = simhash_near_pairs(simhash(d, "doc_id", "text")).collect()
+    assert len(sh) == 499 and all(r["doc_a"] == 0 and r["hamming"] == 0 for r in sh)
+
+
+def test_identical_group_clique_and_cross_recall(spark):
+    """Content collapse semantics: a small identical group emits its
+    full clique (J = 1), dup mass no longer saturates buckets (a
+    near-dup pair of OTHER docs is still found next to 300 identical
+    docs — the r4 gate dropped the whole bucket), and cross near-dup
+    pairs expand to every member of each group."""
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.dedup import minhash_dedup_pairs
+
+    # long text so band recall is ~certain (J = 34/36; one-token change)
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word39", "changed")
+    rows = [(i, base) for i in range(300)] + [(1000, near), (1001, "totally unrelated words "
+            "about spark adaptive query execution and shuffle partition coalescing")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            d, "doc_id", "text", k=16, bands=4, n=5, threshold=0.2, max_group=400
+        ).collect()
+    }
+    # clique: C(300, 2) identical pairs, all J=1
+    ident = {p for p in pairs if p[0] < 300 and p[1] < 300}
+    assert len(ident) == 300 * 299 // 2
+    assert all(pairs[p] == 1.0 for p in ident)
+    # cross recall: EVERY member pairs with the near-dup doc at the
+    # same jaccard (expansion), despite 300 docs sharing the bucket
+    cross = {p for p in pairs if p[1] == 1000}
+    assert cross == {(i, 1000) for i in range(300)}
+    assert len({round(pairs[p], 12) for p in cross}) == 1
+    assert not any(1001 in p for p in pairs)
+
+
+def test_cache_scope_releases_persisted_intermediates(spark):
+    """cache_scope: after materializing a MinHash result inside the
+    scope, exiting the scope unpersists every intermediate the operator
+    family pinned (gram table, signature/group table, candidate set)."""
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.cache import cache_scope
+    from pipeline311_spark.ext.dedup import minhash_dedup_pairs
+
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    jvm_cached = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    spark.catalog.clearCache()
+    with cache_scope():
+        out = minhash_dedup_pairs(d, "doc_id", "text", k=8, bands=4, n=3)
+        assert out.count() >= 1
+        assert jvm_cached() > 0  # intermediates pinned while in scope
+    assert jvm_cached() == 0  # all released at scope exit
