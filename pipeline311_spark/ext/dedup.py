@@ -15,13 +15,13 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.cache import persist_tracked
 from pipeline311_spark.ext.hashing import (
+    jvm_memo,
     affine,
     ensure_parallelism,
     hash_params,
@@ -138,8 +138,17 @@ def ngram_jaccard_pairs(
         .withColumn("hs", _token_hash_expr())
         .filter(F.size("tk") >= n)
     )
-    rs = _row_stats(per, n)
-    groups = _with_groups(rs.select("doc", "sz", "fp1", "fp2"))
+    # Persisting rs is load-bearing twice over: (1) every consumer
+    # (gram rows, sizes, expansion, ident) tokenizes once instead of
+    # once each; (2) the cache boundary stops Catalyst from hoisting
+    # the garr-derived stat columns ABOVE the explode's Generate node —
+    # without it the optimizer rewrites Generate to carry the whole
+    # garr array into every exploded gram row and evaluate the stats
+    # per gram row (measured 18 s vs 0.3 s on a 20k-doc corpus).
+    # Footprint ≈ the gram table, the same class as the MinHash
+    # reuse_grams cache; reclaim via cache_scope/clearCache.
+    rs = persist_tracked(_row_stats(per, n))
+    groups = persist_tracked(_with_groups(rs.select("doc", "sz", "fp1", "fp2")))
     sh = rs.select("doc", "sz", "fp1", "fp2", F.explode("garr").alias("g"))
     wsz = Window.partitionBy("g")
     buckets = (
@@ -229,7 +238,7 @@ def _gram_hash_table(
     return per.select("doc", *extra, F.explode(_gram_fold_expr(n, distinct)).alias("g"))
 
 
-@lru_cache(maxsize=4)
+@jvm_memo(maxsize=4)
 def _token_hash_expr() -> Column:
     """Memoized per-token hash array over the fixed ``tk`` intermediate
     (expression construction is py4j-bound driver time; the tree is an
@@ -241,7 +250,7 @@ def _token_hash_expr() -> Column:
     )
 
 
-@lru_cache(maxsize=8)
+@jvm_memo(maxsize=8)
 def _gram_fold_expr(n: int, distinct: bool) -> Column:
     """Memoized n-gram fold over the fixed ``hs``/``tk`` intermediates."""
     from pipeline311_spark.ext.hashing import MOD
@@ -264,7 +273,7 @@ def _signatures_from_grams(gh: DataFrame, k: int, seed: int) -> DataFrame:
     return gh.groupBy("doc").agg(*_minhash_aggs(k, seed))
 
 
-@lru_cache(maxsize=8)
+@jvm_memo(maxsize=8)
 def _minhash_aggs(k: int, seed: int) -> tuple[Column, ...]:
     """Memoized k min-affine aggregates over the fixed ``g`` column."""
     params = hash_params(k, seed)
@@ -349,21 +358,25 @@ def _with_groups(stats: DataFrame) -> DataFrame:
 
 def _ident_member_pairs(groups: DataFrame, max_group: int, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_a, doc_b, *carry) member pairs inside identical-content
-    groups: clique for gn <= max_group (a narrow self-join on rep —
-    row-level, spill-safe, no membership arrays buffered), star
-    rep↔member beyond.  ``carry`` columns are group-constant and copied
-    from one member row."""
-    a = groups.select(F.col("rep").alias("__r"), F.col("doc").alias("doc_a"), "gn", *carry)
-    b = groups.select(F.col("rep").alias("__r"), F.col("doc").alias("doc_b"))
+    groups: clique for gn <= max_group via the bucket-collect shape
+    (ONE shuffle on rep; the gn gate runs BEFORE collect_set so the
+    aggregation buffer never holds more than max_group ids), star
+    rep↔member beyond (pure row filter, no shuffle at all).  ``carry``
+    columns are group-constant (any member's value serves)."""
+    small = groups.filter((F.col("gn") <= max_group) & (F.col("gn") >= 2))
     clique = (
-        a.filter(F.col("gn") <= max_group)
-        .join(b, "__r")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        small.groupBy("rep")
+        .agg(
+            F.sort_array(F.collect_set("doc")).alias("docs"),
+            *[F.first(c).alias(c) for c in carry],
+        )
+        .select(F.explode(_bucket_pairs_expr()).alias("p"), *carry)
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), *carry)
     )
     star = groups.filter((F.col("gn") > max_group) & (F.col("doc") != F.col("rep"))).select(
         F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"), *carry
     )
-    return clique.select("doc_a", "doc_b", *carry).unionByName(star)
+    return clique.unionByName(star)
 
 
 def _expand_cross(
@@ -418,7 +431,7 @@ def lsh_candidate_pairs(
     sig: DataFrame,
     k: int = 16,
     bands: int = 4,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
     distinct_pairs: bool = True,
 ) -> DataFrame:
     """Band the signature (bands × k/bands rows) and emit distinct doc
@@ -452,9 +465,12 @@ def lsh_candidate_pairs(
     # for surviving buckets: a hot bucket never reaches collect_set.
     # One row per (doc, band) → count == distinct docs in the bucket.
     wsz = Window.partitionBy("band", "key")
+    gate = (F.col("n") >= 2) if max_bucket is None else (
+        (F.col("n") >= 2) & (F.col("n") <= max_bucket)
+    )
     buckets = (
         banded.withColumn("n", F.count("*").over(wsz))
-        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .filter(gate)
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
     )
@@ -464,7 +480,7 @@ def lsh_candidate_pairs(
     return out.distinct() if distinct_pairs else out
 
 
-@lru_cache(maxsize=8)
+@jvm_memo(maxsize=8)
 def _band_expr(k: int, bands: int) -> Column:
     """Memoized band/key struct array over the fixed ``mh*`` columns."""
     rows = k // bands
@@ -477,7 +493,7 @@ def _band_expr(k: int, bands: int) -> Column:
     ])
 
 
-@lru_cache(maxsize=1)
+@jvm_memo(maxsize=1)
 def _bucket_pairs_expr() -> Column:
     """Memoized all-ordered-pairs (i < j) generator over the fixed
     ``docs`` bucket-membership array, generated array-side."""
@@ -490,6 +506,27 @@ def _bucket_pairs_expr() -> Column:
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
+    )
+
+
+def lsh_dropped_buckets(
+    sig: DataFrame, k: int = 16, bands: int = 4, max_bucket: int = 200
+) -> DataFrame:
+    """Observability for the ``max_bucket`` gate (ADVICE r4): the
+    (band, key, n) rows :func:`lsh_candidate_pairs` would DROP at this
+    cap.  Since the content collapse, a drop can only hit buckets with
+    > max_bucket DISTINCT gram sets (identical docs collapse to one
+    rep and are reported via group expansion regardless), i.e. heavily
+    templated near-but-not-identical corpora — run this audit when
+    recall matters, and either raise ``max_bucket`` or pass
+    ``max_bucket=None`` (no gate) with eyes open."""
+    banded = sig.select(
+        "doc", F.explode(_band_expr(k, bands)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
     )
 
 
@@ -780,18 +817,32 @@ def _flag_expand_ident(cross: DataFrame, sigg: DataFrame, max_group: int) -> Dat
             "jaccard",
         )
     )
-    ga = sigg.select(
-        F.col("rep").alias("__r"), F.col("doc").alias("doc_a"),
-        F.col("is_new").alias("__na"), "gn",
+    # clique via bucket-collect (one shuffle on rep, gn-gated buffer),
+    # pair gen array-side with the >=1-new filter inline — the same
+    # shape _incremental_candidates uses for band buckets
+    small = sigg.filter((F.col("gn") <= max_group) & (F.col("gn") >= 2))
+    members = small.groupBy("rep").agg(
+        F.sort_array(F.collect_set(F.struct("doc", "is_new"))).alias("members")
     )
-    gb = sigg.select(
-        F.col("rep").alias("__r"), F.col("doc").alias("doc_b"), F.col("is_new").alias("__nb")
+    m = F.col("members")
+    pair_expr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x["doc"].alias("doc_a"),
+                        y["doc"].alias("doc_b"),
+                        (x["is_new"] | y["is_new"]).alias("has_new"),
+                    ),
+                ),
+                lambda p: p["has_new"],
+            ),
+        )
     )
-    clique = (
-        ga.filter(F.col("gn") <= max_group)
-        .join(gb, "__r")
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("__na") | F.col("__nb")))
-        .select("doc_a", "doc_b")
+    clique = members.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
     star = sigg.filter(
         (F.col("gn") > max_group)
@@ -946,7 +997,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     return votes.select("doc", sig.cast("long").alias("simhash"))
 
 
-@lru_cache(maxsize=8)
+@jvm_memo(maxsize=8)
 def _simhash_exprs(bits: int) -> tuple[tuple[Column, ...], Column]:
     """Memoized per-bit vote aggregates + signature assembly (~0.5 s of
     py4j-bound driver time to build `bits` agg trees; immutable
@@ -967,7 +1018,7 @@ def simhash_near_pairs(
     bits: int = SIMHASH_BITS,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
     max_group: int = IDENT_MAX_GROUP,
 ) -> DataFrame:
     """Hamming-near pairs via band join (a pair within ``max_hamming``
@@ -1015,9 +1066,10 @@ def simhash_near_pairs(
         ).alias("bk"),
     ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     wsz = Window.partitionBy("band", "key")
-    banded = banded.withColumn("n", F.count("*").over(wsz)).filter(
-        F.col("n") <= max_bucket
-    ).drop("n")
+    if max_bucket is not None:
+        banded = banded.withColumn("n", F.count("*").over(wsz)).filter(
+            F.col("n") <= max_bucket
+        ).drop("n")
     a, b = banded.alias("a"), banded.alias("b")
     cross = (
         a.join(

@@ -18,10 +18,43 @@ DuckDB; swap it in via ``fast=True`` when oracle parity is not needed.)
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
+
+
+def jvm_memo(maxsize: int = 8):
+    """``lru_cache`` for memoized Column-tree builders, additionally
+    keyed on the ACTIVE py4j gateway (ADVICE r4): a classic-mode Column
+    pins a py4j JVM object handle, so a cache that outlives a gateway
+    shutdown/relaunch (embedding hosts, harnesses calling
+    ``SparkContext._gateway.shutdown``) would serve dead handles until
+    process restart.  Keying on the gateway object identity makes a
+    relaunched gateway a cache miss (stale entries age out of the LRU);
+    under Spark Connect there is no gateway and the key is a constant.
+    Builders stay ``cache_clear``-able."""
+
+    def deco(fn):
+        cached = functools.lru_cache(maxsize=maxsize)(
+            lambda __gw, *a, **k: fn(*a, **k)
+        )
+
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+            gw = id(sc._gateway) if sc is not None else 0
+            return cached(gw, *a, **k)
+
+        wrapper.cache_clear = cached.cache_clear
+        wrapper.cache_info = cached.cache_info
+        return wrapper
+
+    return deco
 
 _HEX = "0123456789abcdef"
 

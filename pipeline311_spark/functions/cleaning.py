@@ -21,7 +21,6 @@ SURVEY §7.5:
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +29,7 @@ from pipeline311_spark.functions.text import nfkd_ascii, strip_edge_chars
 from pipeline311_spark.functions.timeparse import lenient_timestamp
 from pipeline311_spark.functions.geo import point_ewkt_from_xy
 from pipeline311_spark.schemas import FIELD_MAP, TEXT_FIELDS
+from pipeline311_spark.ext.hashing import jvm_memo
 
 
 def rename_projection(df: DataFrame, field_map: dict[str, str] | None = None) -> DataFrame:
@@ -132,7 +132,7 @@ def clean_cases(df: DataFrame, field_map: dict[str, str] | None = None) -> DataF
     return df.select(list(_clean_case_cols(fm_items)))
 
 
-@lru_cache(maxsize=8)
+@jvm_memo(maxsize=8)
 def _clean_case_cols(fm_items: tuple[tuple[str, str], ...]) -> tuple[Column, ...]:
     fm = dict(fm_items)
     cleaned_desc = clean_description(F.col(fm["description"]))

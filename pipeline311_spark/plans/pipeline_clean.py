@@ -15,7 +15,6 @@ non-ASCII branches are covered by golden-row pytest tests.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import functions as F
 
@@ -23,6 +22,7 @@ from pipeline311_spark.functions.cleaning import clean_cases
 from pipeline311_spark.plans.common import fmt_ts, fmt_ts_sql, table
 from pipeline311_spark.plans.registry import register
 from pipeline311_spark.schemas import SF_CASE_RAW
+from pipeline311_spark.ext.hashing import jvm_memo
 
 
 def _sf_source(spark, sf_dir):
@@ -31,7 +31,7 @@ def _sf_source(spark, sf_dir):
     return e.select(list(_sf_source_cols()))
 
 
-@lru_cache(maxsize=1)
+@jvm_memo(maxsize=1)
 def _sf_source_cols():
     """Memoized 38-column synthesis select list (~0.3 s of py4j-bound
     driver time per build; pure unresolved expressions over fixed

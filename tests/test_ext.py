@@ -466,3 +466,30 @@ def test_cache_scope_releases_persisted_intermediates(spark):
         assert out.count() >= 1
         assert jvm_cached() > 0  # intermediates pinned while in scope
     assert jvm_cached() == 0  # all released at scope exit
+
+
+def test_jvm_memo_keyed_on_gateway(spark, monkeypatch):
+    """ADVICE r4: memoized Column trees pin py4j handles; a relaunched
+    gateway must be a cache MISS (fresh tree), not a dead handle."""
+    from pyspark import SparkContext
+
+    from pipeline311_spark.ext.hashing import jvm_memo
+
+    calls = []
+
+    @jvm_memo(maxsize=4)
+    def build(tag):
+        calls.append(tag)
+        return object()
+
+    a1 = build("x")
+    a2 = build("x")
+    assert a1 is a2 and calls == ["x"]  # memoized within one gateway
+
+    class FakeSC:
+        _gateway = object()  # a different gateway identity
+
+    monkeypatch.setattr(SparkContext, "_active_spark_context", FakeSC())
+    b1 = build("x")
+    assert b1 is not a1 and calls == ["x", "x"]  # gateway change -> rebuild
+    build.cache_clear()
