@@ -21,15 +21,14 @@ hash family (ext/hashing.py) — no UDFs, no RNG, engine-portable.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pipeline311_spark.ext.hashing import affine, hash_params, portable_hash64
+from pipeline311_spark.ext.hashing import affine, hash_params, portable_hash64, jvm_memo
 
 
-@lru_cache(maxsize=1)
+@jvm_memo(maxsize=1)
 def _bit_masks() -> Column:
     """array<long> of the 64 single-bit masks (bit 63 is the sign bit —
     its mask is LONG_MIN).  ``element_at(_bit_masks(), bit+1)`` shifts
@@ -105,11 +104,31 @@ def bloom_might_contain(
     return probed.withColumn("__maybe", hit).drop("words")
 
 
+def auto_m_bits(
+    dest: DataFrame,
+    key: str,
+    bits_per_key: int = 10,
+    floor: int = 1 << 16,
+    cap: int = 1 << 26,
+) -> int:
+    """Size the filter from the DESTINATION cardinality (ADVICE r4: a
+    fixed 2^16-bit filter saturates past ~15k keys at k=5 — fp rate →
+    1 and the gate degrades to the plain anti-join plus probe
+    overhead).  ~10 bits/key keeps fp ≈ 1% at k=5; one cheap
+    ``approx_count_distinct`` over the dest keys pays for it.  ``cap``
+    bounds the broadcast at 8 MiB (2^26 bits) — past ~6.7M keys the fp
+    rate degrades gracefully instead of the filter growing unbounded;
+    at that point the right tool is the plain shuffled anti-join."""
+    n = dest.agg(F.approx_count_distinct(key).alias("n")).first()["n"] or 1
+    m = min(max(floor, bits_per_key * n), cap)
+    return ((m + 63) // 64) * 64
+
+
 def anti_join_bloom(
     source: DataFrame,
     dest: DataFrame,
     key: str,
-    m_bits: int = 1 << 16,
+    m_bits: int | None = None,
     k: int = 5,
     seed: int = 7,
 ) -> DataFrame:
@@ -117,7 +136,13 @@ def anti_join_bloom(
     left-anti join, but only Bloom false positives (plus true members)
     ever reach the join: definite-missing rows short-circuit map-side,
     so the join's probe side shrinks from |source| to
-    |members| + fp_rate·|source|."""
+    |members| + fp_rate·|source|.
+
+    ``m_bits=None`` (default) sizes the filter from the dest
+    cardinality (:func:`auto_m_bits`); pass an explicit width only
+    when the cardinality is known a priori."""
+    if m_bits is None:
+        m_bits = auto_m_bits(dest, key)
     bloom = bloom_build(dest.select(key), key, m_bits, k, seed)
     probed = bloom_might_contain(source, key, bloom, m_bits, k, seed)
     # NULL keys hash to NULL → __maybe is NULL; a NULL key never equi-

@@ -89,3 +89,29 @@ def test_bloom_anti_join_property(spark):
         assert got == want
 
     run()
+
+
+def test_auto_m_bits_scales_with_dest_cardinality(spark):
+    """ADVICE r4: the fixed 2^16 default saturated past ~15k keys.
+    auto_m_bits must grow with dest (~10 bits/key, floor 2^16, 64-bit
+    aligned) so the fp rate stays in the few-% regime."""
+    from pipeline311_spark.operators.bloom import auto_m_bits
+
+    small = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    big = spark.range(50_000).select(F.col("id").cast("string").alias("k"))
+    m_small = auto_m_bits(small, "k")
+    m_big = auto_m_bits(big, "k")
+    assert m_small == 1 << 16  # floor
+    assert m_big >= 10 * 45_000  # ~10 bits/key (approx_count_distinct slack)
+    assert m_big % 64 == 0
+
+
+def test_anti_join_bloom_autosized_stays_exact_past_old_saturation(spark):
+    """At 30k dest keys the old fixed filter was fully saturated; the
+    auto-sized filter must still produce the exact anti-join result."""
+    from pipeline311_spark.operators.bloom import anti_join_bloom
+
+    dest = spark.range(30_000).select(F.col("id").alias("k"))
+    source = spark.range(29_000, 31_000).select(F.col("id").alias("k"))
+    got = sorted(r["k"] for r in anti_join_bloom(source, dest, "k").collect())
+    assert got == list(range(30_000, 31_000))
