@@ -103,6 +103,24 @@ def merge_incremental_partitioned(
     finds no existing rows for it).
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # Guard BEFORE trusting updates.schema for the pruned read: a batch
+    # that silently lost a column would otherwise read the warehouse
+    # minus that column and write it back narrowed (silent data loss).
+    # An empty warehouse (zero-row base write, no partition dirs) has
+    # no inferable schema — nothing to narrow, guard skipped.
+    try:
+        warehouse_cols = [f.name for f in spark.read.parquet(target_path).schema.fields]
+    except Exception:
+        warehouse_cols = None
+    if warehouse_cols is not None:
+        from pipeline311_spark.sources.validate import SchemaMismatch
+
+        missing = [c for c in warehouse_cols if c not in set(updates.columns)]
+        if missing:
+            raise SchemaMismatch(
+                f"updates batch is missing warehouse column(s) {missing}; "
+                f"a MERGE would narrow the warehouse at {target_path}"
+            )
     # schema from the updates side: an empty warehouse (zero-row base
     # write) has no partition dirs to infer from, and parquet matches
     # columns by name anyway
@@ -147,7 +165,10 @@ def merge_with_surrogate(
     ranged = need_id.repartitionByRange(F.col(key)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.persist()  # pin partitioning between count pass and assignment
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    ranged = persist_tracked(ranged)  # pin partitioning between count pass and assignment
+    # (released by the caller's cache_scope; reclaimable via clearCache otherwise)
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["__pid"]):

@@ -1,0 +1,148 @@
+"""Pluggable MERGE backends (K3/K4 at warehouse scale).
+
+SCALE.md has argued since r2 that swapping the portable window-dedup
+MERGE for a transactional table format is "local to operators/merge.py"
+— this module turns that prose into a checked seam.  Every warehouse
+MERGE goes through :func:`upsert_into`, which dispatches to a named
+backend:
+
+* ``parquet`` (default, always available): the window-dedup kernel
+  (:func:`pipeline311_spark.operators.merge.upsert`) against a parquet
+  path — partition-pruned rewrite when ``partition_col`` is given
+  (:func:`merge_incremental_partitioned`), full lineage-broken rewrite
+  otherwise.  Exactly the semantics the k3 oracles gate.
+* ``delta``: a native ``DeltaTable.merge`` with the same
+  updates-win-on-version-tie semantics.  The delta-spark library is not
+  in this container, so the backend raises a clear ImportError at
+  construction; its unit test is skipped-not-failed in-container and
+  runs wherever delta-spark is installed.
+
+At 100 TB the seam is what matters: the call sites (sinks, streaming
+foreachBatch, the k3 queries) name a backend and a target ref, and the
+cluster's table format decides file-skipping vs dynamic-partition
+rewrite — no call-site rewrites to migrate.
+
+Reference parity: the reference upserts via staged-CSV dbtools
+(sync-db2.py:78-88) and SQL ``ON CONFLICT DO UPDATE``
+(sync-db2-viewer.py:56-79); both map to ``upsert_into`` with the
+appropriate backend.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetWindowMergeBackend:
+    """Window-dedup MERGE into a parquet path (the portable default)."""
+
+    name = "parquet"
+
+    def upsert_into(
+        self,
+        spark: SparkSession,
+        target_ref: str,
+        updates: DataFrame,
+        key: str,
+        version_col: str,
+        partition_col: str | None = None,
+    ) -> None:
+        from pipeline311_spark.operators.merge import (
+            merge_incremental_partitioned,
+            upsert,
+        )
+
+        if partition_col is not None:
+            merge_incremental_partitioned(
+                spark, target_ref, updates, key, version_col, partition_col
+            )
+            return
+        if os.path.isdir(target_ref):
+            target = spark.read.schema(updates.schema).parquet(target_ref)
+            merged = upsert(target, updates, key, version_col)
+            # break lineage: Spark refuses to overwrite a path it reads
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_ref)
+        else:
+            updates.write.mode("overwrite").parquet(target_ref)
+
+
+class DeltaMergeBackend:
+    """Native Delta Lake MERGE with window-kernel-identical semantics:
+    updates win when their version is >= the target's (ties included),
+    unmatched updates insert, unmatched target rows survive.
+
+    Requires the delta-spark package AND a session with the Delta
+    catalog/extension configured; raises a clear ImportError otherwise
+    (this container ships neither — the seam is exercised by the
+    skipped-if-absent test and by any deployment that has Delta)."""
+
+    name = "delta"
+
+    def __init__(self) -> None:
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+        except ImportError as e:  # pragma: no cover - absent in container
+            raise ImportError(
+                "DeltaMergeBackend requires the delta-spark package "
+                "(pip install delta-spark) and a Delta-enabled SparkSession; "
+                "fall back to backend='parquet' for the portable window-dedup MERGE"
+            ) from e
+
+    def upsert_into(
+        self,
+        spark: SparkSession,
+        target_ref: str,
+        updates: DataFrame,
+        key: str,
+        version_col: str,
+        partition_col: str | None = None,
+    ) -> None:  # pragma: no cover - requires delta-spark
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, target_ref):
+            writer = updates.write.format("delta").mode("overwrite")
+            if partition_col is not None:
+                writer = writer.partitionBy(partition_col)
+            writer.save(target_ref)
+            return
+        target = DeltaTable.forPath(spark, target_ref)
+        cond = f"t.`{key}` = u.`{key}`"
+        (
+            target.alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll(condition=f"u.`{version_col}` >= t.`{version_col}`")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+
+_BACKENDS = {
+    ParquetWindowMergeBackend.name: ParquetWindowMergeBackend,
+    DeltaMergeBackend.name: DeltaMergeBackend,
+}
+
+
+def get_merge_backend(name: str = "parquet"):
+    try:
+        cls = _BACKENDS[name]
+    except KeyError:
+        raise ValueError(f"unknown merge backend {name!r}; have {sorted(_BACKENDS)}")
+    return cls()
+
+
+def upsert_into(
+    spark: SparkSession,
+    target_ref: str,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+    partition_col: str | None = None,
+    backend: str = "parquet",
+) -> None:
+    """MERGE ``updates`` into the warehouse at ``target_ref`` through
+    the named backend (see module docstring)."""
+    get_merge_backend(backend).upsert_into(
+        spark, target_ref, updates, key, version_col, partition_col
+    )

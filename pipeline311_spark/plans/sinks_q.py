@@ -119,7 +119,7 @@ FROM merged GROUP BY bucket
 
 @register("k3_merge_partitioned", _MERGE_PART_SQL, covers=("K3", "K4", "J1", "T1"))
 def q_merge_partitioned(spark, sf_dir):
-    from pipeline311_spark.operators.merge import merge_incremental_partitioned
+    from pipeline311_spark.operators.merge_backends import upsert_into
     from pipeline311_spark.plans.common import dsum
 
     path = os.path.join(tempfile.gettempdir(), f"p311_mergepart_{uuid.uuid4().hex[:12]}")
@@ -141,7 +141,9 @@ def q_merge_partitioned(spark, sf_dir):
             F.pmod(F.col("key") + 100000000, F.lit(16)).alias("bucket"),
         )
     )
-    merge_incremental_partitioned(spark, path, updates, "key", "version", "bucket")
+    # through the pluggable-backend seam: the portable window-dedup
+    # parquet backend here; a Delta deployment names backend="delta"
+    upsert_into(spark, path, updates, "key", "version", partition_col="bucket")
 
     # explicit schema: a zero-row partitioned write leaves no partition
     # dirs to infer from (the empty-increment case)

@@ -1,0 +1,86 @@
+"""The pluggable MERGE backend seam (operators/merge_backends.py):
+SCALE.md's "swap the window-dedup kernel for Delta is local to
+merge.py" claim as checked code."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_parquet_backend_unpartitioned_roundtrip(spark, tmp_path):
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    path = str(tmp_path / "wh_seam")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "key long, version long, payload string"
+    )
+    # first call creates the warehouse
+    upsert_into(spark, path, base, "key", "version")
+    updates = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 1, "c"), (1, 1, "a-tie")],  # update, insert, tie (updates win)
+        "key long, version long, payload string",
+    )
+    upsert_into(spark, path, updates, "key", "version")
+    got = {r["key"]: (r["version"], r["payload"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (1, "a-tie"), 2: (2, "b2"), 3: (1, "c")}
+
+
+def test_parquet_backend_partitioned_delegates_to_pruned_merge(spark, tmp_path):
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    path = str(tmp_path / "wh_seam_part")
+    base = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 1), (3, 1, 0)], "key long, version long, bucket int"
+    )
+    base.write.partitionBy("bucket").parquet(path)
+    updates = spark.createDataFrame([(3, 2, 0), (9, 1, 1)], "key long, version long, bucket int")
+    upsert_into(spark, path, updates, "key", "version", partition_col="bucket")
+    got = {(r["key"], r["version"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 1), (2, 1), (3, 2), (9, 1)}
+
+
+def test_unknown_backend_raises(spark):
+    from pipeline311_spark.operators.merge_backends import get_merge_backend
+
+    with pytest.raises(ValueError, match="unknown merge backend"):
+        get_merge_backend("iceberg-typo")
+
+
+def test_delta_backend_absent_raises_clear_importerror():
+    """In this container delta-spark is absent: constructing the
+    backend must fail with actionable guidance, not an opaque crash."""
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed here; covered by the live test below")
+    except ImportError:
+        pass
+    from pipeline311_spark.operators.merge_backends import DeltaMergeBackend
+
+    with pytest.raises(ImportError, match="delta-spark"):
+        DeltaMergeBackend()
+
+
+def test_delta_backend_merge_semantics(spark, tmp_path):
+    """Runs only where delta-spark is installed (skipped in this
+    container): Delta MERGE through the seam must reproduce the window
+    kernel's semantics — updates win on version ties, unmatched
+    updates insert, unmatched target rows survive."""
+    pytest.importorskip("delta")
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    path = str(tmp_path / "wh_delta")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "key long, version long, payload string"
+    )
+    upsert_into(spark, path, base, "key", "version", backend="delta")
+    updates = spark.createDataFrame(
+        [(2, 2, "b2"), (3, 1, "c"), (1, 1, "a-tie")],
+        "key long, version long, payload string",
+    )
+    upsert_into(spark, path, updates, "key", "version", backend="delta")
+    got = {
+        r["key"]: (r["version"], r["payload"])
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert got == {1: (1, "a-tie"), 2: (2, "b2"), 3: (1, "c")}

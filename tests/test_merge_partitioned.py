@@ -81,3 +81,23 @@ def test_pruned_read_reaches_partition_filters(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert pruned.count() == 50
+
+
+def test_column_dropping_batch_raises_not_narrows(spark, tmp_path):
+    """r4 nit: merge_incremental_partitioned trusted updates.schema for
+    the pruned warehouse read — a batch that silently lost a column
+    would narrow the warehouse on write-back.  It must raise instead."""
+    import pytest
+
+    from pipeline311_spark.sources.validate import SchemaMismatch
+
+    path = str(tmp_path / "wh_guard")
+    base = spark.createDataFrame(
+        [(1, 1, "a", 0), (2, 1, "b", 1)], "key long, version long, payload string, bucket int"
+    )
+    base.write.partitionBy("bucket").parquet(path)
+    narrowed = spark.createDataFrame([(1, 2, 0)], "key long, version long, bucket int")
+    with pytest.raises(SchemaMismatch, match="payload"):
+        merge_incremental_partitioned(spark, path, narrowed, "key", "version", "bucket")
+    # warehouse untouched: payload survives
+    assert spark.read.parquet(path).columns.__contains__("payload")
