@@ -53,6 +53,9 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
 
 
 EXPIRING_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long, final boolean"
+# last-seen event time rides in state so out-of-order batches can never
+# move the timeout backward (ADVICE r4)
+EXPIRING_STATE_SCHEMA = "n long, cents long, last long"
 
 
 def expiring_totals_stream(events_stream: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
@@ -66,24 +69,32 @@ def expiring_totals_stream(events_stream: DataFrame, gap_ms: int = 30 * 60 * 100
     Progress rows (``final=false``) stream per batch; the terminal
     ``final=true`` row fires from the timeout branch when the watermark
     passes last-seen + gap — the applyInPandasWithState analogue of
-    session_window eviction (tests/test_stateful_streaming.py)."""
+    session_window eviction (tests/test_stateful_streaming.py).
+
+    Timeout hardening (ADVICE r4): ``setTimeoutTimestamp`` throws (and
+    kills the query) if handed a value <= the current watermark, which
+    a late-but-within-watermark batch can produce whenever
+    ``gap_ms`` < the watermark delay.  The timeout is therefore clamped
+    to ``max(last_seen + gap, watermark + 1)``, and ``last_seen`` is
+    carried IN STATE so an out-of-order batch can never regress an
+    already-later timeout."""
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            n, cents = state.get
+            n, cents, _last = state.get
             state.remove()
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_cents": [cents], "final": [True]}
             )
             return
-        n, cents = state.get if state.exists else (0, 0)
-        last_ms = 0
+        n, cents, last_ms = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
             cents += int(pdf["cents"].sum())
             last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
-        state.update((n, cents))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        state.update((n, cents, last_ms))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents], "final": [False]}
         )
@@ -91,7 +102,32 @@ def expiring_totals_stream(events_stream: DataFrame, gap_ms: int = 30 * 60 * 100
     return events_stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=EXPIRING_OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=EXPIRING_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# State-store provider (punch r5 #6)
+# ---------------------------------------------------------------------------
+
+HDFS_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def configure_state_store(spark, provider: str = "rocksdb"):
+    """Select the streaming state-store provider for queries started on
+    this session.  The HDFS-backed default keeps every key's state in
+    executor HEAP — memory-bound at 100 TB key cardinality; RocksDB
+    (shipped with Spark 4, no extra jars) spills to local disk and is
+    the production choice for large keyspaces.  Must be set BEFORE the
+    query starts (the provider is frozen into the checkpoint's
+    offset log for the query's lifetime)."""
+    cls = {"rocksdb": ROCKSDB_STATE_STORE, "hdfs": HDFS_STATE_STORE}[provider]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    return spark

@@ -1,14 +1,30 @@
 """applyInPandasWithState: state must genuinely persist across
-micro-batches (streaming/stateful.py)."""
+micro-batches (streaming/stateful.py) — under BOTH state-store
+providers (the HDFS-backed heap default and RocksDB, the 100 TB
+keyspace choice; punch r5 #6)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
-from pipeline311_spark.streaming.stateful import running_totals_stream
+from pipeline311_spark.streaming.stateful import configure_state_store, running_totals_stream
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
-def test_state_carries_across_micro_batches(spark, tmp_path):
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(request, spark):
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    configure_state_store(spark, request.param)
+    yield request.param
+    if old is None:
+        spark.conf.unset(_PROVIDER_KEY)
+    else:
+        spark.conf.set(_PROVIDER_KEY, old)
+
+
+def test_state_carries_across_micro_batches(spark, tmp_path, state_provider):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -55,7 +71,7 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     assert (2, b1) not in rows
 
 
-def test_event_time_timeout_evicts_state(spark, tmp_path):
+def test_event_time_timeout_evicts_state(spark, tmp_path, state_provider):
     """EventTimeTimeout: a key silent past its gap emits one final row
     from the timeout branch and its state is removed; active keys keep
     accumulating.  This is the eviction bound that makes custom state
@@ -107,3 +123,61 @@ def test_event_time_timeout_evicts_state(spark, tmp_path):
     # user 1 stayed active: progress rows only, never finalized
     assert (1, False, 2, 300) in rows
     assert not any(u == 1 and f for (u, f, _, _) in rows)
+
+
+def test_late_batch_cannot_kill_query_or_regress_timeout(spark, tmp_path):
+    """ADVICE r4: the timeout used to be set from only the current
+    batch's max ts — a late-but-admitted batch where last_ms + gap <=
+    watermark made setTimeoutTimestamp throw and killed the query, and
+    out-of-order batches could pull an already-later timeout backward.
+    The clamp (max(last+gap, wm+1)) plus last-seen-in-state must keep
+    the query alive and still finalize silent keys."""
+    import datetime as dt
+
+    from pipeline311_spark.streaming.stateful import expiring_totals_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, cents long, ts timestamp"
+    # batch 1: both users at base
+    spark.createDataFrame([(1, 100, base), (2, 50, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 2: user 1 jumps 4h ahead — watermark sweeps far past base
+    spark.createDataFrame(
+        [(1, 200, base + dt.timedelta(hours=4))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: user 1 again, barely ahead of the old data and far
+    # BEHIND the current watermark + gap window (gap 5 min; the
+    # pre-clamp code would compute a timeout below the watermark)
+    spark.createDataFrame(
+        [(1, 1, base + dt.timedelta(minutes=1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        expiring_totals_stream(stream, gap_ms=5 * 60 * 1000)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None  # the r4 code died here (IllegalArgumentException)
+    rows = [
+        (r["user_id"], r["final"], r["total_cents"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    # user 2 went silent and was finalized despite the hostile batch
+    assert (2, True, 50) in rows
