@@ -31,8 +31,11 @@ def _stream_events(spark, sf_dir):
     from pipeline311_spark.plans.common import prep_session
     from pipeline311_spark.sources.readers import normalize_event_time
 
+    # prep_session owns ALL session conf this path needs, including
+    # spark.sql.legacy.parquet.nanosAsLong for the footer probe below
+    # and the stream's own micro-batch reads (r4 set it ad-hoc here and
+    # never restored it — conf ownership now lives in one place).
     prep_session(spark)  # streaming bypasses table(): pin tz/conf here too
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.schema(physical)

@@ -74,4 +74,10 @@ def prep_session(spark: SparkSession, session_tz: str = "UTC") -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(default_parallelism(), 8)))
+    # Conf ownership for the nanos-encoded parquet generation lives HERE
+    # (not scattered in readers): TIMESTAMP(NANOS) columns read as long
+    # and every scan path maps them back to TimestampType via
+    # sources.readers.normalize_event_time, so no plan — batch or
+    # streaming — ever sees the physical encoding.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -50,3 +50,22 @@ def test_queries_invariant_across_ts_encodings(spark, sf_dir, tmp_path, qname):
     for label, d in variants.items():
         got = sorted(map(tuple, REGISTRY[qname].fn(spark, d).collect()))
         assert got == base, f"{qname} differs under {label} encoding"
+
+
+def test_batch_nanos_read_after_stream_query(spark, sf_dir, tmp_path):
+    """r4 nit: _stream_events used to flip nanosAsLong on the shared
+    session ad-hoc.  Ownership now lives in prep_session; a plain batch
+    load_table of NANOS parquet run AFTER a streaming query must still
+    see TimestampType (normalize_event_time maps the long column back),
+    never silently-long values."""
+    import pyspark.sql.types as T
+
+    from pipeline311_spark.sources.readers import load_table
+
+    nanos_dir = _reencode(
+        os.path.join(sf_dir, "events.parquet"), str(tmp_path / "nanos_after"), "ns", None
+    )
+    REGISTRY["stream_windowed_counts"].fn(spark, sf_dir).collect()
+    df = load_table(spark, nanos_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.filter("ts IS NOT NULL").count() > 0
