@@ -163,6 +163,35 @@ def esri_polyline_geometry_json(shape: Column | str) -> Column:
     )
 
 
+def parse_wkt_multipoint(col: Column | str) -> Column:
+    """MULTIPOINT WKT -> ``array<array<double>>`` of [x, y] coords.
+    Accepts both WKT spellings — ``MULTIPOINT (10 40, 40 30)`` and
+    ``MULTIPOINT ((10 40), (40 30))`` (inner parens stripped before the
+    coordinate split).  Empty/NULL -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    body = F.regexp_extract(c, r"MULTIPOINT \((.*)\)", 1)
+    flat = F.regexp_replace(body, r"[()]", "")
+    return F.when(
+        F.coalesce(flat, F.lit("")) == "", F.array().cast("array<array<double>>")
+    ).otherwise(_coords(flat))
+
+
+def esri_multipoint_geometry_json(shape: Column | str) -> Column:
+    """P18 for multipoint layers: MULTIPOINT WKT ->
+    ``{"points": [[x,y],...], ...}`` JSON string; blank/NULL ->
+    ``{"points": []}``.  The one WKT arm the reference itself never
+    implemented (sync-db2-ago.py:246 raises NotImplementedError for
+    non-point/polygon/line geometries) — included so a publishing user
+    with a multipoint layer is not the first to hit that wall."""
+    c = F.col(shape) if isinstance(shape, str) else shape
+    pts = parse_wkt_multipoint(c)
+    return F.concat(
+        F.lit('{"points":['),
+        F.array_join(F.transform(pts, _pt_json), ","),
+        F.lit("]" + _SR_JSON),
+    )
+
+
 def reproject_identity(x: Column, y: Column, in_srid: int = SRID, out_srid: int = SRID):
     """P19: coordinate reprojection.  For the reference's configured
     4326->4326 this is the identity (sync-db2-ago.py:40-42 hoists a

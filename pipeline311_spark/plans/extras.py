@@ -323,18 +323,20 @@ def _geo2_sql() -> str:
     tri_a = f"{pt(0,0)} || ',' || {pt(1,0)} || ',' || {pt(0,1)} || ',' || {pt(0,0)}"
     tri_b = f"{pt(3,0)} || ',' || {pt(4,0)} || ',' || {pt(3,1)} || ',' || {pt(3,0)}"
     path = f"{pt(0,0)} || ',' || {pt(1,1)} || ',' || {pt(2,0)}"
+    mpts = f"{pt(0,0)} || ',' || {pt(1,1)}"
     return f"""
 WITH src AS (
-  SELECT p_partkey, p_partkey % 4 AS kind, {x0} AS x0, {y0} AS y0 FROM part)
+  SELECT p_partkey, p_partkey % 5 AS kind, {x0} AS x0, {y0} AS y0 FROM part)
 SELECT p_partkey, CAST(kind AS BIGINT) AS kind,
   CASE kind
     WHEN 0 THEN '{{"rings":[[' || {tri} || ']]{_GEO2_SR}'
     WHEN 1 THEN '{{"rings":[[' || {tri_a} || '],[' || {tri_b} || ']]{_GEO2_SR}'
     WHEN 2 THEN '{{"paths":[[' || {path} || ']]{_GEO2_SR}'
+    WHEN 3 THEN '{{"points":[' || {mpts} || ']{_GEO2_SR}'
     ELSE '{{"rings":[]{_GEO2_SR}'
   END AS esri_geom,
-  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_parts,
-  CAST(CASE kind WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS n_points
+  CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS BIGINT) AS n_parts,
+  CAST(CASE kind WHEN 0 THEN 4 WHEN 1 THEN 8 WHEN 2 THEN 3 WHEN 3 THEN 2 ELSE 0 END AS BIGINT) AS n_points
 FROM src
 """
 
@@ -342,8 +344,10 @@ FROM src
 @register("p18_polygon_paths", _geo2_sql(), covers=("P18", "P2"))
 def q_polygon_paths(spark, sf_dir):
     from pipeline311_spark.functions.geo import (
+        esri_multipoint_geometry_json,
         esri_polygon_geometry_json,
         esri_polyline_geometry_json,
+        parse_wkt_multipoint,
         parse_wkt_path,
         parse_wkt_rings,
     )
@@ -351,7 +355,7 @@ def q_polygon_paths(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     x0 = (-((F.col("p_partkey") % 120) + F.lit(0.5))).cast("double")
     y0 = ((F.col("p_partkey") % 60) + F.lit(0.25)).cast("double")
-    kind = (F.col("p_partkey") % 4).cast("long")
+    kind = (F.col("p_partkey") % 5).cast("long")
 
     def s(c):
         return c.cast("string")
@@ -372,27 +376,39 @@ def q_polygon_paths(spark, sf_dir):
         F.lit(")), (("), seq(xy(3, 0), xy(4, 0), xy(3, 1), xy(3, 0)), F.lit(")))"),
     )
     line = F.concat(F.lit("LINESTRING ("), seq(xy(0, 0), xy(1, 1), xy(2, 0)), F.lit(")"))
+    # kind 3: the parenthesized MULTIPOINT spelling (the bare spelling
+    # is unit-tested; the parser strips inner parens either way)
+    mpoint = F.concat(
+        F.lit("MULTIPOINT (("), xy(0, 0), F.lit("), ("), xy(1, 1), F.lit("))")
+    )
     wkt = (
         F.when(kind == 0, poly)
         .when(kind == 1, mpoly)
         .when(kind == 2, line)
+        .when(kind == 3, mpoint)
         .otherwise(F.lit(""))
     )
     src = p.select("p_partkey", kind.alias("kind"), wkt.alias("wkt"))
     rings = parse_wkt_rings("wkt")
     pth = parse_wkt_path("wkt")
-    n_parts = F.when(F.col("kind") == 2, F.when(F.size(pth) > 0, 1).otherwise(0)).otherwise(
-        F.size(rings)
+    mpts = parse_wkt_multipoint("wkt")
+    n_parts = (
+        F.when(F.col("kind") == 2, F.when(F.size(pth) > 0, 1).otherwise(0))
+        .when(F.col("kind") == 3, F.size(mpts))
+        .otherwise(F.size(rings))
     )
-    n_points = F.when(F.col("kind") == 2, F.size(pth)).otherwise(
-        F.aggregate(rings, F.lit(0), lambda acc, r: acc + F.size(r))
+    n_points = (
+        F.when(F.col("kind") == 2, F.size(pth))
+        .when(F.col("kind") == 3, F.size(mpts))
+        .otherwise(F.aggregate(rings, F.lit(0), lambda acc, r: acc + F.size(r)))
     )
     return src.select(
         "p_partkey",
         "kind",
-        F.when(
-            F.col("kind") == 2, esri_polyline_geometry_json("wkt")
-        ).otherwise(esri_polygon_geometry_json("wkt")).alias("esri_geom"),
+        F.when(F.col("kind") == 2, esri_polyline_geometry_json("wkt"))
+        .when(F.col("kind") == 3, esri_multipoint_geometry_json("wkt"))
+        .otherwise(esri_polygon_geometry_json("wkt"))
+        .alias("esri_geom"),
         n_parts.cast("long").alias("n_parts"),
         n_points.cast("long").alias("n_points"),
     )
