@@ -175,7 +175,9 @@ def ngram_jaccard_pairs(
     expanded = _expand_cross(
         cross, groups, ["inter", "sz_a", "sz_b", "jaccard"], swap_cols=(("sz_a", "sz_b"),)
     )
-    ident = _ident_member_pairs(groups, max_group, carry=("sz",)).select(
+    ident = _ident_member_pairs(
+        groups, max_group, carry=("sz",), group_key=("sz", "fp1", "fp2")
+    ).select(
         "doc_a", "doc_b",
         F.col("sz").alias("inter"), F.col("sz").alias("sz_a"), F.col("sz").alias("sz_b"),
         F.lit(1.0).alias("jaccard"),
@@ -356,19 +358,33 @@ def _with_groups(stats: DataFrame) -> DataFrame:
     return stats.withColumn("rep", F.min("doc").over(w)).withColumn("gn", F.count("*").over(w))
 
 
-def _ident_member_pairs(groups: DataFrame, max_group: int, carry: tuple[str, ...] = ()) -> DataFrame:
+def _ident_member_pairs(
+    groups: DataFrame,
+    max_group: int,
+    carry: tuple[str, ...] = (),
+    group_key: tuple[str, ...] = (),
+) -> DataFrame:
     """(doc_a, doc_b, *carry) member pairs inside identical-content
     groups: clique for gn <= max_group via the bucket-collect shape
-    (ONE shuffle on rep; the gn gate runs BEFORE collect_set so the
-    aggregation buffer never holds more than max_group ids), star
-    rep↔member beyond (pure row filter, no shuffle at all).  ``carry``
-    columns are group-constant (any member's value serves)."""
+    (the gn gate runs BEFORE collect_set so the aggregation buffer
+    never holds more than max_group ids), star rep↔member beyond (pure
+    row filter, no shuffle at all).  ``carry`` columns are
+    group-constant (any member's value serves).
+
+    ``group_key``: the content-key columns the caller's group window
+    partitioned by (e.g. ``("sz", "fp1", "fp2")``).  Grouping by the
+    SAME key lets Catalyst see the window's hash partitioning already
+    satisfies the aggregation's distribution — the clique groupBy then
+    runs with ZERO additional exchange (grouping by ``rep`` — the
+    per-group min doc — is equivalent output-wise but forces a fresh
+    shuffle).  Empty means no such key is known; fall back to ``rep``."""
+    key = list(group_key) or ["rep"]
     small = groups.filter((F.col("gn") <= max_group) & (F.col("gn") >= 2))
     clique = (
-        small.groupBy("rep")
+        small.groupBy(*key)
         .agg(
             F.sort_array(F.collect_set("doc")).alias("docs"),
-            *[F.first(c).alias(c) for c in carry],
+            *[F.first(c).alias(c) for c in carry if c not in key],
         )
         .select(F.explode(_bucket_pairs_expr()).alias("p"), *carry)
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), *carry)
@@ -391,21 +407,30 @@ def _expand_cross(
     over unchanged).  Output keeps doc_a < doc_b; side-specific value
     pairs listed in ``swap_cols`` (e.g. (sz_a, sz_b)) follow the
     least/greatest member swap so they stay attributed to the right
-    doc."""
-    mem = groups.select("doc", "rep")
+    doc.
+
+    Join side sizing: only members of MULTI-doc groups (gn >= 2) can
+    differ from their rep, so the joins run LEFT against that subset
+    (coalesce back to the rep itself on no match).  The broadcast side
+    is then the dup-group membership — proportional to duplicated
+    content, not the corpus — instead of the full doc-cardinality
+    membership table."""
+    mem = groups.filter(F.col("gn") >= 2).select("doc", "rep")
     a = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
     b = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
-    swap = F.col("__ma") < F.col("__mb")
+    ma = F.coalesce("__ma", "doc_a")
+    mb = F.coalesce("__mb", "doc_b")
+    swap = ma < mb
     exprs = {c: F.col(c) for c in value_cols}
     for ca, cb in swap_cols:
         exprs[ca] = F.when(swap, F.col(ca)).otherwise(F.col(cb))
         exprs[cb] = F.when(swap, F.col(cb)).otherwise(F.col(ca))
     return (
-        cross.join(a, "doc_a")
-        .join(b, "doc_b")
+        cross.join(a, "doc_a", "left")
+        .join(b, "doc_b", "left")
         .select(
-            F.least("__ma", "__mb").alias("doc_a"),
-            F.greatest("__ma", "__mb").alias("doc_b"),
+            F.least(ma, mb).alias("doc_a"),
+            F.greatest(ma, mb).alias("doc_b"),
             *[exprs[c].alias(c) for c in value_cols],
         )
     )
@@ -616,7 +641,9 @@ def minhash_dedup_pairs(
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
     cross = _jaccard_verify(cand.distinct(), cand_grams, threshold, sizes=reps.select("doc", "sz"))
     return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
-        _ident_member_pairs(sigg, max_group).withColumn("jaccard", F.lit(1.0))
+        _ident_member_pairs(
+            sigg, max_group, group_key=("sz", "fp1", "fp2")
+        ).withColumn("jaccard", F.lit(1.0))
     )
 
 
@@ -658,7 +685,9 @@ def minhash_pairs_from_grams(
     cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
     cross = _jaccard_verify(cand.distinct(), cand_grams, threshold, sizes=reps.select("doc", "sz"))
     return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
-        _ident_member_pairs(sigg, max_group).withColumn("jaccard", F.lit(1.0))
+        _ident_member_pairs(
+            sigg, max_group, group_key=("sz", "fp1", "fp2")
+        ).withColumn("jaccard", F.lit(1.0))
     )
 
 
@@ -677,12 +706,19 @@ def _jaccard_verify(
     Size-ratio pre-gate (r5): Jaccard is bounded above by
     min(|A|,|B|) / max(|A|,|B|), so pairs failing that ratio against
     ``threshold`` are dropped on a join of 8-byte sizes BEFORE any gram
-    set is collected or shipped — docs appearing only in such pairs
-    never even get their ``collect_set`` built.  Output-neutral (a
-    sound bound), so the DuckDB oracles need no mirror.  ``sizes``
-    (doc, sz distinct-gram count) is passed in when the caller already
-    has it (it rides the signature aggregation); the fallback computes
-    it from ``cand_grams``."""
+    set is shipped to an ``array_intersect``.  Output-neutral (a sound
+    bound), so the DuckDB oracles need no mirror.  ``sizes`` (doc, sz
+    distinct-gram count) is passed in when the caller already has it
+    (it rides the signature aggregation); the fallback computes it from
+    ``cand_grams``.
+
+    ``collect_set`` runs over ALL of ``cand_grams`` (the caller has
+    already restricted it to candidate docs): a further semi-join down
+    to only docs that survive the pair gate was measured a net loss —
+    it costs a union+distinct+broadcast stage wave per run, while the
+    sets it avoids building are bounded by candidate volume anyway
+    (banding caps candidates; the pair-level gate above is where the
+    quadratic ``array_intersect`` saving lives)."""
     if sizes is None:
         sizes = cand_grams.groupBy("doc").agg(F.count_distinct("g").alias("sz"))
     gated = (
@@ -690,12 +726,7 @@ def _jaccard_verify(
         .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
         .filter(F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b") >= F.lit(threshold))
     )
-    live = gated.select(F.col("doc_a").alias("doc")).union(
-        gated.select(F.col("doc_b").alias("doc"))
-    ).distinct()
-    doc_sets = cand_grams.join(F.broadcast(live), "doc", "left_semi").groupBy("doc").agg(
-        F.collect_set("g").alias("sset")
-    )
+    doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (
@@ -1089,22 +1120,29 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     # Expansion: sig columns must follow the least/greatest member swap.
-    mem = groups.select("doc", "rep")
+    # LEFT against gn >= 2 members only (same sizing argument as
+    # _expand_cross): the join side is dup-group membership, not the
+    # whole corpus; sole-member reps coalesce back to themselves.
+    mem = groups.filter(F.col("gn") >= 2).select("doc", "rep")
     ea = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
     eb = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
-    swap = F.col("__ma") < F.col("__mb")
+    ma = F.coalesce("__ma", "doc_a")
+    mb = F.coalesce("__mb", "doc_b")
+    swap = ma < mb
     expanded = (
-        cross.join(ea, "doc_a")
-        .join(eb, "doc_b")
+        cross.join(ea, "doc_a", "left")
+        .join(eb, "doc_b", "left")
         .select(
-            F.least("__ma", "__mb").alias("doc_a"),
-            F.greatest("__ma", "__mb").alias("doc_b"),
+            F.least(ma, mb).alias("doc_a"),
+            F.greatest(ma, mb).alias("doc_b"),
             F.when(swap, F.col("sig_a")).otherwise(F.col("sig_b")).alias("sig_a"),
             F.when(swap, F.col("sig_b")).otherwise(F.col("sig_a")).alias("sig_b"),
             "hamming",
         )
     )
-    ident = _ident_member_pairs(groups, max_group, carry=("simhash",)).select(
+    ident = _ident_member_pairs(
+        groups, max_group, carry=("simhash",), group_key=("simhash",)
+    ).select(
         "doc_a", "doc_b",
         F.col("simhash").alias("sig_a"), F.col("simhash").alias("sig_b"),
         F.lit(0).cast("integer").alias("hamming"),
