@@ -47,6 +47,50 @@ def persist_tracked(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of the block-manager storage pinned by a
+    ``localCheckpoint``.
+
+    ``DataFrame.unpersist()`` and ``spark.catalog.clearCache()`` do NOT
+    reach checkpoint storage — a localCheckpoint pins its RDD in the
+    block manager until context GC, which is a leak-by-default for
+    iterative operators that checkpoint every round.  The pinned RDD is
+    only reachable through the ``LogicalRDD`` plan node the checkpoint
+    produced; the accessor is internal API (stable across Spark 3/4),
+    so failure is swallowed and merely degrades to today's
+    pinned-until-GC behavior.
+
+    DANGER: a localCheckpoint has no lineage — after release the
+    DataFrame is INVALID (actions raise on missing blocks), not merely
+    slow to recompute.  Only release strictly after the last read."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+class _CheckpointHandle:
+    """Adapter so a localCheckpoint can ride the scope's unpersist walk."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        release_local_checkpoint(self._df)
+
+
+def local_checkpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint()`` that registers a release handle with the
+    innermost active :func:`cache_scope`.  Unlike persisted
+    intermediates (which recompute after release), a checkpoint-backed
+    result is INVALID once its scope exits — consume it inside."""
+    ck = df.localCheckpoint(eager=eager)
+    stack = getattr(_local, "scopes", None)
+    if stack:
+        stack[-1].append(_CheckpointHandle(ck))
+    return ck
+
+
 @contextlib.contextmanager
 def cache_scope():
     """Unpersist every intermediate persisted (via
@@ -54,7 +98,10 @@ def cache_scope():
 
     Materialize results before the scope exits — the returned
     DataFrames stay valid afterwards but would recompute their lineage
-    from scratch on the next action."""
+    from scratch on the next action.  Exception: results backed by a
+    tracked ``localCheckpoint`` (:func:`local_checkpoint_tracked`, e.g.
+    ``connected_components`` labels) have no lineage to recompute and
+    become INVALID at scope exit."""
     stack = getattr(_local, "scopes", None)
     if stack is None:
         stack = _local.scopes = []

@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline311_spark.ext.cache import (
+    local_checkpoint_tracked,
+    persist_tracked,
+    release_local_checkpoint,
+)
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
@@ -28,29 +34,44 @@ def connected_components(
 
     Only nodes appearing in ``edges`` are labeled (isolated nodes have
     no dup relation to resolve).
+
+    Checkpoint lifecycle (r5): each round's ``localCheckpoint`` is
+    RELEASED as soon as the next round has been materialized and the
+    convergence check has read it — without this every round pins a
+    corpus-of-labels RDD in the block manager for the context lifetime
+    (``clearCache()`` cannot reach checkpoint storage), which at 100 TB
+    label cardinality is an executor-storage leak proportional to
+    iteration count.  Only the FINAL round's checkpoint survives — the
+    returned DataFrame reads it; reclaim it by running the call inside
+    :func:`pipeline311_spark.ext.cache.cache_scope` (consume the labels
+    inside the scope — a released checkpoint has no lineage to
+    recompute) or via
+    :func:`pipeline311_spark.ext.cache.release_local_checkpoint`.
     """
-    sym = (
+    sym = persist_tracked(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = local_checkpoint_tracked(
         sym.select(F.col("s").alias("node")).distinct().withColumn("component", F.col("node"))
-    ).localCheckpoint()
+    )
 
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.d == labels.node).select(
             F.col("s").alias("node"), "component"
         )
-        new_labels = (
+        new_labels = local_checkpoint_tracked(
             labels.unionByName(msgs).groupBy("node").agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
+        # new_labels is materialized (eager) and the convergence check
+        # was the last read of the previous round — release it now.
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -137,6 +137,12 @@ def merge_incremental_partitioned(
         .partitionBy(partition_col)
         .parquet(target_path)
     )
+    # the write was the checkpoint's only consumer — release the pinned
+    # blocks (clearCache cannot; repeated merges would otherwise
+    # accumulate a touched-slice-sized RDD per batch)
+    from pipeline311_spark.ext.cache import release_local_checkpoint
+
+    release_local_checkpoint(merged)
 
 
 def merge_with_surrogate(

@@ -60,10 +60,16 @@ class ParquetWindowMergeBackend:
             )
             return
         if os.path.isdir(target_ref):
+            from pipeline311_spark.ext.cache import release_local_checkpoint
+
             target = spark.read.schema(updates.schema).parquet(target_ref)
             merged = upsert(target, updates, key, version_col)
-            # break lineage: Spark refuses to overwrite a path it reads
-            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_ref)
+            # break lineage: Spark refuses to overwrite a path it reads;
+            # release the checkpoint once the write (its only consumer)
+            # is done so per-batch merges don't accumulate pinned blocks
+            ck = merged.localCheckpoint(eager=True)
+            ck.write.mode("overwrite").parquet(target_ref)
+            release_local_checkpoint(ck)
         else:
             updates.write.mode("overwrite").parquet(target_ref)
 

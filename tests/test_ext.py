@@ -461,11 +461,42 @@ def test_cache_scope_releases_persisted_intermediates(spark):
     d = spark.createDataFrame(DOCS, "doc_id long, text string")
     jvm_cached = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     spark.catalog.clearCache()
+    # baseline-relative: earlier tests may have pinned localCheckpoint
+    # RDDs that clearCache cannot release (and whose async GC makes an
+    # absolute ==0 assertion flaky)
+    base = jvm_cached()
     with cache_scope():
         out = minhash_dedup_pairs(d, "doc_id", "text", k=8, bands=4, n=3)
         assert out.count() >= 1
-        assert jvm_cached() > 0  # intermediates pinned while in scope
-    assert jvm_cached() == 0  # all released at scope exit
+        assert jvm_cached() > base  # intermediates pinned while in scope
+    assert jvm_cached() == base  # all released at scope exit
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """r5: each propagation round's localCheckpoint is released once the
+    next round is materialized — only the final labels stay pinned, and
+    a cache_scope reclaims even that."""
+    from pipeline311_spark.ext.cache import cache_scope, release_local_checkpoint
+    from pipeline311_spark.ext.graph import connected_components
+
+    jvm_cached = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # a 6-node chain forces several propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(10, 11)], "doc_a long, doc_b long"
+    )
+    base = jvm_cached()
+    cc = connected_components(edges, "doc_a", "doc_b")
+    got = {r["node"]: r["component"] for r in cc.collect()}
+    assert got == {**{i: 1 for i in range(1, 7)}, 10: 10, 11: 10}
+    # intermediate rounds released in-loop: only the final labels remain
+    assert jvm_cached() == base + 1
+    release_local_checkpoint(cc)
+    assert jvm_cached() == base
+
+    with cache_scope():
+        n = connected_components(edges, "doc_a", "doc_b").count()
+        assert n == 8
+    assert jvm_cached() == base  # scope reclaimed the final checkpoint
 
 
 def test_jvm_memo_keyed_on_gateway(spark, monkeypatch):
