@@ -848,11 +848,12 @@ def _flag_expand_ident(cross: DataFrame, sigg: DataFrame, max_group: int) -> Dat
             "jaccard",
         )
     )
-    # clique via bucket-collect (one shuffle on rep, gn-gated buffer),
-    # pair gen array-side with the >=1-new filter inline — the same
-    # shape _incremental_candidates uses for band buckets
+    # clique via bucket-collect with a gn-gated buffer, pair gen
+    # array-side with the >=1-new filter inline — grouped by the content
+    # key the _with_groups_flagged window already partitioned on, so the
+    # aggregation rides that partitioning with zero added exchange
     small = sigg.filter((F.col("gn") <= max_group) & (F.col("gn") >= 2))
-    members = small.groupBy("rep").agg(
+    members = small.groupBy("sz", "fp1", "fp2").agg(
         F.sort_array(F.collect_set(F.struct("doc", "is_new"))).alias("members")
     )
     m = F.col("members")
