@@ -70,5 +70,6 @@ from pipeline311_spark.plans import analytics10  # noqa: E402,F401
 from pipeline311_spark.plans import analytics11  # noqa: E402,F401
 from pipeline311_spark.plans import analytics12  # noqa: E402,F401
 from pipeline311_spark.plans import analytics13  # noqa: E402,F401
+from pipeline311_spark.plans import analytics14  # noqa: E402,F401
 from pipeline311_spark.plans import sinks_q  # noqa: E402,F401
 from pipeline311_spark.plans import curation  # noqa: E402,F401
