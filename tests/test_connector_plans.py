@@ -184,6 +184,7 @@ _SINGLE_PARTITION_OK = {
     # rows (bit_or combined map-side) into the one-row broadcast filter
     # — bytes, not data, cross the single partition (operators/bloom.py)
     "j3_bloom_reconcile",
+    "text_contamination_bloom",
 }
 
 
