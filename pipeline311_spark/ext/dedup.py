@@ -705,40 +705,44 @@ def _jaccard_verify(
 
     Size-ratio pre-gate (r5): Jaccard is bounded above by
     min(|A|,|B|) / max(|A|,|B|), so pairs failing that ratio against
-    ``threshold`` are dropped on a join of 8-byte sizes BEFORE any gram
-    set is shipped to an ``array_intersect``.  Output-neutral (a sound
-    bound), so the DuckDB oracles need no mirror.  ``sizes`` (doc, sz
-    distinct-gram count) is passed in when the caller already has it
-    (it rides the signature aggregation); the fallback computes it from
-    ``cand_grams``.
+    ``threshold`` are dropped BEFORE their ``array_intersect`` is ever
+    evaluated: the gate filter references only the (already joined)
+    set SIZES, sits below the intersect projection, and Catalyst never
+    hoists a projection above a filter — a failed pair costs two hash
+    probes and a comparison, not a set intersection.  Output-neutral
+    (a sound bound), so the DuckDB oracles need no mirror.  A separate
+    pre-join of 8-byte sizes before the set join was measured a net
+    loss at bench scale (two extra join stages per run) and saves
+    nothing asymptotically — the sets it would avoid shipping are the
+    hash-table build side either way, bounded by candidate-doc volume
+    (banding caps candidates).
 
-    ``collect_set`` runs over ALL of ``cand_grams`` (the caller has
-    already restricted it to candidate docs): a further semi-join down
-    to only docs that survive the pair gate was measured a net loss —
-    it costs a union+distinct+broadcast stage wave per run, while the
-    sets it avoids building are bounded by candidate volume anyway
-    (banding caps candidates; the pair-level gate above is where the
-    quadratic ``array_intersect`` saving lives)."""
-    if sizes is None:
-        sizes = cand_grams.groupBy("doc").agg(F.count_distinct("g").alias("sz"))
-    gated = (
-        cand.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .filter(F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b") >= F.lit(threshold))
-    )
+    ``sizes`` is accepted for signature compatibility but unused —
+    ``size(sset)`` over the distinct-gram set IS the distinct-gram
+    count the signature aggregation provides."""
+    del sizes
     doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     return (
-        gated.select("doc_a", "doc_b")
+        cand.select("doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            "set_a",
+            "set_b",
             F.size("set_a").alias("sz_a"),
             F.size("set_b").alias("sz_b"),
+        )
+        .filter(F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b") >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+            "sz_a",
+            "sz_b",
         )
         .withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
