@@ -639,7 +639,7 @@ def minhash_dedup_pairs(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
-    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold)
     return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
         _ident_member_pairs(
             sigg, max_group, group_key=("sz", "fp1", "fp2")
@@ -683,7 +683,7 @@ def minhash_pairs_from_grams(
         cand.select(F.col("doc_b").alias("doc"))
     ).distinct()
     cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
-    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold)
     return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
         _ident_member_pairs(
             sigg, max_group, group_key=("sz", "fp1", "fp2")
@@ -695,7 +695,6 @@ def _jaccard_verify(
     cand: DataFrame,
     cand_grams: DataFrame,
     threshold: float,
-    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard check of candidate (doc_a, doc_b) pairs against a
     (doc, g) gram table already restricted to candidate docs: one
@@ -717,10 +716,8 @@ def _jaccard_verify(
     hash-table build side either way, bounded by candidate-doc volume
     (banding caps candidates).
 
-    ``sizes`` is accepted for signature compatibility but unused —
     ``size(sset)`` over the distinct-gram set IS the distinct-gram
     count the signature aggregation provides."""
-    del sizes
     doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
@@ -811,7 +808,7 @@ def minhash_incremental_pairs(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
-    cross = _jaccard_verify(cand, cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    cross = _jaccard_verify(cand, cand_grams, threshold)
     return _flag_expand_ident(cross, sigg, max_group)
 
 
@@ -991,7 +988,7 @@ def minhash_incremental_from_store(
     cand_grams = existing_grams.select("doc", "g").join(
         F.broadcast(cand_docs), "doc", "left_semi"
     ).unionByName(new_gh.join(F.broadcast(cand_docs), "doc", "left_semi"))
-    cross = _jaccard_verify(cand, cand_grams, threshold, sizes=reps.select("doc", "sz"))
+    cross = _jaccard_verify(cand, cand_grams, threshold)
     return _flag_expand_ident(cross, sigg, max_group)
 
 
