@@ -544,13 +544,22 @@ def lsh_dropped_buckets(
     rep and are reported via group expansion regardless), i.e. heavily
     templated near-but-not-identical corpora — run this audit when
     recall matters, and either raise ``max_bucket`` or pass
-    ``max_bucket=None`` (no gate) with eyes open."""
+    ``max_bucket=None`` (no gate) with eyes open.
+
+    Takes the RAW per-doc signature table (:func:`minhash_signatures`)
+    and counts DISTINCT signatures per bucket — the signature-space
+    image of the pipeline's collapsed-representative count, so a
+    500-identical-doc bucket audits as n=1, exactly as the real gate
+    sees it (a raw ``count(*)`` here would report phantom drops the
+    pipeline never makes).  Two distinct gram sets colliding to one
+    full signature (~2^-60·k per pair) audit as one — negligible."""
+    sig_cols = [c for c in sig.columns if c.startswith("mh")]
     banded = sig.select(
-        "doc", F.explode(_band_expr(k, bands)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.struct(*sig_cols).alias("__sig"), F.explode(_band_expr(k, bands)).alias("bk")
+    ).select("__sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     return (
         banded.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))
+        .agg(F.countDistinct("__sig").alias("n"))
         .filter(F.col("n") > max_bucket)
     )
 
@@ -1077,7 +1086,12 @@ def simhash_near_pairs(
     saturate (see SIMHASH_BITS note) the cap never triggers on healthy
     data."""
     w = Window.partitionBy("simhash")
-    groups = (
+    # Persisted (tracked): the signature aggregation beneath feeds four
+    # branches of the returned plan (reps→band join, both expansion
+    # sides, identical-group pairs) — without the pin each branch could
+    # re-run the per-bit vote aggregation over the corpus (exchange
+    # reuse across union arms is not guaranteed under AQE).
+    groups = persist_tracked(
         sig.select("doc", "simhash")
         .withColumn("rep", F.min("doc").over(w))
         .withColumn("gn", F.count("*").over(w))
@@ -1121,26 +1135,11 @@ def simhash_near_pairs(
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )
-    # Expansion: sig columns must follow the least/greatest member swap.
-    # LEFT against gn >= 2 members only (same sizing argument as
-    # _expand_cross): the join side is dup-group membership, not the
-    # whole corpus; sole-member reps coalesce back to themselves.
-    mem = groups.filter(F.col("gn") >= 2).select("doc", "rep")
-    ea = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
-    eb = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
-    ma = F.coalesce("__ma", "doc_a")
-    mb = F.coalesce("__mb", "doc_b")
-    swap = ma < mb
-    expanded = (
-        cross.join(ea, "doc_a", "left")
-        .join(eb, "doc_b", "left")
-        .select(
-            F.least(ma, mb).alias("doc_a"),
-            F.greatest(ma, mb).alias("doc_b"),
-            F.when(swap, F.col("sig_a")).otherwise(F.col("sig_b")).alias("sig_a"),
-            F.when(swap, F.col("sig_b")).otherwise(F.col("sig_a")).alias("sig_b"),
-            "hamming",
-        )
+    # Expansion: rep↔rep pairs back to member↔member, sig columns
+    # following the least/greatest member swap — the shared kernel
+    # (:func:`_expand_cross`, same join-side sizing argument).
+    expanded = _expand_cross(
+        cross, groups, ["sig_a", "sig_b", "hamming"], swap_cols=(("sig_a", "sig_b"),)
     )
     ident = _ident_member_pairs(
         groups, max_group, carry=("simhash",), group_key=("simhash",)

@@ -19,21 +19,48 @@ DuckDB; swap it in via ``fast=True`` when oracle parity is not needed.)
 from __future__ import annotations
 
 import functools
+import weakref
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
 
+# Monotonic gateway epoch: bumps whenever the ACTIVE py4j gateway is a
+# different live object than last observed.  A weakref comparison (not
+# ``id()``) is what makes this sound — CPython reuses addresses after
+# GC, so an id-keyed cache could serve a dead handle when a relaunched
+# gateway lands on the old gateway's address; a dead weakref resolves
+# to None and can never compare identical to a live object.  Races
+# merely double-bump (an extra cache miss, never a stale hit).
+_gw_state: dict = {"ref": None, "epoch": 0}
+
+
+def _gateway_epoch() -> int:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return 0  # Spark Connect / no JVM: nothing to invalidate
+    gw = sc._gateway
+    ref = _gw_state["ref"]
+    if ref is None or ref() is not gw:
+        _gw_state["epoch"] += 1
+        try:
+            _gw_state["ref"] = weakref.ref(gw)
+        except TypeError:  # not weakref-able: a strong ref is also reuse-proof
+            _gw_state["ref"] = lambda: gw
+    return _gw_state["epoch"]
+
 
 def jvm_memo(maxsize: int = 8):
     """``lru_cache`` for memoized Column-tree builders, additionally
-    keyed on the ACTIVE py4j gateway (ADVICE r4): a classic-mode Column
-    pins a py4j JVM object handle, so a cache that outlives a gateway
-    shutdown/relaunch (embedding hosts, harnesses calling
+    keyed on the ACTIVE py4j gateway's epoch (ADVICE r4): a classic-mode
+    Column pins a py4j JVM object handle, so a cache that outlives a
+    gateway shutdown/relaunch (embedding hosts, harnesses calling
     ``SparkContext._gateway.shutdown``) would serve dead handles until
-    process restart.  Keying on the gateway object identity makes a
-    relaunched gateway a cache miss (stale entries age out of the LRU);
+    process restart.  A relaunched gateway bumps :func:`_gateway_epoch`
+    and is a guaranteed cache miss (stale entries age out of the LRU);
     under Spark Connect there is no gateway and the key is a constant.
     Builders stay ``cache_clear``-able."""
 
@@ -44,11 +71,7 @@ def jvm_memo(maxsize: int = 8):
 
         @functools.wraps(fn)
         def wrapper(*a, **k):
-            from pyspark import SparkContext
-
-            sc = SparkContext._active_spark_context
-            gw = id(sc._gateway) if sc is not None else 0
-            return cached(gw, *a, **k)
+            return cached(_gateway_epoch(), *a, **k)
 
         wrapper.cache_clear = cached.cache_clear
         wrapper.cache_info = cached.cache_info

@@ -355,7 +355,15 @@ def embedding_near_dup_pairs(
     # still exact (v stays in the key), measured ~2x faster than
     # partitioning on the bare array
     wg = Window.partitionBy(F.xxhash64("v"), F.col("v"))
-    groups = (
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    # Persisted (tracked): the n_planes dot products + identity window
+    # beneath feed five branches of the returned union (cross via
+    # reps/gated, both expansion sides, clique, star) — without the pin
+    # each branch could re-run the bucketing scan (exchange reuse across
+    # union arms is not guaranteed under AQE).  Same lifecycle as the
+    # MinHash sigg table: cache_scope / clearCache.
+    groups = persist_tracked(
         b.withColumn("rep", F.min(id_col).over(wg))
         .withColumn("gn", F.count("*").over(wg))
     )

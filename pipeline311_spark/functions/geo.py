@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 SRID = 4326  # config.py:5-6 (IN_SRID == AGO_SRID == 4326 → reprojection is identity)
 
-_POINT_RE = r"POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)"
+# \s* between tag and paren: GEOS/Shapely spell "POINT (1 2)", PostGIS
+# ST_AsText spells "POINT(1 2)" — a rigid single-space regex silently
+# parses the PostGIS spelling as empty (the worst failure mode for a
+# publishing path fed by external WKT)
+_POINT_RE = r"POINT\s*\(([-0-9.eE]+) ([-0-9.eE]+)\)"
 
 
 def point_ewkt_from_xy(lon: Column, lat: Column) -> Column:
@@ -116,7 +120,7 @@ def parse_wkt_path(col: Column | str) -> Column:
     """LINESTRING WKT -> ``array<array<double>>`` of [x, y] coords
     (one ESRI "path"; sync-db2-ago.py:85-96).  Empty/NULL -> empty."""
     c = F.col(col) if isinstance(col, str) else col
-    body = F.regexp_extract(c, r"LINESTRING \(([^)]*)\)", 1)
+    body = F.regexp_extract(c, r"LINESTRING\s*\(([^)]*)\)", 1)
     return F.when(
         F.coalesce(body, F.lit("")) == "", F.array().cast("array<array<double>>")
     ).otherwise(_coords(body))
@@ -169,7 +173,7 @@ def parse_wkt_multipoint(col: Column | str) -> Column:
     ``MULTIPOINT ((10 40), (40 30))`` (inner parens stripped before the
     coordinate split).  Empty/NULL -> empty array."""
     c = F.col(col) if isinstance(col, str) else col
-    body = F.regexp_extract(c, r"MULTIPOINT \((.*)\)", 1)
+    body = F.regexp_extract(c, r"MULTIPOINT\s*\((.*)\)", 1)
     flat = F.regexp_replace(body, r"[()]", "")
     return F.when(
         F.coalesce(flat, F.lit("")) == "", F.array().cast("array<array<double>>")

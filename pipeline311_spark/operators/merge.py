@@ -67,6 +67,28 @@ def incremental_merge(
     return upsert(target, changed, key, watermark_col)
 
 
+def guard_no_warehouse_narrowing(spark, target_path: str, updates: DataFrame) -> None:
+    """Guard BEFORE trusting ``updates.schema`` for a pruned warehouse
+    read: a batch that silently lost a column would otherwise read the
+    warehouse minus that column and write it back narrowed (silent data
+    loss).  An empty warehouse (zero-row base write, no partition dirs)
+    has no inferable schema — nothing to narrow, guard skipped.  Shared
+    by the partitioned MERGE below and the unpartitioned parquet
+    backend (operators/merge_backends.py)."""
+    try:
+        warehouse_cols = [f.name for f in spark.read.parquet(target_path).schema.fields]
+    except Exception:
+        return
+    missing = [c for c in warehouse_cols if c not in set(updates.columns)]
+    if missing:
+        from pipeline311_spark.sources.validate import SchemaMismatch
+
+        raise SchemaMismatch(
+            f"updates batch is missing warehouse column(s) {missing}; "
+            f"a MERGE would narrow the warehouse at {target_path}"
+        )
+
+
 def merge_incremental_partitioned(
     spark,
     target_path: str,
@@ -103,24 +125,7 @@ def merge_incremental_partitioned(
     finds no existing rows for it).
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    # Guard BEFORE trusting updates.schema for the pruned read: a batch
-    # that silently lost a column would otherwise read the warehouse
-    # minus that column and write it back narrowed (silent data loss).
-    # An empty warehouse (zero-row base write, no partition dirs) has
-    # no inferable schema — nothing to narrow, guard skipped.
-    try:
-        warehouse_cols = [f.name for f in spark.read.parquet(target_path).schema.fields]
-    except Exception:
-        warehouse_cols = None
-    if warehouse_cols is not None:
-        from pipeline311_spark.sources.validate import SchemaMismatch
-
-        missing = [c for c in warehouse_cols if c not in set(updates.columns)]
-        if missing:
-            raise SchemaMismatch(
-                f"updates batch is missing warehouse column(s) {missing}; "
-                f"a MERGE would narrow the warehouse at {target_path}"
-            )
+    guard_no_warehouse_narrowing(spark, target_path, updates)
     # schema from the updates side: an empty warehouse (zero-row base
     # write) has no partition dirs to infer from, and parquet matches
     # columns by name anyway
@@ -171,10 +176,19 @@ def merge_with_surrogate(
     ranged = need_id.repartitionByRange(F.col(key)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    from pipeline311_spark.ext.cache import persist_tracked
+    from pipeline311_spark.ext.cache import local_checkpoint_tracked
 
-    ranged = persist_tracked(ranged)  # pin partitioning between count pass and assignment
-    # (released by the caller's cache_scope; reclaimable via clearCache otherwise)
+    # The __pid layout is LOAD-BEARING: the driver-collected counts
+    # below are only valid for the exact physical partitioning they
+    # were read from, and repartitionByRange re-samples on recompute
+    # (upstream shuffle row order is nondeterministic), which could
+    # shift rows across partitions and mis-assign ids against stale
+    # offsets.  localCheckpoint truncates the lineage so recompute is
+    # impossible — a released/evicted block fails loudly instead of
+    # silently recomputing a different layout.  Released by the
+    # caller's cache_scope (after which the result is invalid, per the
+    # scope's documented checkpoint semantics).
+    ranged = local_checkpoint_tracked(ranged)
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["__pid"]):

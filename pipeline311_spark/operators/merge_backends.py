@@ -30,9 +30,19 @@ appropriate backend.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _warehouse_exists(spark: SparkSession, target_ref: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API so the answer
+    is correct for ANY warehouse scheme (file://, hdfs://, s3a://...).
+    ``os.path.isdir`` would be always-False for remote URIs, making the
+    merge path silently overwrite an existing remote warehouse with
+    just the updates batch."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_ref)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(path)
 
 
 class ParquetWindowMergeBackend:
@@ -50,6 +60,7 @@ class ParquetWindowMergeBackend:
         partition_col: str | None = None,
     ) -> None:
         from pipeline311_spark.operators.merge import (
+            guard_no_warehouse_narrowing,
             merge_incremental_partitioned,
             upsert,
         )
@@ -59,9 +70,10 @@ class ParquetWindowMergeBackend:
                 spark, target_ref, updates, key, version_col, partition_col
             )
             return
-        if os.path.isdir(target_ref):
+        if _warehouse_exists(spark, target_ref):
             from pipeline311_spark.ext.cache import release_local_checkpoint
 
+            guard_no_warehouse_narrowing(spark, target_ref, updates)
             target = spark.read.schema(updates.schema).parquet(target_ref)
             merged = upsert(target, updates, key, version_col)
             # break lineage: Spark refuses to overwrite a path it reads;

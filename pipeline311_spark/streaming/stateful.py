@@ -77,7 +77,17 @@ def expiring_totals_stream(events_stream: DataFrame, gap_ms: int = 30 * 60 * 100
     ``gap_ms`` < the watermark delay.  The timeout is therefore clamped
     to ``max(last_seen + gap, watermark + 1)``, and ``last_seen`` is
     carried IN STATE so an out-of-order batch can never regress an
-    already-later timeout."""
+    already-later timeout.
+
+    Checkpoint migration: the state schema grew from 2 to 3 fields when
+    ``last`` moved into state.  Spark pins the state schema in the
+    checkpoint's metadata and REFUSES to start a restarted query whose
+    schema differs (StateSchemaNotCompatible — loud, at start, before
+    any batch).  There is no in-place state migration for
+    ``applyInPandasWithState``; upgrade by draining the old query, then
+    starting the new version against a FRESH checkpoint dir with the
+    source replayed from an earlier offset — the downstream MERGE sink
+    is idempotent (SURVEY §7.5.5), so the replay is absorbed."""
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:

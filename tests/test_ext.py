@@ -524,3 +524,31 @@ def test_jvm_memo_keyed_on_gateway(spark, monkeypatch):
     b1 = build("x")
     assert b1 is not a1 and calls == ["x", "x"]  # gateway change -> rebuild
     build.cache_clear()
+
+
+def test_lsh_dropped_buckets_audits_distinct_content(spark):
+    """The max_bucket audit counts DISTINCT signatures per bucket — the
+    signature-space image of the pipeline's content collapse — so a
+    pile of identical docs audits as n=1 (no phantom drop), while many
+    distinct-but-colliding docs are reported."""
+    from pipeline311_spark.ext.dedup import lsh_dropped_buckets, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "same exact text repeated for every single document here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+    # 30 identical docs: the real gate sees ONE rep per bucket -> audit
+    # must report nothing at any cap >= 1
+    assert lsh_dropped_buckets(sig, k=8, bands=4, max_bucket=1).count() == 0
+
+    distinct = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta iota w{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    dsig = minhash_signatures(distinct, "doc_id", "text", k=8, n=3)
+    # shared 8-gram prefix collides some bands across genuinely distinct
+    # docs; with a cap of 1 every multi-signature bucket is reported
+    dropped = lsh_dropped_buckets(dsig, k=8, bands=4, max_bucket=1)
+    assert dropped.count() > 0
+    assert dropped.agg({"n": "max"}).first()[0] > 1

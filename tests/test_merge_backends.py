@@ -84,3 +84,36 @@ def test_delta_backend_merge_semantics(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {1: (1, "a-tie"), 2: (2, "b2"), 3: (1, "c")}
+
+
+def test_parquet_backend_guards_warehouse_narrowing(spark, tmp_path):
+    """The unpartitioned merge path refuses a batch that silently lost
+    a warehouse column (same guard as the partitioned path) instead of
+    reading the warehouse minus that column and writing it back
+    narrowed."""
+    from pipeline311_spark.operators.merge_backends import upsert_into
+    from pipeline311_spark.sources.validate import SchemaMismatch
+
+    path = str(tmp_path / "wh")
+    base = spark.createDataFrame(
+        [(1, 10, "keep")], "pk long, version long, payload string"
+    )
+    upsert_into(spark, path, base, "pk", "version")
+    narrowed = spark.createDataFrame([(1, 11)], "pk long, version long")
+    with pytest.raises(SchemaMismatch, match="payload"):
+        upsert_into(spark, path, narrowed, "pk", "version")
+    # warehouse untouched
+    assert spark.read.parquet(path).columns == ["pk", "version", "payload"]
+
+
+def test_warehouse_exists_handles_uris(spark, tmp_path):
+    """Existence goes through the Hadoop FileSystem API, so scheme'd
+    URIs answer correctly (os.path.isdir was always-False for them,
+    silently replacing an existing remote warehouse with the batch)."""
+    from pipeline311_spark.operators.merge_backends import _warehouse_exists
+
+    p = tmp_path / "x"
+    p.mkdir()
+    assert _warehouse_exists(spark, str(p))
+    assert _warehouse_exists(spark, "file://" + str(p))
+    assert not _warehouse_exists(spark, "file://" + str(tmp_path / "missing"))
