@@ -162,3 +162,98 @@ def test_minhash_incremental_contract_random(spark, docs):
     ).collect()
     want = sorted(tuple(r) for r in full if r["doc_a"] % 2 == 1 or r["doc_b"] % 2 == 1)
     assert sorted(tuple(r) for r in inc) == want
+
+
+# --- brute-force ground truth for the fuzzy dedup family (r5 collapse) ---
+
+
+def _py_gram_sets(docs, n):
+    """Python re-implementation of the engine's gram extraction:
+    lowercase, collapse whitespace, whitespace-tokenize, word n-grams
+    as tuples (docs with < n tokens have NO grams and never pair)."""
+    import re as _re
+
+    out = {}
+    for doc_id, text in docs:
+        toks = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        toks = [t for t in toks if t]
+        out[doc_id] = {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    picks=st.lists(st.integers(min_value=0, max_value=4), min_size=2, max_size=12),
+)
+def test_minhash_pairs_sound_and_ident_complete(spark, base, picks):
+    """Independent (non-oracle) ground truth: every pair minhash LSH
+    reports must have EXACTLY the brute-force Jaccard (and be over
+    threshold), with no duplicate pairs — and every pair of docs with
+    identical gram sets MUST be reported with jaccard 1.0 (the r5
+    content-collapse contract: identical docs are never dropped by
+    bucket caps).  LSH recall on non-identical pairs is probabilistic,
+    so only soundness is asserted there."""
+    from pipeline311_spark.ext.dedup import minhash_dedup_pairs
+
+    docs = [(i, base[p % len(base)]) for i, p in enumerate(picks)]
+    truth = _py_gram_sets(docs, n=3)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = minhash_dedup_pairs(df, "doc_id", "text", k=8, bands=4, n=3, threshold=0.3).collect()
+
+    seen = set()
+    for r in got:
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        sa, sb = truth[a], truth[b]
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(j - want) < 1e-9 and want >= 0.3
+
+    for i, (a, ta) in enumerate(docs):
+        for b, tb in docs[i + 1 :]:
+            if truth[a] and truth[a] == truth[b]:
+                lo, hi = min(a, b), max(a, b)
+                assert (lo, hi) in seen, f"identical pair {(lo, hi)} missing"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    picks=st.lists(st.integers(min_value=0, max_value=4), min_size=2, max_size=12),
+)
+def test_simhash_pairs_sound_and_ident_complete(spark, base, picks):
+    """Same independent contract for SimHash: reported hamming must be
+    the true popcount of the XOR of the docs' signatures (read back
+    from the signature table), every identical-signature pair must be
+    present (hamming 0 — the collapse guarantee), no duplicates."""
+    from pipeline311_spark.ext.dedup import simhash, simhash_near_pairs
+
+    docs = [(i, base[p % len(base)]) for i, p in enumerate(picks)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = simhash(df, "doc_id", "text")
+    sigs = {r["doc"]: r["simhash"] for r in sig.collect()}
+    got = simhash_near_pairs(sig, max_hamming=3).collect()
+
+    seen = set()
+    for r in got:
+        a, b = r["doc_a"], r["doc_b"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        assert r["sig_a"] == sigs[a] and r["sig_b"] == sigs[b]
+        true_h = bin(sigs[a] ^ sigs[b]).count("1")
+        assert r["hamming"] == true_h and true_h <= 3
+
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if sigs[a] == sigs[b]:
+                assert (a, b) in seen, f"identical-signature pair {(a, b)} missing"
