@@ -257,3 +257,117 @@ def test_simhash_pairs_sound_and_ident_complete(spark, base, picks):
         for b in ids[i + 1 :]:
             if sigs[a] == sigs[b]:
                 assert (a, b) in seen, f"identical-signature pair {(a, b)} missing"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    picks=st.lists(st.integers(min_value=0, max_value=4), min_size=2, max_size=12),
+)
+def test_ngram_jaccard_pairs_equal_brute_force(spark, base, picks):
+    """The n-gram path is EXHAUSTIVE when every gram's doc frequency is
+    under max_df (always true for these tiny corpora): any pair with
+    Jaccard > 0 shares a gram and becomes a candidate.  So unlike LSH,
+    full bidirectional equality with the brute-force pair set holds —
+    same pairs, same exact Jaccard values."""
+    from pipeline311_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = [(i, base[p % len(base)]) for i, p in enumerate(picks)]
+    truth = _py_gram_sets(docs, n=3)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    want = {}
+    ids = [d for d, _ in docs]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = truth[a], truth[b]
+            if sa and sb and sa | sb:
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.3:
+                    want[(min(a, b), max(a, b))] = j
+    assert set(got) == set(want)
+    for p, j in got.items():
+        assert abs(j - want[p]) < 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_equal_union_find(spark, edges):
+    """Exact equality with a Python union-find on random graphs
+    (self-loops, duplicate and reversed edges included): every node in
+    the edge list labeled with the MIN reachable node id."""
+    from pipeline311_spark.ext.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_base=st.integers(min_value=1, max_value=5),
+    picks=st.lists(st.integers(min_value=0, max_value=4), min_size=2, max_size=10),
+)
+def test_embedding_near_dup_sound_and_ident_complete(spark, seed, n_base, picks):
+    """Independent cosine ground truth for the embedding near-dup path:
+    every reported pair's Python-computed cosine matches and clears the
+    threshold; every pair of byte-identical vectors is reported (the
+    collapse guarantee); no duplicate pairs.  Cross-bucket recall is
+    probabilistic and not asserted."""
+    import math
+    import random
+
+    from pipeline311_spark.ext.similarity import embedding_near_dup_pairs
+
+    rng = random.Random(seed)
+    bases = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(n_base)]
+    rows = [(i, bases[p % n_base]) for i, p in enumerate(picks)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs(df, threshold=0.95, n_planes=4, dim=6).collect()
+    vecs = dict(rows)
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    seen = set()
+    for r in got:
+        a, b = r["id_a"], r["id_b"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        want = cos(vecs[a], vecs[b])
+        assert abs(r["cos_sim"] - want) < 1e-6 and want >= 0.95 - 1e-6
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if vecs[a] == vecs[b]:
+                assert (a, b) in seen, f"identical-vector pair {(a, b)} missing"
