@@ -371,3 +371,127 @@ def test_embedding_near_dup_sound_and_ident_complete(spark, seed, n_base, picks)
         for b in ids[i + 1 :]:
             if vecs[a] == vecs[b]:
                 assert (a, b) in seen, f"identical-vector pair {(a, b)} missing"
+
+
+def _py_cos(u, v):
+    import math
+
+    d = 0.0
+    for a, b in zip(u, v):
+        d += a * b
+    nu = 0.0
+    for a in u:
+        nu += a * a
+    nv = 0.0
+    for b in v:
+        nv += b * b
+    return d / (math.sqrt(nu) * math.sqrt(nv))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    picks=st.lists(st.integers(min_value=0, max_value=5), min_size=2, max_size=12),
+    max_cluster=st.sampled_from([3, 10_000]),
+)
+def test_semantic_dedup_keep_equals_python(spark, seed, picks, max_cluster):
+    """Exact Python re-implementation of the SemDeDup keep rule:
+    nearest-centroid assignment (max cosine, centroid-id tie-break,
+    left-to-right float folds match the engine's), drop any doc with a
+    lower-id >=threshold neighbor in its cluster, exempt oversized
+    clusters.  Both the kept id set and the assigned centroids must
+    match bit-exactly."""
+    import random
+
+    from pipeline311_spark.ext.similarity import semantic_dedup_keep
+
+    rng = random.Random(seed)
+    bases = [[rng.uniform(-1, 1) for _ in range(5)] for _ in range(6)]
+    rows = [(i, bases[p % 6]) for i, p in enumerate(picks)]
+    cents = [(j, [rng.uniform(-1, 1) for _ in range(5)]) for j in range(3)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(cents, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in semantic_dedup_keep(
+            corpus, cdf, threshold=0.9, max_cluster=max_cluster
+        ).collect()
+    }
+
+    assign = {
+        i: max(cents, key=lambda c: (_py_cos(v, c[1]), -c[0]))[0] for i, v in rows
+    }
+    clusters = {}
+    for i, _ in rows:
+        clusters.setdefault(assign[i], []).append(i)
+    want = set()
+    vecs = dict(rows)
+    for cid, members in clusters.items():
+        if len(members) > max_cluster:
+            want.update((i, cid) for i in members)
+            continue
+        for i in members:
+            dropped = any(
+                j < i and _py_cos(vecs[j], vecs[i]) >= 0.9 for j in members
+            )
+            if not dropped:
+                want.add((i, cid))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_pts=st.integers(min_value=2, max_value=12),
+)
+def test_kmeans_iterate_equals_python(spark, seed, n_pts):
+    """Exact Python Lloyd's: per-round nearest centroid by squared
+    distance (left-to-right fold, centroid-id tie-break), centroid
+    update as exact HALF_UP-6-decimal sums over members followed by one
+    double division (the engine's cross-engine determinism recipe), a
+    memberless cluster drops out.  Final assignment must match."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pipeline311_spark.ext.similarity import kmeans_iterate
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-10, 10) for _ in range(3)]) for i in range(n_pts)]
+    cents = [(j, [rng.uniform(-10, 10) for _ in range(3)]) for j in range(3)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(
+        cents, "centroid_id long, cv array<double>"
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in kmeans_iterate(corpus, cdf, rounds=2).collect()}
+
+    def sq(u, v):
+        acc = 0.0
+        for a, b in zip(u, v):
+            acc += (a - b) * (a - b)
+        return acc
+
+    cur = {j: list(cv) for j, cv in cents}
+    assign = {}
+    for _ in range(2):
+        assign = {
+            i: min(cur, key=lambda j: (sq(v, cur[j]), j)) for i, v in rows
+        }
+        members = {}
+        for i, v in rows:
+            members.setdefault(assign[i], []).append(v)
+        cur = {
+            j: [
+                float(
+                    sum(
+                        Decimal(repr(v[d])).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                        for v in vs
+                    )
+                )
+                / len(vs)
+                for d in range(3)
+            ]
+            for j, vs in members.items()
+        }
+    assert got == assign
