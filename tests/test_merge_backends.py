@@ -117,3 +117,22 @@ def test_warehouse_exists_handles_uris(spark, tmp_path):
     assert _warehouse_exists(spark, str(p))
     assert _warehouse_exists(spark, "file://" + str(p))
     assert not _warehouse_exists(spark, "file://" + str(tmp_path / "missing"))
+
+
+def test_parquet_backend_empty_updates_batch(spark, tmp_path):
+    """An empty updates batch (schema intact, zero rows) must leave the
+    warehouse byte-identical — the empty-increment class the registry
+    gates elsewhere, through the backend seam."""
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    path = str(tmp_path / "wh")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "pk long, version long, payload string"
+    )
+    upsert_into(spark, path, base, "pk", "version")
+    empty = spark.createDataFrame([], "pk long, version long, payload string")
+    upsert_into(spark, path, empty, "pk", "version")
+    rows = sorted(
+        (r["pk"], r["version"], r["payload"]) for r in spark.read.parquet(path).collect()
+    )
+    assert rows == [(1, 10, "a"), (2, 11, "b")]
