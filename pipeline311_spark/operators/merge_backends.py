@@ -66,6 +66,19 @@ class ParquetWindowMergeBackend:
         )
 
         if partition_col is not None:
+            if not _warehouse_exists(spark, target_ref):
+                # First batch creates the partitioned warehouse (the
+                # pruned MERGE requires an existing target to read).
+                # An EMPTY first batch is a no-op instead: a zero-row
+                # partitionBy write produces a footer-less directory no
+                # schema can be inferred from — creation waits for the
+                # first batch that has rows.
+                if updates.isEmpty():
+                    return
+                updates.write.mode("overwrite").partitionBy(partition_col).parquet(
+                    target_ref
+                )
+                return
             merge_incremental_partitioned(
                 spark, target_ref, updates, key, version_col, partition_col
             )

@@ -495,3 +495,64 @@ def test_kmeans_iterate_equals_python(spark, seed, n_pts):
             for j, vs in members.items()
         }
     assert got == assign
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),  # key
+                st.integers(min_value=0, max_value=4),  # version
+                st.integers(min_value=0, max_value=1),  # partition bucket
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    partitioned=st.booleans(),
+)
+def test_merge_backend_roundtrip_equals_python_fold(spark, tmp_path_factory, batches, partitioned):
+    """Random multi-batch MERGE sequences through the parquet backend
+    (both the partitioned dynamic-overwrite path and the unpartitioned
+    rewrite) must leave the warehouse equal to a Python dict fold with
+    updates-win-on-tie semantics — the write path itself under test,
+    not just the window kernel."""
+    import datetime as dt
+
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    path = str(tmp_path_factory.mktemp("wh") / "t")
+    state: dict = {}
+    for bi, batch in enumerate(batches):
+        # unique keys per batch (tables, not logs): keep highest version,
+        # later row wins ties — mirror with a fold in batch order
+        per_key: dict = {}
+        for k, ver, b in batch:
+            if k not in per_key or ver >= per_key[k][0]:
+                per_key[k] = (ver, b)
+        rows = [
+            (k, dt.datetime(2024, 1, 1 + ver), b, f"b{bi}")
+            for k, (ver, b) in per_key.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "pk long, version timestamp, bucket int, payload string"
+        )
+        upsert_into(
+            spark, path, df, "pk", "version",
+            partition_col="bucket" if partitioned else None,
+        )
+        for k, (ver, b) in per_key.items():
+            if k not in state or ver >= state[k][0]:
+                state[k] = (ver, b, f"b{bi}")
+    import os
+
+    if not state and not os.path.isdir(path):
+        return  # all-empty sequence: warehouse creation legitimately deferred
+    got = {
+        r["pk"]: (r["version"].day - 1, r["bucket"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == state
