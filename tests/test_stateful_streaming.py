@@ -181,3 +181,54 @@ def test_late_batch_cannot_kill_query_or_regress_timeout(spark, tmp_path):
     ]
     # user 2 went silent and was finalized despite the hostile batch
     assert (2, True, 50) in rows
+
+
+@pytest.mark.parametrize("n_files,per_trigger", [(5, 1), (5, 2), (1, 1)])
+def test_final_state_independent_of_batch_boundaries(spark, tmp_path, n_files, per_trigger):
+    """The module docstring's oracle-ability claim, tested directly:
+    for the SAME event set under different micro-batch splits (5x1
+    files, 5 files 2-per-trigger, one big batch), the final per-user
+    state must equal a plain batch GROUP BY — integer-cents state makes
+    cross-batch accumulation exact, so batch boundaries cannot show."""
+    import random
+
+    rng = random.Random(42)
+    events = [(rng.randrange(4), rng.randrange(-500, 2000)) for _ in range(60)]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    for chunk in range(n_files):
+        rows = events[chunk::n_files]
+        spark.createDataFrame(rows, "user_id long, cents long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(src)
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per user == final cumulative state
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], r["total_cents"])
+    want = {}
+    for u, c in events:
+        n, tot = want.get(u, (0, 0))
+        want[u] = (n + 1, tot + c)
+    assert got == want
