@@ -556,3 +556,36 @@ def test_merge_backend_roundtrip_equals_python_fold(spark, tmp_path_factory, bat
         for r in spark.read.parquet(path).collect()
     }
     assert got == state
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    size=st.integers(min_value=1, max_value=8),
+    stride=st.integers(min_value=1, max_value=8),
+)
+def test_chunk_token_windows_equals_python(spark, docs, size, stride):
+    """Window boundary ground truth: chunks start every `stride`
+    tokens, span up to `size`, the trailing chunk may be short,
+    zero-token docs emit nothing — against a direct Python slicer for
+    arbitrary size/stride combinations (including stride > size gaps
+    and stride < size overlaps)."""
+    from pipeline311_spark.ext.textstats import chunk_token_windows
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_token_windows(df, "doc_id", "text", size=size, stride=stride).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().split(" ") if t]
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            chunk = toks[start : start + size]
+            want[(doc_id, ci)] = (len(chunk), " ".join(chunk))
+    assert got == want
