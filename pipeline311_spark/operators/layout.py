@@ -85,6 +85,13 @@ def compact_parquet_dir(
     row-group-stat locality → atomic swap via a staging dir.  At scale
     this runs per partition-directory of the table, bounding the
     shuffle to one partition's bytes at a time.
+
+    LOCAL-FS ONLY by design: the size walk and the two-rename atomic
+    swap use ``os`` primitives (object stores have no atomic rename —
+    a remote-capable compactor belongs to the table format:
+    Delta/Iceberg ``OPTIMIZE``, which the MERGE backend seam already
+    points at).  On a cluster this is the maintenance pass for the
+    local staging tier, not the object-store warehouse.
     """
     import math
     import os

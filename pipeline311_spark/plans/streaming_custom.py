@@ -90,21 +90,17 @@ FROM (
 
 def _parquet_upsert_batch_fn(out_dir: str):
     """foreachBatch kernel shared by the streaming MERGE queries: each
-    micro-batch is reduced latest-per-key, upserted against the current
-    serving table, and swapped in via a tmp-dir rewrite (updates win on
-    ts ties per the upsert rule; intra-batch ties break on event_id)."""
-    from pipeline311_spark.operators.merge import latest_per_key, upsert
+    micro-batch is reduced latest-per-key (intra-batch ties break on
+    event_id), then MERGEd into the serving table through the backend
+    seam (``upsert_into`` — updates win on ts ties; remote-safe
+    existence probe, lineage-broken rewrite).  This is the seam's
+    documented streaming call site, not a parallel implementation."""
+    from pipeline311_spark.operators.merge import latest_per_key
+    from pipeline311_spark.operators.merge_backends import upsert_into
 
     def apply_batch(batch_df, batch_id):
         batch_latest = latest_per_key(batch_df, "user_id", "ts", tiebreak="event_id")
-        if os.path.exists(out_dir):
-            current = batch_df.sparkSession.read.parquet(out_dir)
-            merged = upsert(current, batch_latest, "user_id", "ts")
-        else:
-            merged = batch_latest
-        merged.write.mode("overwrite").parquet(out_dir + ".tmp")
-        final = batch_df.sparkSession.read.parquet(out_dir + ".tmp")
-        final.write.mode("overwrite").parquet(out_dir)
+        upsert_into(batch_df.sparkSession, out_dir, batch_latest, "user_id", "ts")
 
     return apply_batch
 
