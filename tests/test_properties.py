@@ -615,3 +615,62 @@ def test_zorder_key_equals_python_interleave(spark, pts):
         return z
 
     assert got == [morton(x, y) for x, y in pts]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:4]), min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_metrics_equal_python(spark, docs):
+    """Gopher-family fraction ground truth on a small alphabet (forces
+    heavy repetition): top-token / top-bigram fractions and the
+    duplicate-trigram occurrence fraction against direct Python
+    counters, NULL where a doc is too short for the n-gram order."""
+    from collections import Counter
+
+    from pipeline311_spark.ext.textstats import repetition_metrics
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["top_token_frac"], r["top_bigram_frac"], r["dup_trigram_frac"]
+        )
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+
+    want = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().split(" ") if t]
+        if not toks:
+            continue  # zero grams at every order: no output row
+        per = {}
+        for n in (1, 2, 3):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                per[n] = (
+                    len(grams),
+                    max(c.values()),
+                    sum(v for v in c.values() if v > 1),
+                )
+        n_tok = per[1][0]
+        want[doc_id] = (
+            n_tok,
+            per[1][1] / per[1][0],
+            per[2][1] / per[2][0] if 2 in per else None,
+            per[3][2] / per[3][0] if 3 in per else None,
+        )
+    assert set(got) == set(want)
+    for k in want:
+        gn, gt, gb, gd = got[k]
+        wn, wt, wb, wd = want[k]
+        assert gn == wn
+        for g, w in ((gt, wt), (gb, wb), (gd, wd)):
+            assert (g is None) == (w is None)
+            if w is not None:
+                assert abs(g - w) < 1e-12
