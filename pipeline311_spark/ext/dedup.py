@@ -508,6 +508,12 @@ def lsh_candidate_pairs(
 @jvm_memo(maxsize=8)
 def _band_expr(k: int, bands: int) -> Column:
     """Memoized band/key struct array over the fixed ``mh*`` columns."""
+    if bands < 1 or k % bands:
+        # bands > k would make rows = 0 → every band key the empty
+        # string → the whole corpus in one bucket per band (silently
+        # wrong: the size gate then drops everything).  LSH requires
+        # bands * rows == k; fail loudly instead.
+        raise ValueError(f"bands must divide k (got k={k}, bands={bands})")
     rows = k // bands
     return F.array(*[
         F.struct(
@@ -1097,6 +1103,10 @@ def simhash_near_pairs(
         .withColumn("gn", F.count("*").over(w))
     )
     reps = groups.filter(F.col("doc") == F.col("rep")).select("doc", "simhash")
+    if bands < 1 or bits % bands:
+        # zero-width bands would key every signature to mask 0 — one
+        # global bucket, then the size gate drops everything (silent)
+        raise ValueError(f"bands must divide bits (got bits={bits}, bands={bands})")
     width = bits // bands
     mask = (1 << width) - 1
     banded = reps.select(

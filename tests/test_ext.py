@@ -552,3 +552,29 @@ def test_lsh_dropped_buckets_audits_distinct_content(spark):
     dropped = lsh_dropped_buckets(dsig, k=8, bands=4, max_bucket=1)
     assert dropped.count() > 0
     assert dropped.agg({"n": "max"}).first()[0] > 1
+
+
+def test_band_math_rejects_non_divisible(spark):
+    """bands that don't divide k/bits would silently produce zero-width
+    band keys (one global bucket, size-gated to nothing) — both band
+    builders must fail loudly instead."""
+    import pytest as _pytest
+
+    from pipeline311_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+    with _pytest.raises(ValueError, match="bands must divide k"):
+        lsh_candidate_pairs(sig, k=8, bands=3)
+    with _pytest.raises(ValueError, match="bands must divide k"):
+        lsh_candidate_pairs(sig, k=8, bands=16)
+    ssig = simhash(docs, "doc_id", "text")
+    with _pytest.raises(ValueError, match="bands must divide bits"):
+        simhash_near_pairs(ssig, bands=7)
