@@ -674,3 +674,53 @@ def test_repetition_metrics_equal_python(spark, docs):
             assert (g is None) == (w is None)
             if w is not None:
                 assert abs(g - w) < 1e-12
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+    pct=st.integers(min_value=0, max_value=100),
+    cap=st.integers(min_value=1, max_value=4),
+)
+def test_sampling_family_equals_python_md5(spark, ids, pct, cap):
+    """The hash-based sampling/split/cap family is EXACTLY replicable
+    in Python (portable hash = int(md5[:15], 16) mod p — pure integer
+    math, no float hazards): sample membership, split assignment, and
+    the per-key cap's kept set must all match hashlib ground truth."""
+    import hashlib
+
+    from pipeline311_spark.ext.sampling import (
+        cap_per_key,
+        deterministic_sample,
+        train_test_split,
+    )
+
+    MOD = 1_000_000_007
+
+    def h(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16) % MOD
+
+    def bucket(s):
+        return h(s) % 100
+
+    rows = [(i, i % 3) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, src int")
+
+    got_sample = {r["doc_id"] for r in deterministic_sample(df, "doc_id", pct).collect()}
+    assert got_sample == {i for i in ids if bucket(i) < pct}
+
+    got_split = {r["doc_id"]: r["split"] for r in train_test_split(df, "doc_id").collect()}
+    want_split = {
+        i: ("train" if bucket(i) < 80 else "val" if bucket(i) < 90 else "test") for i in ids
+    }
+    assert got_split == want_split
+
+    got_cap = {r["doc_id"] for r in cap_per_key(df, "src", "doc_id", cap).collect()}
+    want_cap = set()
+    by_key = {}
+    for i, s in rows:
+        by_key.setdefault(s, []).append(i)
+    for s, members in by_key.items():
+        members.sort(key=lambda i: (h(i), i))
+        want_cap.update(members[:cap])
+    assert got_cap == want_cap
