@@ -724,3 +724,83 @@ def test_sampling_family_equals_python_md5(spark, ids, pct, cap):
         members.sort(key=lambda i: (h(i), i))
         want_cap.update(members[:cap])
     assert got_cap == want_cap
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.text(alphabet="abcdef THEandofto.,!?;: \t", max_size=40),
+            st.lists(
+                st.sampled_from(_WORDS + ["the", "and", "el", "la", "der", "le.", "to,"]),
+                max_size=15,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_text_feature_kernels_equal_python(spark, texts):
+    """Token counts, BPE-ish counts, punctuation counts, language-ID
+    argmax (first-listed tie win, 'und' under min_hits), quality
+    features, and the md5 fingerprint against direct Python
+    re-implementations on punctuation/marker-heavy random text."""
+    import hashlib
+    import re as _re
+
+    from pipeline311_spark.ext.textstats import (
+        LANG_MARKERS,
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        quality_features,
+        token_count,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = quality_features("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            bpe_ish_token_count("text").alias("bc"),
+            lang_id("text").alias("lang"),
+            fingerprint("text").alias("fp"),
+            feats["mean_token_len"].alias("mtl"),
+            feats["lexical_diversity"].alias("ld"),
+            feats["stopword_ratio"].alias("sr"),
+        ).collect()
+    }
+
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().split()] if text.strip() else []
+        # Java \s == ASCII whitespace; restrict inputs to ASCII so the
+        # Python split() semantics coincide
+        n_punct = len(_re.findall(r"[.,!?;:]", text))
+        r = got[doc_id]
+        assert r["tc"] == len(toks)
+        assert r["bc"] == len(toks) + n_punct
+
+        hits = {
+            lg: sum(1 for t in toks if t.lower() in ms) for lg, ms in LANG_MARKERS.items()
+        }
+        best = max(hits.values()) if hits else 0
+        if best < 1:
+            want_lang = "und"
+        else:
+            want_lang = next(lg for lg in LANG_MARKERS if hits[lg] == best)
+        assert r["lang"] == want_lang
+
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        assert r["fp"] == hashlib.md5(norm.encode()).hexdigest()
+
+        n_tok, n_chars = len(toks), len(text)
+        if n_tok:
+            assert abs(r["mtl"] - (n_chars - (n_tok - 1)) / n_tok) < 1e-12
+            uniq = len({t.lower() for t in toks})
+            assert abs(r["ld"] - uniq / n_tok) < 1e-12
+            assert abs(r["sr"] - hits["en"] / n_tok) < 1e-12
+        else:
+            assert (r["mtl"], r["ld"], r["sr"]) == (0.0, 0.0, 0.0)
