@@ -578,3 +578,44 @@ def test_band_math_rejects_non_divisible(spark):
     ssig = simhash(docs, "doc_id", "text")
     with _pytest.raises(ValueError, match="bands must divide bits"):
         simhash_near_pairs(ssig, bands=7)
+
+
+def test_dedup_family_handles_null_and_empty_text(spark):
+    """NULL, empty, and whitespace-only texts must neither crash nor
+    pair: they have no grams (tokens() -> empty/NULL array), so every
+    fuzzy operator drops them; exact dedup groups NULL-normalized
+    variants by their md5 (NULL fingerprint rows are NULL-keyed and
+    must not join each other into pairs)."""
+    from pipeline311_spark.ext.dedup import (
+        exact_dup_groups,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   \t  "),
+            (4, "alpha beta gamma delta epsilon"),
+            (5, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = minhash_dedup_pairs(docs, "doc_id", "text", k=8, bands=4, n=3, threshold=0.3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(4, 5)}
+    nj = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in nj} == {(4, 5)}
+    sp = simhash_near_pairs(simhash(docs, "doc_id", "text"), max_hamming=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in sp} == {(4, 5)}
+    exact_dup_groups(docs, "doc_id", "text").collect()  # must not raise
+    # and the fingerprints behind it: 4/5 collide, NULL text -> NULL fp
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.selectExpr(
+            "doc_id", "md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) AS fp"
+        ).collect()
+    }
+    assert fp[4] == fp[5] and fp[1] is None
