@@ -22,15 +22,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-@register("q_scd2_intervals", _SCD2_SQL, covers=("K3", "K8", "O5", "T1"))
-def q_scd2(spark, sf_dir):
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+def q_scd2_rows(events):
+    """The SCD2 kernel over an arbitrary (user_id, event_id, ts)
+    change log — split out so the interval semantics are testable on
+    hostile inputs (duplicate timestamps, single-row keys) without the
+    table scan."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
-    return e.select(
+    return events.select(
         "user_id",
         "event_id",
         fmt_ts("ts").alias("valid_from"),
         F.coalesce(fmt_ts(nxt), F.lit("9999-12-31 00:00:00.000000")).alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+@register("q_scd2_intervals", _SCD2_SQL, covers=("K3", "K8", "O5", "T1"))
+def q_scd2(spark, sf_dir):
+    return q_scd2_rows(table(spark, sf_dir, "events").filter(F.col("user_id") < 5))

@@ -804,3 +804,52 @@ def test_text_feature_kernels_equal_python(spark, texts):
             assert abs(r["sr"] - hits["en"] / n_tok) < 1e-12
         else:
             assert (r["mtl"], r["ld"], r["sr"]) == (0.0, 0.0, 0.0)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=99),  # event id (unique-ified below)
+            st.integers(min_value=0, max_value=5),   # ts day offset (collisions intended)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_intervals_equal_python(spark, events):
+    """SCD2 interval ground truth (both engine and oracle use LEAD —
+    parallel formulations, the mirror-risk shape): per key, sorted by
+    (ts, event_id), each row's valid_to is the next row's ts; the last
+    row is open-ended and current.  Duplicate timestamps within a key
+    exercise the event_id tiebreak."""
+    import datetime as dt
+
+    from pipeline311_spark.plans.scd2 import q_scd2_rows
+
+    rows = [
+        (u, i, dt.datetime(2024, 3, 1 + d))  # unique event ids, colliding ts
+        for i, (u, _e, d) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in q_scd2_rows(df).collect()
+    }
+
+    fmt = lambda t: t.strftime("%Y-%m-%d %H:%M:%S.%f")  # noqa: E731
+    by_user = {}
+    for u, i, t in rows:
+        by_user.setdefault(u, []).append((t, i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for pos, (t, i) in enumerate(evs):
+            nxt = evs[pos + 1][0] if pos + 1 < len(evs) else None
+            want[i] = (
+                fmt(t),
+                fmt(nxt) if nxt else "9999-12-31 00:00:00.000000",
+                0 if nxt else 1,
+            )
+    assert got == want
