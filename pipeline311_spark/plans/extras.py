@@ -40,21 +40,30 @@ FROM sessions GROUP BY user_id
 """
 
 
-@register("q_sessionize", _SESSIONIZE_SQL, covers=("T1", "O5"))
-def q_sessionize(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+def q_sessionize_rows(events, gap_s: int = _SESSION_GAP_S):
+    """The gap-sessionization kernel over an arbitrary (user_id,
+    event_id, ts) log — split out so the session-count semantics
+    (gap boundary inclusivity, duplicate timestamps, single-event
+    users) are testable on hostile inputs.  The per-user AGGREGATE is
+    tie-order-robust: duplicate-ts rows always carry new_session=0, so
+    the running sum's peer order can't change max(session_id)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    marked = e.select(
+    marked = events.select(
         "user_id",
         "ts",
-        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_S * 1_000_000), 1).otherwise(0).alias("new_session"),
+        F.when(gap_us.isNull() | (gap_us > gap_s * 1_000_000), 1).otherwise(0).alias("new_session"),
     )
     sessions = marked.withColumn("session_id", F.sum("new_session").over(run))
     return sessions.groupBy("user_id").agg(
         F.max("session_id").cast("long").alias("n_sessions"), F.count("*").alias("n_events")
     )
+
+
+@register("q_sessionize", _SESSIONIZE_SQL, covers=("T1", "O5"))
+def q_sessionize(spark, sf_dir):
+    return q_sessionize_rows(table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

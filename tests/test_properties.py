@@ -853,3 +853,48 @@ def test_scd2_intervals_equal_python(spark, events):
                 0 if nxt else 1,
             )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=2000),  # seconds offset (gap=300s boundary in range)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sessionize_equals_python(spark, events):
+    """Gap-sessionization ground truth: sessions break strictly AFTER
+    the gap (> gap_s, not >=), duplicate timestamps stay in one
+    session, every user has >= 1 session.  Engine and oracle share the
+    lag/cumsum formulation — the parallel shape ground truth exists
+    for."""
+    import datetime as dt
+
+    from pipeline311_spark.plans.extras import q_sessionize_rows
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, i, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_sessionize_rows(df, gap_s=300).collect()
+    }
+
+    by_user = {}
+    for u, i, t in rows:
+        by_user.setdefault(u, []).append((t, i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n_sessions = 1
+        for (prev, _), (cur, _) in zip(evs, evs[1:]):
+            if (cur - prev).total_seconds() > 300:
+                n_sessions += 1
+        want[u] = (n_sessions, len(evs))
+    assert got == want
