@@ -154,9 +154,11 @@ GROUP BY event_type
 """
 
 
-@register("q_exact_median", _MEDIAN_SQL, covers=("A-class", "O5"))
-def q_median(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+def q_median_rows(e):
+    """Exact-median kernel over an arbitrary (event_type, event_id,
+    value) table — split out so the two-middle-elements semantics
+    (odd/even counts, duplicate values, the decimal-exact average of
+    the two mid rows) are testable on hostile inputs."""
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     cw = Window.partitionBy("event_type")
     ranked = e.select(
@@ -173,6 +175,11 @@ def q_median(spark, sf_dir):
         (F.sum(dec("value")).cast("double") / F.count("*")).alias("median_value"),
         F.min("cnt").alias("n"),
     )
+
+
+@register("q_exact_median", _MEDIAN_SQL, covers=("A-class", "O5"))
+def q_median(spark, sf_dir):
+    return q_median_rows(table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -898,3 +898,42 @@ def test_sessionize_equals_python(spark, events):
                 n_sessions += 1
         want[u] = (n_sessions, len(evs))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-10000, max_value=10000),  # cents -> 2-dec values
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_exact_median_equals_python(spark, vals):
+    """Exact-median ground truth: odd/even counts, duplicate values —
+    median == statistics.median over exact decimals (the engine
+    averages the two middle rows via a decimal sum and ONE double
+    division; Python mirrors with Fraction-free integer math)."""
+    from pipeline311_spark.plans.analytics2 import q_median_rows
+
+    rows = [(t, i, c / 100.0) for i, (t, c) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = {
+        r["event_type"]: (r["median_value"], r["n"]) for r in q_median_rows(df).collect()
+    }
+
+    by_type = {}
+    for t, _i, v in rows:
+        by_type.setdefault(t, []).append(round(v * 100))
+    want = {}
+    for t, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+        mid = [cents[(n - 1) // 2], cents[n // 2]]
+        want[t] = ((mid[0] + mid[1]) / 2.0 / 100.0, n)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][1] == want[t][1]
+        assert abs(got[t][0] - want[t][0]) < 1e-12
