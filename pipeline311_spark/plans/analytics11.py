@@ -102,7 +102,14 @@ UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
 
 @register("q_events_funnel", _FUNNEL_SQL, covers=("A-class", "J4", "T1"))
 def q_funnel(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
+    return q_funnel_rows(table(spark, sf_dir, "events"))
+
+
+def q_funnel_rows(ev):
+    """Ordered-funnel kernel over an arbitrary event log — split out so
+    the step-ordering semantics (click counts only at/after the user's
+    FIRST view, purchase only at/after the first qualifying click,
+    boundary equality included) are testable on hostile inputs."""
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
     c = (ev.filter(F.col("event_type") == "click")

@@ -143,40 +143,59 @@ def q_pii(spark, sf_dir):
 _CORR_SQL = """
 WITH x AS (
   SELECT event_type,
-         CAST(value AS DECIMAL(18,2)) AS v,
-         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cx,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS HUGEINT) AS k
   FROM events),
 s AS (
   SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(v) AS DOUBLE) AS sx,
-         CAST(SUM(k) AS DOUBLE) AS sy,
-         CAST(SUM(v * v) AS DOUBLE) AS sxx,
-         CAST(SUM(k * k) AS DOUBLE) AS syy,
-         CAST(SUM(v * k) AS DOUBLE) AS sxy
+         SUM(cx) AS sx, SUM(k) AS sy,
+         SUM(cx * cx) AS sxx, SUM(k * k) AS syy, SUM(cx * k) AS sxy
   FROM x GROUP BY event_type)
 SELECT event_type, n,
-       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) AS pearson_r
 FROM s
 """
 
 
 @register("q_exact_pearson", _CORR_SQL, covers=("A-class",))
 def q_pearson(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
-    v = dec("value")
-    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
-    x = e.select("event_type", v.alias("v"), k.alias("k"))
+    return q_pearson_rows(table(spark, sf_dir, "events"))
+
+
+def q_pearson_rows(e):
+    """Decimal-exact Pearson kernel over an arbitrary
+    (event_type, value, props) table — split out so the sums-then-one-
+    float-formula recipe is testable against exact Python arithmetic."""
+    # Pearson is scale-invariant, so x rides as integer CENTS: every
+    # sum/product/radicand below is EXACT integer arithmetic in
+    # decimal(38,0) (DuckDB: HUGEINT — both exact, so both engines
+    # cast the SAME integers to double and the final float formula is
+    # bit-identical; mixed decimal-width pipelines drifted 1 ulp at
+    # sf0.1).  Cauchy-Schwarz then guarantees n*sxx - sx^2 >= 0
+    # EXACTLY — sqrt can never see a rounding-negative radicand (NaN),
+    # and a zero-variance group is exactly 0 -> divisor 0 ->
+    # try_divide -> NULL.  The previous plain `/` CRASHED the whole
+    # query under Spark 4 ANSI (DIVIDE_BY_ZERO) on constant groups —
+    # found by the Python ground-truth property test; the production
+    # events never have constant groups, so the oracle gate alone
+    # could not surface it.
+    cx = (dec("value") * 100).cast("decimal(38,0)")
+    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("decimal(38,0)")
+    x = e.select("event_type", cx.alias("cx"), k.alias("k"))
     s = x.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("v").cast("double").alias("sx"),
-        F.sum("k").cast("double").alias("sy"),
-        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
-        F.sum(F.col("k") * F.col("k")).cast("double").alias("syy"),
-        F.sum(F.col("v") * F.col("k")).cast("double").alias("sxy"),
+        F.sum("cx").alias("sx"),
+        F.sum("k").alias("sy"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum(F.col("k") * F.col("k")).alias("syy"),
+        F.sum(F.col("cx") * F.col("k")).alias("sxy"),
     )
     n = F.col("n")
-    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    r = F.try_divide(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double"),
+        F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
     )
     return s.select("event_type", "n", r.alias("pearson_r"))

@@ -937,3 +937,101 @@ def test_exact_median_equals_python(spark, vals):
     for t in want:
         assert got[t][1] == want[t][1]
         assert abs(got[t][0] - want[t][0]) < 1e-12
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),                     # user
+            st.sampled_from(["view", "click", "purchase", "other"]),
+            st.integers(min_value=0, max_value=10),                    # ts offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_funnel_equals_python(spark, events):
+    """Ordered-funnel ground truth: click counts only at/after the
+    user's FIRST view, purchase at/after the first qualifying click
+    (boundary equality included), against a direct Python pass."""
+    import datetime as dt
+
+    from pipeline311_spark.plans.analytics11 import q_funnel_rows
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (u, i, t, base + dt.timedelta(minutes=off))
+        for i, (u, t, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    got = {r["stage"]: r["n_users"] for r in q_funnel_rows(df).collect()}
+
+    by_user = {}
+    for u, _i, t, ts in rows:
+        by_user.setdefault(u, []).append((t, ts))
+    nv = nc = np_ = 0
+    for u, evs in by_user.items():
+        views = [ts for t, ts in evs if t == "view"]
+        if not views:
+            continue
+        nv += 1
+        t_view = min(views)
+        clicks = [ts for t, ts in evs if t == "click" and ts >= t_view]
+        if not clicks:
+            continue
+        nc += 1
+        t_click = min(clicks)
+        if any(t == "purchase" and ts >= t_click for t, ts in evs):
+            np_ += 1
+    assert got == {"1_view": nv, "2_click": nc, "3_purchase": np_}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-5000, max_value=5000),  # value cents
+            st.integers(min_value=0, max_value=50),        # k
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_pearson_equals_python(spark, pts):
+    """Pearson ground truth: exact integer/decimal sums, then the SAME
+    one-shot float formula in Python — NULL (NaN-free) where a group's
+    variance is zero."""
+    import math
+
+    from pipeline311_spark.plans.analytics7 import q_pearson_rows
+
+    rows = [(t, c / 100.0, f'{{"k": {k}}}') for t, c, k in pts]
+    df = spark.createDataFrame(rows, "event_type string, value double, props string")
+    got = {r["event_type"]: (r["n"], r["pearson_r"]) for r in q_pearson_rows(df).collect()}
+
+    by_t = {}
+    for t, c, k in pts:
+        by_t.setdefault(t, []).append((c, k))
+    for t, pairs in by_t.items():
+        n = len(pairs)
+        gn, gr = got[t]
+        assert gn == n
+        # exact zero variance is decidable in INTEGERS (all x equal or
+        # all y equal) — the engine must yield NULL there (try_divide),
+        # never crash (the pre-fix ANSI DIVIDE_BY_ZERO this test caught)
+        if len({c for c, _ in pairs}) == 1 or len({k for _, k in pairs}) == 1:
+            assert gr is None
+            continue
+        sx = sum(c for c, _ in pairs) / 100.0
+        sy = float(sum(k for _, k in pairs))
+        sxx = sum(c * c for c, _ in pairs) / 10000.0
+        syy = float(sum(k * k for _, k in pairs))
+        sxy = sum(c * k for c, k in pairs) / 100.0
+        rx = n * sxx - sx * sx
+        ry = n * syy - sy * sy
+        if rx <= 0 or ry <= 0:
+            continue  # float rounding near zero variance: value undefined
+        want = (n * sxy - sx * sy) / (math.sqrt(rx) * math.sqrt(ry))
+        assert abs(gr - want) < 1e-9
