@@ -35,14 +35,22 @@ def cosine(a: Column, b: Column) -> Column:
     join-then-score path below, the per-SIDE norms are precomputed
     before the join (:func:`cosine_pre`) so each candidate pair pays one
     fold (the dot), not three — at scale that is the difference between
-    O(pairs·dim) and O(3·pairs·dim) interpreted work."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    O(pairs·dim) and O(3·pairs·dim) interpreted work.
+
+    ``try_divide``: a ZERO vector (failed encode, padding row — they
+    happen in real embedding tables) has norm 0, and a plain ``/``
+    CRASHES the whole query under Spark 4 ANSI (DIVIDE_BY_ZERO).
+    Undefined similarity is NULL, which every downstream
+    ``>= threshold`` filter and ``ORDER BY`` treats as not-similar —
+    zero vectors silently never pair or rank, they don't kill the job."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine with both norms precomputed per input row (bit-identical
-    to :func:`cosine`: same dot fold, same sqrt products)."""
-    return dot(a, b) / (norm_a * norm_b)
+    to :func:`cosine`: same dot fold, same sqrt products, same
+    NULL-on-zero-norm semantics)."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def as_double(col: Column | str) -> Column:

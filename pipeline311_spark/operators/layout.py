@@ -42,7 +42,13 @@ def bucketize(col: Column, lo: Column | int, hi: Column | int, buckets: int) -> 
     lo_c = F.lit(lo) if isinstance(lo, int) else lo
     hi_c = F.lit(hi) if isinstance(hi, int) else hi
     span = (hi_c - lo_c).cast("double")
-    raw = F.floor(((col.cast("double") - lo_c) / span) * buckets).cast("long")
+    # try_divide: a degenerate range (lo == hi, e.g. data-derived
+    # bounds over a constant column) must bucket everything to 0, not
+    # crash the write under ANSI DIVIDE_BY_ZERO
+    raw = F.coalesce(
+        F.floor(F.try_divide(col.cast("double") - lo_c, span) * buckets).cast("long"),
+        F.lit(0).cast("long"),
+    )
     return F.greatest(F.lit(0).cast("long"), F.least(F.lit(buckets - 1).cast("long"), raw))
 
 

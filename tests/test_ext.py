@@ -619,3 +619,31 @@ def test_dedup_family_handles_null_and_empty_text(spark):
         ).collect()
     }
     assert fp[4] == fp[5] and fp[1] is None
+
+
+def test_zero_vectors_never_crash_similarity(spark):
+    """A zero embedding (failed encode / padding row) must not kill
+    the job under ANSI DIVIDE_BY_ZERO: its cosine is NULL (undefined),
+    so it ranks below every real neighbor and never pairs."""
+    from pipeline311_spark.ext.quantize import quantized_cosine_error
+    from pipeline311_spark.ext.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        semantic_dedup_keep,
+    )
+
+    rows = [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 3.0]), (3, [1.0, 2.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(9, [1.0, 1.0, 1.0])], "vec_id long, embedding array<double>")
+
+    top = brute_force_topk(df, q, k=2).collect()
+    assert sorted(r["neighbor_id"] for r in top) == [2, 3]  # zero vector outranked
+
+    pairs = embedding_near_dup_pairs(df, threshold=0.9, n_planes=2, dim=3).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(2, 3)]
+
+    cents = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    kept = semantic_dedup_keep(df, cents, threshold=0.95).collect()
+    assert {r["vec_id"] for r in kept} >= {1, 2}  # no crash; zero vec survives
+
+    quantized_cosine_error(df, "vec_id", "embedding").collect()  # must not raise
