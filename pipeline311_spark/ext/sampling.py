@@ -14,7 +14,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pipeline311_spark.ext.hashing import portable_hash, portable_hash_sql
+from pipeline311_spark.ext.hashing import (
+    portable_hash,
+    portable_hash64,
+    portable_hash64_sql,
+    portable_hash_sql,
+)
+
+#: 2^60 — the portable hash is 60 bits, so ``h / 2^60`` is uniform on [0, 1).
+_HASH_SPAN = 1 << 60
 
 
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
@@ -53,6 +61,72 @@ def cap_per_key(
         portable_hash(F.col(id_col).cast("string")), F.col(id_col)
     )
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= cap)
+
+
+def temperature_keep(id_col: Column | str, n_col: Column | str, n_min_col: Column | str) -> Column:
+    """α=0.5 temperature-mixing keep predicate (exact integer math).
+
+    The standard multilingual-LM source-flattening rule: sample source
+    *s* at rate ``sqrt(n_min / n_s)``, so kept sizes grow ∝ sqrt(n_s)
+    (the smallest source is kept whole, big sources are damped).  The
+    test is ``u < sqrt(n_min / n_s)`` for a per-doc uniform ``u`` —
+    squared into ``u30² · n_s < n_min · 2^60`` so BOTH engines evaluate
+    pure integers (Spark decimal(38,0), DuckDB HUGEINT): no sqrt, no
+    doubles, no cross-engine ulp hazard.  ``u30`` is the top 30 bits of
+    the portable md5 hash of the stable id (salted ``'t:'`` so the draw
+    is independent of the bucket-sampling family's).
+
+    Scale: a per-row codegen'd predicate — the only other input is the
+    tiny per-source counts aggregate broadcast back onto the corpus.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    n = F.col(n_col) if isinstance(n_col, str) else n_col
+    n_min = F.col(n_min_col) if isinstance(n_min_col, str) else n_min_col
+    u30 = F.shiftright(portable_hash64(F.concat(F.lit("t:"), idc.cast("string"))), 30)
+    d38 = "decimal(38,0)"
+    lhs = (u30 * u30).cast(d38) * n.cast(d38)
+    rhs = n_min.cast(d38) * F.lit(_HASH_SPAN).cast(d38)
+    return lhs < rhs
+
+
+def temperature_keep_sql(id_expr: str, n_expr: str, n_min_expr: str) -> str:
+    """DuckDB twin of :func:`temperature_keep` (HUGEINT exact)."""
+    h = portable_hash64_sql(f"'t:' || CAST({id_expr} AS VARCHAR)")
+    u30 = f"(({h}) >> 30)"
+    return (
+        f"(CAST({u30} * {u30} AS HUGEINT) * CAST({n_expr} AS HUGEINT)"
+        f" < CAST({n_min_expr} AS HUGEINT) * CAST({_HASH_SPAN} AS HUGEINT))"
+    )
+
+
+def weight_bernoulli_keep(id_col: Column | str, w_col: Column | str, max_w_col: Column | str) -> Column:
+    """Weight-proportional Bernoulli keep predicate (exact integer math).
+
+    Keeps each row independently with probability ``w / max_w`` — the
+    quality-weighted downsampling step of a curation pipeline (weight =
+    any non-negative integer score; here callers pass character/token
+    counts or integerized quality).  Test: ``u60 · max_w < w · 2^60``
+    in decimal(38,0) / HUGEINT — bit-exact on both engines, and stable
+    under reruns/repartitioning because ``u60`` hashes the stable id
+    (salted ``'w:'``).  ``w = 0`` rows are never kept; an all-zero
+    corpus (``max_w = 0``) keeps nothing rather than dividing by zero —
+    the comparison form never divides.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(w_col) if isinstance(w_col, str) else w_col
+    mw = F.col(max_w_col) if isinstance(max_w_col, str) else max_w_col
+    u60 = portable_hash64(F.concat(F.lit("w:"), idc.cast("string")))
+    d38 = "decimal(38,0)"
+    return u60.cast(d38) * mw.cast(d38) < w.cast(d38) * F.lit(_HASH_SPAN).cast(d38)
+
+
+def weight_bernoulli_keep_sql(id_expr: str, w_expr: str, max_w_expr: str) -> str:
+    """DuckDB twin of :func:`weight_bernoulli_keep`."""
+    h = portable_hash64_sql(f"'w:' || CAST({id_expr} AS VARCHAR)")
+    return (
+        f"(CAST({h} AS HUGEINT) * CAST({max_w_expr} AS HUGEINT)"
+        f" < CAST({w_expr} AS HUGEINT) * CAST({_HASH_SPAN} AS HUGEINT))"
+    )
 
 
 def train_test_split(

@@ -726,6 +726,66 @@ def test_sampling_family_equals_python_md5(spark, ids, pct, cap):
     assert got_cap == want_cap
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=10**5),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_weighted_sampling_kernels_equal_python_md5(spark, rows):
+    """The temperature-mixing and weight-Bernoulli keep predicates are
+    EXACTLY replicable in Python integers (u30²·n_s < n_min·2^60 and
+    u60·max_w < w·2^60 on the salted md5 hash — no floats anywhere),
+    including the w=0 / max_w=0 degenerate corners."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.sampling import temperature_keep, weight_bernoulli_keep
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    df = spark.createDataFrame(rows, "doc_id long, src int, w long")
+
+    counts = {}
+    for i, s, w in rows:
+        counts[s] = counts.get(s, 0) + 1
+    n_min = min(counts.values())
+    want_temp = {
+        i
+        for i, s, w in rows
+        if (h60(f"t:{i}") >> 30) ** 2 * counts[s] < n_min << 60
+    }
+    cdf = df.groupBy("src").agg(F.count("*").alias("n"))
+    lim = cdf.crossJoin(F.broadcast(cdf.agg(F.min("n").alias("n_min"))))
+    got_temp = {
+        r["doc_id"]
+        for r in df.join(F.broadcast(lim), "src")
+        .filter(temperature_keep("doc_id", "n", "n_min"))
+        .collect()
+    }
+    assert got_temp == want_temp
+
+    max_w = max(w for _, _, w in rows)
+    want_bern = {i for i, s, w in rows if h60(f"w:{i}") * max_w < w << 60}
+    mx = df.agg(F.max("w").alias("max_w"))
+    got_bern = {
+        r["doc_id"]
+        for r in df.crossJoin(F.broadcast(mx))
+        .filter(weight_bernoulli_keep("doc_id", "w", "max_w"))
+        .collect()
+    }
+    assert got_bern == want_bern
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
