@@ -786,6 +786,100 @@ def test_weighted_sampling_kernels_equal_python_md5(spark, rows):
     assert got_bern == want_bern
 
 
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sketch_kernels_equal_python_md5(spark, texts):
+    """HLL register state + estimate and the Count-Min grid + probe are
+    EXACT integer constructions on the md5 portable hash — replicate
+    both sketches in pure Python (hashlib + ints) and require identical
+    registers, checksums, estimates, counters, and probe answers."""
+    import hashlib
+
+    from pipeline311_spark.plans.analytics15 import (
+        _CMS_PARAMS,
+        _CMS_W,
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RMAX,
+        _HLL_SCALE,
+        _HLL_WBITS,
+        _HLL_WMASK,
+        sketch_countmin_heavy,
+        sketch_hll_distinct,
+    )
+
+    MOD = 1_000_000_007
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # only the documents table is read by these two queries
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+
+        # --- HLL ground truth ---
+        regs: dict[int, int] = {}
+        for t in texts:
+            h = h60(t)
+            idx, w = h >> _HLL_WBITS, h & _HLL_WMASK
+            rank = _HLL_RMAX if w == 0 else _HLL_RMAX - w.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rank)
+        zs = sum(1 << (_HLL_RMAX - m) for m in regs.values())
+        z_scaled = zs + (_HLL_M - len(regs)) * _HLL_SCALE
+        want = {
+            "exact_distinct": len(set(texts)),
+            "n_nonzero_registers": len(regs),
+            "v_zero": _HLL_M - len(regs),
+            "reg_checksum": sum(i * m for i, m in regs.items()),
+            "hll_estimate": _HLL_NUM / float(z_scaled),
+        }
+        got = sketch_hll_distinct(spark, tmp).collect()[0].asDict()
+        assert got == want
+
+        # --- CMS ground truth ---
+        import re
+
+        counts: dict[str, int] = {}
+        for t in texts:
+            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            for term in norm.split(" ") if norm else []:
+                counts[term] = counts.get(term, 0) + 1
+        if not counts:
+            assert sketch_countmin_heavy(spark, tmp).count() == 0
+        else:
+            grid: dict[tuple[int, int], int] = {}
+            loc = {}
+            for term, c in counts.items():
+                hh = h60(term) % MOD
+                cols = [((hh * a + b) % MOD) % _CMS_W for a, b in _CMS_PARAMS]
+                loc[term] = cols
+                for j, col in enumerate(cols):
+                    grid[(j, col)] = grid.get((j, col), 0) + c
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            want_cms = {
+                term: (c, min(grid[(j, col)] for j, col in enumerate(loc[term])))
+                for term, c in top
+            }
+            got_cms = {
+                r["term"]: (r["true_count"], r["cms_estimate"])
+                for r in sketch_countmin_heavy(spark, tmp).collect()
+            }
+            assert got_cms == want_cms
+            for term, (c, est) in got_cms.items():
+                assert est >= c  # CMS never undercounts
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
