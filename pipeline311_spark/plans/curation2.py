@@ -98,6 +98,86 @@ GROUP BY 1
 """
 
 
+_BUDGET_TOKENS = 1500
+
+_BUDGET_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, {_BUDGET_NTOK} AS n_tok,
+         {{hk}} AS hk
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM c WHERE cum <= {_BUDGET_TOKENS}
+GROUP BY source
+"""
+
+
+def _budget_sql() -> str:
+    from pipeline311_spark.ext.hashing import portable_hash_sql
+
+    return _BUDGET_SQL.format(hk=portable_hash_sql("CAST(doc_id AS VARCHAR)"))
+
+
+@register("sample_token_budget_fill", _budget_sql(), covers=("ext:text", "O5", "A-class"))
+def sample_token_budget_fill(spark, sf_dir):
+    """Quota fill: take documents per source in a deterministic uniform
+    order (portable hash of the stable id, id tiebreak) until the
+    per-source token budget is exhausted — "fill a 1B-token mixture
+    slice from each source", the last selection step before sequence
+    packing.  A doc is kept iff its INCLUSIVE running token sum fits
+    the budget, so the kept set is a fixed prefix of a deterministic
+    permutation: stable across reruns, repartitionings, engines, and
+    incremental appends (appended docs land at their hash position and
+    can only displace docs behind them, exactly like a re-run).
+
+    Scale: the running sum needs a per-source total order — one shuffle
+    partitioned by source, sort bounded by the largest single source.
+    For a source too large to sort in one partition, two-phase quota
+    fill applies (hash-range buckets + per-bucket prefix sums via a
+    broadcast cumulative offset table — same trick as the surrogate-id
+    generator, operators/merge.py); at the budget sizes that matter
+    (budgets ≪ corpus) a scan-side ``cum <= B`` filter after a
+    per-bucket pre-trim makes the sort input tiny.  Documented over
+    implemented here because the single-window form IS the correct
+    plan until a single source outgrows a partition."""
+    from pyspark.sql import Window
+
+    from pipeline311_spark.ext.hashing import portable_hash
+    from pipeline311_spark.ext.textstats import token_count
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        portable_hash(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.filter(F.col("cum") <= _BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_kept"),
+            F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
 @register("sample_weight_bernoulli", _BERNOULLI_SQL, covers=("ext:text", "A-class", "F1"))
 def sample_weight_bernoulli(spark, sf_dir):
     d = table(spark, sf_dir, "documents")

@@ -786,6 +786,65 @@ def test_weighted_sampling_kernels_equal_python_md5(spark, rows):
     assert got_bern == want_bern
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    budget=st.integers(min_value=0, max_value=120),
+)
+def test_token_budget_fill_is_prefix_of_hash_permutation(spark, rows, budget):
+    """The quota fill keeps exactly the docs whose INCLUSIVE running
+    token sum (per source, in (md5-hash, id) order) fits the budget —
+    replicated in pure Python, including zero-token docs (free — they
+    never consume budget) and a first doc already over budget (its
+    whole source yields nothing)."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.hashing import portable_hash
+
+    MOD = 1_000_000_007
+
+    def h(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16) % MOD
+
+    df = spark.createDataFrame(rows, "doc_id long, src int, n_tok long")
+    w = (
+        Window.partitionBy("src")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["doc_id"]
+        for r in df.withColumn("hk", portable_hash(F.col("doc_id").cast("string")))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    want = set()
+    by_src = {}
+    for i, s, n in rows:
+        by_src.setdefault(s, []).append((i, n))
+    for s, members in by_src.items():
+        members.sort(key=lambda m: (h(m[0]), m[0]))
+        cum = 0
+        for i, n in members:
+            cum += n
+            if cum <= budget:
+                want.add(i)
+    assert got == want
+
+
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
