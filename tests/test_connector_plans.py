@@ -185,6 +185,16 @@ _SINGLE_PARTITION_OK = {
     # — bytes, not data, cross the single partition (operators/bloom.py)
     "j3_bloom_reconcile",
     "text_contamination_bloom",
+    # scalar-over-dimension aggregates: min over the per-source counts
+    # table (≤ one row per source) / max over one scalar column — the
+    # classic broadcast-watermark shape, bytes not data
+    "sample_temperature_mixture",
+    "sample_weight_bernoulli",
+    # sketch finalization: global agg over ≤ 256 registers (HLL) /
+    # ≤ 4096 pre-summed counters + the 10-row probe (CMS) — the sketch
+    # IS the single-partition payload, fixed-size by construction
+    "sketch_hll_distinct",
+    "sketch_countmin_heavy",
 }
 
 
