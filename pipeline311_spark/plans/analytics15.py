@@ -79,35 +79,114 @@ FROM s
 """
 
 
-@register("sketch_hll_distinct", _HLL_SQL, covers=("A6", "ext:dedup"))
-def sketch_hll_distinct(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    h = portable_hash64(F.col("text"))
+def _hll_rank_rows(d, text_col: str = "text", *extra_cols: str):
+    """(idx, rank) rows per non-null text — the sketch's map side."""
+    h = portable_hash64(F.col(text_col))
     w = h.bitwiseAND(F.lit(_HLL_WMASK))
-    r = d.filter(F.col("text").isNotNull()).select(
+    return d.filter(F.col(text_col).isNotNull()).select(
+        *extra_cols,
         F.shiftright(h, _HLL_WBITS).alias("idx"),
         F.when(w == 0, F.lit(_HLL_RMAX))
         .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin(w)))
         .alias("rank"),
     )
-    regs = r.groupBy("idx").agg(F.max("rank").alias("m"))
-    s = regs.agg(
+
+
+def _hll_state(regs):
+    """One-row (n_regs, zs, rc) summary of an (idx, m) register table."""
+    return regs.agg(
         F.count("*").alias("n_regs"),
         F.coalesce(
             F.sum(F.expr(f"CAST(power(2, {_HLL_RMAX} - m) AS BIGINT)")), F.lit(0)
         ).alias("zs"),
         F.coalesce(F.sum(F.col("idx") * F.col("m")), F.lit(0)).alias("rc"),
     )
-    exact = d.agg(F.countDistinct("text").alias("exact_distinct"))
+
+
+def _hll_estimate_col():
+    """Estimate from (n_regs, zs) — ONE double division, bit-identical."""
     v_zero = F.lit(_HLL_M) - F.col("n_regs")
     z_scaled = (F.col("zs") + v_zero * F.lit(_HLL_SCALE)).cast("long")
+    return F.lit(_HLL_NUM) / z_scaled.cast("double")
+
+
+@register("sketch_hll_distinct", _HLL_SQL, covers=("A6", "ext:dedup"))
+def sketch_hll_distinct(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    regs = _hll_rank_rows(d).groupBy("idx").agg(F.max("rank").alias("m"))
+    s = _hll_state(regs)
+    exact = d.agg(F.countDistinct("text").alias("exact_distinct"))
     return exact.crossJoin(F.broadcast(s)).select(
         F.col("exact_distinct").cast("long"),
         F.col("n_regs").cast("long").alias("n_nonzero_registers"),
-        v_zero.cast("long").alias("v_zero"),
+        (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("v_zero"),
         F.col("rc").cast("long").alias("reg_checksum"),
-        (F.lit(_HLL_NUM) / z_scaled.cast("double")).alias("hll_estimate"),
+        _hll_estimate_col().alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability, proven executably: sketch two disjoint halves of the
+# corpus independently, merge the register tables (union + register-wise
+# max — the sketch's merge operator), and emit the merged state next to
+# the single-pass state.  The two rows carry identical registers,
+# checksums, and estimates — max is associative, and this query makes
+# that claim a hash-checked output instead of a docstring.  This is the
+# shape incremental profiling runs at 100 TB: per-day register tables
+# (256 rows each) merged into a running cardinality without rescanning
+# history.
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_SQL = f"""
+WITH h AS (
+  SELECT doc_id % 2 AS half, {portable_hash64_sql('text')} AS h
+  FROM documents WHERE text IS NOT NULL),
+r AS (
+  SELECT half, (h >> {_HLL_WBITS}) AS idx,
+         CASE WHEN (h & {_HLL_WMASK}) = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(h & {_HLL_WMASK})) END AS rank
+  FROM h),
+ra AS (SELECT idx, max(rank) AS m FROM r WHERE half = 0 GROUP BY idx),
+rb AS (SELECT idx, max(rank) AS m FROM r WHERE half = 1 GROUP BY idx),
+merged AS (
+  SELECT idx, max(m) AS m FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY idx),
+single AS (SELECT idx, max(rank) AS m FROM r GROUP BY idx),
+states AS (
+  SELECT 'merged' AS variant, count(*) AS n_regs,
+         coalesce(sum(CAST(power(2, {_HLL_RMAX} - m) AS BIGINT)), 0) AS zs,
+         coalesce(sum(idx * m), 0) AS rc
+  FROM merged
+  UNION ALL
+  SELECT 'single_pass', count(*),
+         coalesce(sum(CAST(power(2, {_HLL_RMAX} - m) AS BIGINT)), 0),
+         coalesce(sum(idx * m), 0)
+  FROM single)
+SELECT variant,
+       CAST(n_regs AS BIGINT) AS n_nonzero_registers,
+       CAST(rc AS BIGINT) AS reg_checksum,
+       {_HLL_NUM!r} / CAST(CAST(zs + ({_HLL_M} - n_regs) * {_HLL_SCALE} AS BIGINT) AS DOUBLE)
+         AS hll_estimate
+FROM states
+"""
+
+
+@register("sketch_hll_merge", _HLL_MERGE_SQL, covers=("A6", "ext:dedup"))
+def sketch_hll_merge(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    rows = _hll_rank_rows(d.withColumn("half", F.col("doc_id") % 2), "text", "half")
+    half_regs = rows.groupBy("half", "idx").agg(F.max("rank").alias("m"))
+    merged = half_regs.groupBy("idx").agg(F.max("m").alias("m"))
+    single = rows.groupBy("idx").agg(F.max("rank").alias("m"))
+
+    def state(regs, variant):
+        return _hll_state(regs).select(
+            F.lit(variant).alias("variant"),
+            F.col("n_regs").cast("long").alias("n_nonzero_registers"),
+            F.col("rc").cast("long").alias("reg_checksum"),
+            _hll_estimate_col().alias("hll_estimate"),
+        )
+
+    return state(merged, "merged").unionByName(state(single, "single_pass"))
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,7 @@ _SINGLE_PARTITION_OK = {
     # ≤ 4096 pre-summed counters + the 10-row probe (CMS) — the sketch
     # IS the single-partition payload, fixed-size by construction
     "sketch_hll_distinct",
+    "sketch_hll_merge",
     "sketch_countmin_heavy",
 }
 

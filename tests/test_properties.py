@@ -906,6 +906,21 @@ def test_sketch_kernels_equal_python_md5(spark, texts):
         got = sketch_hll_distinct(spark, tmp).collect()[0].asDict()
         assert got == want
 
+        # merge-by-halves must equal the single pass EXACTLY (register
+        # max is associative; this asserts the implementation composes)
+        from pipeline311_spark.plans.analytics15 import sketch_hll_merge
+
+        by_variant = {
+            r["variant"]: (r["n_nonzero_registers"], r["reg_checksum"], r["hll_estimate"])
+            for r in sketch_hll_merge(spark, tmp).collect()
+        }
+        assert by_variant["merged"] == by_variant["single_pass"]
+        assert by_variant["single_pass"] == (
+            want["n_nonzero_registers"],
+            want["reg_checksum"],
+            want["hll_estimate"],
+        )
+
         # --- CMS ground truth ---
         import re
 
