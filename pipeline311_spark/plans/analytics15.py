@@ -228,6 +228,18 @@ GROUP BY 1, 2
 """
 
 
+def cms_counter_grid(d, text_col: str = "text"):
+    """The (j, col, c) Count-Min grid for a document set — ≤ d×w rows.
+    Mergeable: grids of disjoint corpus slices SUM counter-wise into
+    the whole-corpus grid (asserted engine-side in tests)."""
+    tok = d.select(F.explode(tokens(normalize_text(text_col))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    pairs = tc.select(
+        "freq", F.posexplode(F.array(*_cms_cols(F.col("term")))).alias("j", "col")
+    )
+    return pairs.groupBy("j", "col").agg(F.sum("freq").alias("c"))
+
+
 @register("sketch_countmin_heavy", _cms_sql(), covers=("A-class", "ext:text"))
 def sketch_countmin_heavy(spark, sf_dir):
     """Build the 4×1024 Count-Min grid from exact per-term counts (one

@@ -953,6 +953,23 @@ def test_sketch_kernels_equal_python_md5(spark, texts):
             for term, (c, est) in got_cms.items():
                 assert est >= c  # CMS never undercounts
 
+            # CMS merge: grids of disjoint halves SUM into the full grid
+            from pipeline311_spark.plans.analytics15 import cms_counter_grid
+
+            full = {
+                (r["j"], r["col"]): r["c"]
+                for r in cms_counter_grid(df.sparkSession.read.parquet(
+                    os.path.join(tmp, "documents.parquet")
+                )).collect()
+            }
+            merged: dict = {}
+            for half in (0, 1):
+                part = df.filter(F.col("doc_id") % 2 == half)
+                for r in cms_counter_grid(part).collect():
+                    key = (r["j"], r["col"])
+                    merged[key] = merged.get(key, 0) + r["c"]
+            assert merged == full == {k: v for k, v in grid.items()}
+
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
