@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pipeline311_spark.ext.hashing import (
+    MOD,
     portable_hash,
     portable_hash64,
     portable_hash64_sql,
@@ -126,6 +127,71 @@ def weight_bernoulli_keep_sql(id_expr: str, w_expr: str, max_w_expr: str) -> str
     return (
         f"(CAST({h} AS HUGEINT) * CAST({max_w_expr} AS HUGEINT)"
         f" < CAST({w_expr} AS HUGEINT) * CAST({_HASH_SPAN} AS HUGEINT))"
+    )
+
+
+def token_budget_fill_two_phase(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Scalable two-phase form of the per-source token-budget quota
+    fill (plans/curation2.sample_token_budget_fill): keep each doc iff
+    its INCLUSIVE running token sum — per source, in (portable-hash,
+    id) order — fits ``budget``.
+
+    The single-window form sorts each source in one partition; this
+    form survives a source larger than a partition by decomposing the
+    running sum exactly (the surrogate-id trick, operators/merge.py):
+
+    1. range-bucket each doc by its hash key (``hk div ceil(MOD/nb)``
+       — bucket order IS hash order, equal keys land together, so
+       bucket-asc + within-bucket (hk, id) order reproduces the global
+       (hk, id) order exactly);
+    2. per-(source, bucket) token totals — a tiny aggregate
+       (sources × nb rows);
+    3. exclusive bucket offsets via a window over that tiny table
+       (dimension-bounded, never the corpus);
+    4. within-(source, bucket) inclusive running sums — nb-way
+       parallel windows — plus the broadcast offset = the exact global
+       inclusive cumsum.
+
+    Integer math end to end, so the kept set is IDENTICAL to the
+    single-window form (property-tested), and the same DuckDB oracle
+    gates both.  Early-exit at scale: a bucket whose offset already
+    exceeds ``budget`` is dropped before its per-doc window runs —
+    with budget ≪ corpus almost every bucket short-circuits."""
+    from pyspark.sql.window import Window as W
+
+    step = (MOD + n_buckets - 1) // n_buckets
+    keyed = df.withColumn(
+        "__hk", portable_hash(F.col(id_col).cast("string"))
+    ).withColumn("__bucket", F.expr(f"__hk div {step}"))
+    totals = keyed.groupBy(source_col, "__bucket").agg(
+        F.sum(tokens_col).alias("__btok")
+    )
+    off_w = (
+        W.partitionBy(source_col)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__off", F.sum("__btok").over(off_w) - F.col("__btok")
+    ).select(source_col, "__bucket", "__off")
+    doc_w = (
+        W.partitionBy(source_col, "__bucket")
+        .orderBy("__hk", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(offsets.filter(F.col("__off") <= budget)),
+                   [source_col, "__bucket"])
+        .withColumn("__cum", F.col("__off") + F.sum(tokens_col).over(doc_w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__hk", "__bucket", "__off", "__cum")
     )
 
 

@@ -178,6 +178,30 @@ def sample_token_budget_fill(spark, sf_dir):
     )
 
 
+@register("sample_budget_fill_scalable", _budget_sql(), covers=("ext:text", "O5", "A-class"))
+def sample_budget_fill_scalable(spark, sf_dir):
+    """The SAME quota-fill semantics under the SAME DuckDB oracle, via
+    the two-phase decomposition that survives a source larger than a
+    partition (ext/sampling.token_budget_fill_two_phase): range-bucket
+    by hash key, per-bucket token totals, broadcast exclusive offsets,
+    nb-way-parallel within-bucket running sums.  Two oracle-gated
+    plans for one spec pins the exactness of the decomposition at
+    every scale factor, not just under the property test."""
+    from pipeline311_spark.ext.sampling import token_budget_fill_two_phase
+    from pipeline311_spark.ext.textstats import token_count
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", token_count("text").alias("n_tok"))
+    kept = token_budget_fill_two_phase(
+        t, "source", "doc_id", "n_tok", _BUDGET_TOKENS, n_buckets=8
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
 @register("sample_weight_bernoulli", _BERNOULLI_SQL, covers=("ext:text", "A-class", "F1"))
 def sample_weight_bernoulli(spark, sf_dir):
     d = table(spark, sf_dir, "documents")

@@ -844,6 +844,20 @@ def test_token_budget_fill_is_prefix_of_hash_permutation(spark, rows, budget):
                 want.add(i)
     assert got == want
 
+    # the two-phase decomposition (range buckets + offsets + parallel
+    # within-bucket sums) must select the IDENTICAL set — including with
+    # a bucket count that forces many near-empty buckets
+    from pipeline311_spark.ext.sampling import token_budget_fill_two_phase
+
+    for nb in (1, 3, 16):
+        got2 = {
+            r["doc_id"]
+            for r in token_budget_fill_two_phase(
+                df, "src", "doc_id", "n_tok", budget, n_buckets=nb
+            ).collect()
+        }
+        assert got2 == want, f"n_buckets={nb}"
+
 
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
