@@ -104,8 +104,8 @@ def main() -> None:
         if isinstance(t, float):
             total += t
 
-    # Round-4 composites, timed but NOT in the headline total so `value`
-    # stays comparable across rounds (the headline list is frozen).
+    # Round-4/5 composites and additions, timed but NOT in the headline
+    # total so `value` stays comparable across rounds (frozen list).
     extra: dict[str, object] = {}
     for name in (
         "curation_end_to_end",
@@ -116,6 +116,12 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_semantic_keep",
         "p19_reproject_real",
+        # round-5 additions: weighted sampling, quota fill, sketches
+        "sample_temperature_mixture",
+        "sample_token_budget_fill",
+        "sample_budget_fill_scalable",
+        "sketch_hll_distinct",
+        "sketch_countmin_heavy",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:
