@@ -141,14 +141,13 @@ def sample_token_budget_fill(spark, sf_dir):
 
     Scale: the running sum needs a per-source total order — one shuffle
     partitioned by source, sort bounded by the largest single source.
-    For a source too large to sort in one partition, two-phase quota
-    fill applies (hash-range buckets + per-bucket prefix sums via a
-    broadcast cumulative offset table — same trick as the surrogate-id
-    generator, operators/merge.py); at the budget sizes that matter
-    (budgets ≪ corpus) a scan-side ``cum <= B`` filter after a
-    per-bucket pre-trim makes the sort input tiny.  Documented over
-    implemented here because the single-window form IS the correct
-    plan until a single source outgrows a partition."""
+    For a source too large to sort in one partition, use the two-phase
+    decomposition (ext/sampling.token_budget_fill_two_phase, oracle-
+    gated as ``sample_budget_fill_scalable`` with this query's exact
+    SQL): hash-range buckets + per-bucket prefix sums via a broadcast
+    cumulative offset table — the surrogate-id trick
+    (operators/merge.py) — with budget-exceeding buckets dropped
+    before their per-doc window ever runs."""
     from pyspark.sql import Window
 
     from pipeline311_spark.ext.hashing import portable_hash

@@ -859,6 +859,98 @@ def test_token_budget_fill_is_prefix_of_hash_permutation(spark, rows, budget):
         assert got2 == want, f"n_buckets={nb}"
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # user
+            st.integers(min_value=0, max_value=40),  # day offset from epoch
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_retention_and_wau_equal_python(spark, events):
+    """Cohort retention and sliding-window WAU against brute-force
+    Python over random (user, day) activity — catches a mirrored-wrong
+    week/window convention that engine-vs-oracle parity cannot."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    epoch = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (u, epoch + datetime.timedelta(days=d, hours=(u + d) % 24))
+        for u, d in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    # --- retention ground truth ---
+    def week(ts):
+        d = ts.date()
+        return d - datetime.timedelta(days=d.weekday())
+
+    user_weeks = {}
+    for u, ts in rows:
+        user_weeks.setdefault(u, set()).add(week(ts))
+    want_ret: dict = {}
+    for u, wks in user_weeks.items():
+        cw = min(wks)
+        for wk in wks:
+            key = (cw.isoformat(), (wk - cw).days // 7)
+            want_ret[key] = want_ret.get(key, 0) + 1
+
+    uw = df.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    got_ret = {
+        (r["cohort_week"], r["weeks_since"]): r["n_active"]
+        for r in uw.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cw) div 7").cast("long").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .collect()
+    }
+    assert got_ret == want_ret
+
+    # --- WAU ground truth ---
+    active = {}
+    for u, ts in rows:
+        active.setdefault(ts.date(), set()).add(u)
+    want_wau = {
+        d.isoformat(): len(
+            {
+                u
+                for back in range(7)
+                for u in active.get(d - datetime.timedelta(days=back), ())
+            }
+        )
+        for d in active
+    }
+    du = df.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    spread = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.expr("day + interval 6 day"), F.expr("interval 1 day")
+            )
+        ).alias("window_end"),
+    )
+    got_wau = {
+        r["day"]: r["wau"]
+        for r in spread.join(
+            du.select("day").distinct(),
+            spread["window_end"] == F.col("day"),
+            "left_semi",
+        )
+        .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .collect()
+    }
+    assert got_wau == want_wau
+
+
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
