@@ -164,8 +164,7 @@ def token_budget_fill_two_phase(
     gates both.  Early-exit at scale: a bucket whose offset already
     exceeds ``budget`` is dropped before its per-doc window runs —
     with budget ≪ corpus almost every bucket short-circuits."""
-    from pyspark.sql.window import Window as W
-
+    W = Window
     step = (MOD + n_buckets - 1) // n_buckets
     keyed = df.withColumn(
         "__hk", portable_hash(F.col(id_col).cast("string"))

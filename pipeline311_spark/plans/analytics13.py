@@ -91,13 +91,13 @@ WITH scored AS (
          percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pr
   FROM (
     SELECT lang, doc_id,
-           0.4 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
-           + 0.3 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-                         THEN CAST(len(list_distinct(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)))) AS DOUBLE)
-                              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           0.4 * least(CAST({ntok} AS DOUBLE) / 64.0, 1.0)
+           + 0.3 * (CASE WHEN {ntok} > 0
+                         THEN CAST(len(list_distinct(list_transform({toks}, t -> lower(t)))) AS DOUBLE)
+                              / CAST({ntok} AS DOUBLE)
                          ELSE 0.0 END)
-           + 0.2 * least((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-                               THEN CAST({stop_hits} AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           + 0.2 * least((CASE WHEN {ntok} > 0
+                               THEN CAST({stop_hits} AS DOUBLE) / CAST({ntok} AS DOUBLE)
                                ELSE 0.0 END) * 4, 1.0)
            + 0.1 * (1.0 - least((CASE WHEN length(text) > 0
                                       THEN CAST(length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
@@ -111,10 +111,15 @@ FROM scored WHERE pr >= 0.1 GROUP BY lang
 
 
 def _gate_sql() -> str:
-    from pipeline311_spark.plans.extensions import _lang_hits_sql
+    from pipeline311_spark.plans.extensions import _lang_hits_sql, _ntok_sql, _tok_array_sql
     from pipeline311_spark.ext.textstats import PUNCT_CLASS
 
-    return _GATE_SQL.format(stop_hits=_lang_hits_sql("en"), punct=PUNCT_CLASS)
+    return _GATE_SQL.format(
+        stop_hits=_lang_hits_sql("en"),
+        punct=PUNCT_CLASS,
+        ntok=_ntok_sql(),
+        toks=_tok_array_sql(),
+    )
 
 
 @register("text_quality_percentile_gate", _gate_sql(), covers=("ext:text", "O5"))

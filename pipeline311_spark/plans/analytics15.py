@@ -146,10 +146,8 @@ r AS (
          CASE WHEN (h & {_HLL_WMASK}) = 0 THEN {_HLL_RMAX}
               ELSE {_HLL_RMAX} - length(bin(h & {_HLL_WMASK})) END AS rank
   FROM h),
-ra AS (SELECT idx, max(rank) AS m FROM r WHERE half = 0 GROUP BY idx),
-rb AS (SELECT idx, max(rank) AS m FROM r WHERE half = 1 GROUP BY idx),
-merged AS (
-  SELECT idx, max(m) AS m FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY idx),
+halves AS (SELECT half, idx, max(rank) AS m FROM r GROUP BY half, idx),
+merged AS (SELECT idx, max(m) AS m FROM halves GROUP BY idx),
 single AS (SELECT idx, max(rank) AS m FROM r GROUP BY idx),
 states AS (
   SELECT 'merged' AS variant, count(*) AS n_regs,
@@ -206,7 +204,10 @@ def _cms_cols(term: str | F.Column):
 
 
 def _cms_sql() -> str:
-    tok = f"SELECT unnest(string_split({_norm_sql('text')}, ' ')) AS term FROM documents"
+    tok = (
+        f"SELECT unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS term "
+        f"FROM (SELECT {_norm_sql('text')} AS nt FROM documents)"
+    )
     hashes = [
         f"(({affine_sql(portable_hash_sql('term'), a, b)}) % {_CMS_W})"
         for a, b in _CMS_PARAMS
@@ -228,16 +229,25 @@ GROUP BY 1, 2
 """
 
 
-def cms_counter_grid(d, text_col: str = "text"):
-    """The (j, col, c) Count-Min grid for a document set — ≤ d×w rows.
-    Mergeable: grids of disjoint corpus slices SUM counter-wise into
-    the whole-corpus grid (asserted engine-side in tests)."""
+def _cms_term_counts(d, text_col: str = "text"):
+    """Exact (term, freq) counts — the one corpus-proportional shuffle."""
     tok = d.select(F.explode(tokens(normalize_text(text_col))).alias("term"))
-    tc = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    return tok.groupBy("term").agg(F.count("*").alias("freq"))
+
+
+def cms_grid_from_counts(tc):
+    """(j, col, c) Count-Min grid from a (term, freq) counts table."""
     pairs = tc.select(
         "freq", F.posexplode(F.array(*_cms_cols(F.col("term")))).alias("j", "col")
     )
     return pairs.groupBy("j", "col").agg(F.sum("freq").alias("c"))
+
+
+def cms_counter_grid(d, text_col: str = "text"):
+    """The (j, col, c) Count-Min grid for a document set — ≤ d×w rows.
+    Mergeable: grids of disjoint corpus slices SUM counter-wise into
+    the whole-corpus grid (asserted engine-side in tests)."""
+    return cms_grid_from_counts(_cms_term_counts(d, text_col))
 
 
 @register("sketch_countmin_heavy", _cms_sql(), covers=("A-class", "ext:text"))
@@ -253,12 +263,8 @@ def sketch_countmin_heavy(spark, sf_dir):
     undercount — the classic CMS guarantee, visible in the output as
     cms_estimate ≥ true_count."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens(normalize_text("text"))).alias("term"))
-    tc = tok.groupBy("term").agg(F.count("*").alias("freq"))
-    pairs = tc.select(
-        "term", "freq", F.posexplode(F.array(*_cms_cols(F.col("term")))).alias("j", "col")
-    )
-    counters = pairs.groupBy("j", "col").agg(F.sum("freq").alias("c"))
+    tc = _cms_term_counts(d)
+    counters = cms_grid_from_counts(tc)
     top = tc.orderBy(F.desc("freq"), "term").limit(_CMS_TOPK)
     probe = top.select(
         "term", "freq", F.posexplode(F.array(*_cms_cols(F.col("term")))).alias("j", "col")

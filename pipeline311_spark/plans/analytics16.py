@@ -43,7 +43,7 @@ GROUP BY 1, 2
 """
 
 
-@register("q_retention_cohorts", _RETENTION_SQL, covers=("A-class", "J4", "O5"))
+@register("q_retention_cohorts", _RETENTION_SQL, covers=("A-class",))
 def q_retention_cohorts(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     uw = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
@@ -77,7 +77,7 @@ GROUP BY 1
 """
 
 
-@register("q_wau_sliding_distinct", _WAU_SQL, covers=("A-class", "J4", "ext:text"))
+@register("q_wau_sliding_distinct", _WAU_SQL, covers=("A-class", "J4"))
 def q_wau_sliding_distinct(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()

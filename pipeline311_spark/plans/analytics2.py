@@ -73,9 +73,11 @@ def q_ivf(spark, sf_dir):
 _WC_K = 25
 
 _WORDCOUNT_SQL = f"""
-WITH tok AS (
-  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
-  FROM documents)
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+tok AS (
+  SELECT unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS term
+  FROM norm)
 SELECT term, COUNT(*) AS freq
 FROM tok GROUP BY term
 ORDER BY freq DESC, term LIMIT {_WC_K}
@@ -98,9 +100,11 @@ def q_wordcount(spark, sf_dir):
 # on both engines — round to 6 decimals to absorb any last-ulp
 # difference.  Top-3 terms per doc for the first 50 docs.
 _TFIDF_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
-  FROM documents),
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+tok AS (
+  SELECT doc_id, unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS term
+  FROM norm),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
 n AS (SELECT COUNT(*) AS n FROM documents),

@@ -87,9 +87,10 @@ _PHONE_RE = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 
 _PII_SQL = f"""
 WITH dirty AS (
+  -- || (not concat) so a NULL text stays NULL, matching Spark's concat
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact: user', CAST(doc_id AS VARCHAR), '@example.com')
-              WHEN doc_id % 3 = 1 THEN concat(text, ' call 215-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+         CASE WHEN doc_id % 3 = 0 THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              WHEN doc_id % 3 = 1 THEN text || ' call 215-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               ELSE text END AS text
   FROM documents)
 SELECT doc_id,

@@ -17,9 +17,11 @@ from pipeline311_spark.plans.registry import register
 # ---------------------------------------------------------------------------
 
 _LM_SQL = """
-WITH tok AS (
-  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
-  FROM documents),
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents),
+tok AS (
+  SELECT doc_id, unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS term
+  FROM norm),
 vocab AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
 totals AS (SELECT COUNT(*) AS n_tok, (SELECT COUNT(*) FROM vocab) AS v FROM tok),
 scored AS (

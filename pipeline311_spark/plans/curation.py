@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from pipeline311_spark.ext.dedup import exact_dedup
 from pipeline311_spark.ext.textstats import chunk_token_windows, quality_score
 from pipeline311_spark.plans.common import table
-from pipeline311_spark.plans.extensions import PUNCT_CLASS, _lang_hits_sql, _norm_sql
+from pipeline311_spark.plans.extensions import (
+    PUNCT_CLASS,
+    _lang_hits_sql,
+    _norm_sql,
+    _ntok_sql,
+    _tok_array_sql,
+)
 from pipeline311_spark.plans.registry import register
 
 _CUR_LANGS = ("en", "de", "fr")
@@ -35,9 +41,9 @@ WITH base AS (
 feat AS (
   SELECT doc_id, lang, text,
          CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
          CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_distinct(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)))) AS DOUBLE) AS n_uniq,
+         CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
          CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
   FROM base),
 scored AS (

@@ -60,7 +60,7 @@ GROUP BY 1, 2
 """
 
 
-@register("sample_temperature_mixture", _TEMPERATURE_SQL, covers=("ext:text", "A-class", "J4"))
+@register("sample_temperature_mixture", _TEMPERATURE_SQL, covers=("ext:text", "A-class"))
 def sample_temperature_mixture(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n_total"))
@@ -100,7 +100,11 @@ GROUP BY 1
 
 _BUDGET_TOKENS = 1500
 
-_BUDGET_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+# guarded token count (''/whitespace -> 0, like ext.textstats.tokens)
+_BUDGET_NTOK = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
 
 _BUDGET_SQL = f"""
 WITH t AS (
@@ -127,7 +131,7 @@ def _budget_sql() -> str:
     return _BUDGET_SQL.format(hk=portable_hash_sql("CAST(doc_id AS VARCHAR)"))
 
 
-@register("sample_token_budget_fill", _budget_sql(), covers=("ext:text", "O5", "A-class"))
+@register("sample_token_budget_fill", _budget_sql(), covers=("ext:text", "A-class"))
 def sample_token_budget_fill(spark, sf_dir):
     """Quota fill: take documents per source in a deterministic uniform
     order (portable hash of the stable id, id tiebreak) until the
@@ -177,7 +181,7 @@ def sample_token_budget_fill(spark, sf_dir):
     )
 
 
-@register("sample_budget_fill_scalable", _budget_sql(), covers=("ext:text", "O5", "A-class"))
+@register("sample_budget_fill_scalable", _budget_sql(), covers=("ext:text", "A-class"))
 def sample_budget_fill_scalable(spark, sf_dir):
     """The SAME quota-fill semantics under the SAME DuckDB oracle, via
     the two-phase decomposition that survives a source larger than a
@@ -201,7 +205,7 @@ def sample_budget_fill_scalable(spark, sf_dir):
     )
 
 
-@register("sample_weight_bernoulli", _BERNOULLI_SQL, covers=("ext:text", "A-class", "F1"))
+@register("sample_weight_bernoulli", _BERNOULLI_SQL, covers=("ext:text", "A-class"))
 def sample_weight_bernoulli(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     mx = d.agg(F.max("n_chars").alias("max_w"))

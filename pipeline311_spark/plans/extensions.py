@@ -50,6 +50,24 @@ def _norm_sql(expr: str) -> str:
     return _NORM.format(expr=expr)
 
 
+def _ntok_sql(expr: str = "text") -> str:
+    """Whitespace token COUNT mirroring ext.textstats.tokens exactly:
+    ''/whitespace-only → 0 (DuckDB's bare ``regexp_split_to_array``
+    returns [''] → 1 there), NULL → NULL on both engines."""
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END"
+    )
+
+
+def _tok_array_sql(expr: str = "text") -> str:
+    """Whitespace token ARRAY mirroring ext.textstats.tokens: '' → []."""
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN [] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+
+
 def _shingle_cte(n: int) -> str:
     """CTEs norm/toks/sh: doc_id + exploded distinct word n-grams."""
     return f"""
@@ -398,7 +416,7 @@ def _simhash_sig_cte() -> str:
     )
     return f"""
 norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
-tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+tok AS (SELECT doc_id, unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS tok FROM norm),
 th AS (SELECT doc_id, {portable_hash64_sql('tok')} AS h FROM tok),
 bits AS (SELECT doc_id,
     {bit_sums}
@@ -772,12 +790,12 @@ def q_semantic_dedup(spark, sf_dir):
 # Text analysis
 # ---------------------------------------------------------------------------
 
-_TOKENS_SQL = """
+_TOKENS_SQL = f"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST({_ntok_sql()} AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       CAST({_ntok_sql()}
             + length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_bpe_ish
 FROM documents
 """
@@ -845,9 +863,9 @@ _QUALITY_SQL = f"""
 WITH f AS (
   SELECT doc_id,
          CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
          CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_distinct(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)))) AS DOUBLE) AS n_uniq,
+         CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
          CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
   FROM documents)
 SELECT doc_id, n_chars, n_tokens,
@@ -922,15 +940,20 @@ def q_manifest(spark, sf_dir):
 # printf('%.4f') verified byte-exact for all 256 possible values of
 # i/255.0 (both IEEE double division + half-even decimal rounding).
 _IMAGE_FEATURES_SQL = (
-    "WITH h AS (SELECT doc_id AS media_id,"
-    " CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS sha256"
+    # NULL payload mirrors the mapInPandas stub exactly: byte_len 0,
+    # sha256 of b'', NULL features / n_features
+    "WITH h AS (SELECT doc_id AS media_id, text IS NULL AS no_payload,"
+    " CAST(coalesce(strlen(text), 0) AS BIGINT) AS byte_len,"
+    " sha256(coalesce(text, '')) AS sha256"
     " FROM documents) "
-    "SELECT media_id, byte_len, sha256, CAST(8 AS BIGINT) AS n_features, "
+    "SELECT media_id, byte_len, sha256, "
+    "CASE WHEN no_payload THEN NULL ELSE CAST(8 AS BIGINT) END AS n_features, "
+    "CASE WHEN no_payload THEN NULL ELSE "
     + " || ',' || ".join(
         f"printf('%.4f', CAST(('0x' || substr(sha256, {2 * i + 1}, 2)) AS INTEGER) / 255.0)"
         for i in range(8)
     )
-    + " AS features_csv FROM h"
+    + " END AS features_csv FROM h"
 )
 
 
@@ -961,6 +984,7 @@ SELECT doc_id AS media_id, CAST(i AS INT) AS window_no,
        CAST(length(substr(text, i*256+1, 256)) AS BIGINT) AS n_chars,
        md5(substr(text, i*256+1, 256)) AS window_md5
 FROM documents, unnest(range(0, least(8, CAST(ceil(length(text)/256.0) AS BIGINT)))) AS t(i)
+WHERE text IS NOT NULL
 """
 
 
@@ -982,10 +1006,10 @@ SELECT doc_id AS media_id,
        CAST(length(text) AS BIGINT) AS orig_chars,
        CAST(length(ds) AS BIGINT) AS resized_chars,
        md5(ds) AS resized_md5
-FROM (SELECT doc_id, text, array_to_string(
+FROM (SELECT doc_id, text, coalesce(array_to_string(
         list_transform(range(1, length(text)+1, 4),
-                       i -> substr(text, CAST(i AS BIGINT), 1)), '') AS ds
-      FROM documents) t
+                       i -> substr(text, CAST(i AS BIGINT), 1)), ''), '') AS ds
+      FROM documents WHERE text IS NOT NULL) t
 """
 
 
@@ -1007,6 +1031,7 @@ SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
        md5(substring(lower(hex(encode(text))), CAST(i*512+1 AS BIGINT), 512)) AS frame_hex_md5
 FROM documents,
      unnest(range(0, least(8, greatest(1, CAST(octet_length(encode(text)) // 256 AS BIGINT))))) AS t(i)
+WHERE text IS NOT NULL
 """
 
 

@@ -264,7 +264,7 @@ def p5_extract(spark, sf_dir):
 
 _P3_SQL = r"""
 SELECT doc_id,
-       substring(regexp_replace(concat('<''', text, '''>'), '^[\<\>'']+|[\<\>'']+$', '', 'g'), 1, 100) AS cleaned_prefix,
+       substring(regexp_replace(('<''' || text || '''>'), '^[\<\>'']+|[\<\>'']+$', '', 'g'), 1, 100) AS cleaned_prefix,
        substring(coalesce(text, ''), 1, 50) AS guarded_prefix
 FROM documents
 """

@@ -55,29 +55,63 @@ def _attr(f: Filter) -> str:
     return f.attribute[0]
 
 
+def _part_files(path: str) -> list[str]:
+    """The backing store as an ordered list of parquet files: a single
+    file, or a Spark-style directory of part files (sorted by name —
+    Spark's own deterministic part numbering, so row positions form a
+    stable global cursor across the directory)."""
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return parts
+    return [path]
+
+
+def _store_num_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in _part_files(path))
+
+
 def _read_rows(path: str, columns: list[str], start: int, end: int):
     """Rows [start, end) of the backing parquet as an Arrow table,
     reading ONLY the row groups that intersect the range (a page task
     must not pay for the whole file — at a 1 GB store with 200-row
-    pages, full-file reads would amplify I/O by the page count)."""
+    pages, full-file reads would amplify I/O by the page count).
+    Row positions run across part files in sorted-name order."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    parts = _part_files(path)
     pieces = []
     rg_start = 0
-    for rg in range(pf.metadata.num_row_groups):
-        rg_rows = pf.metadata.row_group(rg).num_rows
-        rg_end = rg_start + rg_rows
-        if rg_end > start and rg_start < end:  # intersects [start, end)
-            t = pf.read_row_group(rg, columns=columns)
-            lo = max(start - rg_start, 0)
-            hi = min(end - rg_start, rg_rows)
-            pieces.append(t.slice(lo, hi - lo))
-        rg_start = rg_end
+    first_pf = None
+    for part in parts:
+        pf = pq.ParquetFile(part)
+        if first_pf is None:
+            first_pf = pf
+        for rg in range(pf.metadata.num_row_groups):
+            rg_rows = pf.metadata.row_group(rg).num_rows
+            rg_end = rg_start + rg_rows
+            if rg_end > start and rg_start < end:  # intersects [start, end)
+                t = pf.read_row_group(rg, columns=columns)
+                lo = max(start - rg_start, 0)
+                hi = min(end - rg_start, rg_rows)
+                pieces.append(t.slice(lo, hi - lo))
+            rg_start = rg_end
+            if rg_start >= end:
+                break
         if rg_start >= end:
             break
     if not pieces:
+        pf = first_pf
         return pf.schema_arrow.empty_table() if columns is None else pa.table(
             {c: pa.array([], pf.schema_arrow.field(c).type) for c in columns}
         )
@@ -131,9 +165,7 @@ class CaseSourceReader(DataSourceReader):
 
     # -- pagination --------------------------------------------------------
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        n = pq.ParquetFile(self.path).metadata.num_rows
+        n = _store_num_rows(self.path)
         return [_Page(s, min(s + self.page_size, n)) for s in range(0, n, self.page_size)] or [
             _Page(0, 0)
         ]
@@ -189,9 +221,7 @@ class CaseSourceStreamReader(DataSourceStreamReader):
         self._last = 0  # driver-side cursor (monotonic; synced in partitions())
 
     def _total(self) -> int:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(self.path).metadata.num_rows
+        return _store_num_rows(self.path)
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
