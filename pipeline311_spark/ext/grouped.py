@@ -41,15 +41,26 @@ def apply_per_key_sorted(
     # parallelism (same trap as the MinHash gram explode — see
     # .claude/skills/verify notes on coalesce-before-explode).
     n = df.sparkSession.sparkContext.defaultParallelism
-    rep = df.repartition(n, key).sortWithinPartitions(key, *sort_cols)
+    # NULLS LAST within each sort column — the kernel's documented
+    # contract.  Spark's bare ascending sort is NULLS FIRST, but both
+    # pandas (sort_values) and SQL engines like DuckDB default to NULLS
+    # LAST, so a group fn ported from either would silently see NULL
+    # rows at the other end of the sequence (hostile-gate class).
+    from pyspark.sql import functions as F
+
+    order = [F.col(c).asc_nulls_last() for c in sort_cols]
+    rep = df.repartition(n, key).sortWithinPartitions(key, *order)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
 
         def emit(groups: pd.DataFrame) -> pd.DataFrame:
+            # dropna=False: Spark's groupBy keys NULL like any value —
+            # the default pandas behavior silently DROPS NaN-key rows
+            # (and crashed concat([]) when a batch was all-NULL-key)
             outs = [
                 fn(g)
-                for _, g in groups.groupby(key, sort=False)
+                for _, g in groups.groupby(key, sort=False, dropna=False)
             ]
             return pd.concat(outs, ignore_index=True)
 
@@ -59,7 +70,9 @@ def apply_per_key_sorted(
             if not len(pdf):
                 continue
             last = pdf[key].iloc[-1]
-            tail_mask = pdf[key] == last
+            # NaN-safe tail detection: NaN == NaN is False, which would
+            # split a NULL-key group across Arrow batches
+            tail_mask = pdf[key].isna() if pd.isna(last) else pdf[key] == last
             carry = pdf[tail_mask]
             done = pdf[~tail_mask]
             if len(done):

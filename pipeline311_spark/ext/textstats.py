@@ -25,11 +25,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 PUNCT_CLASS = r"[.,!?;:]"
 
 
-def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text; '' -> empty array."""
+def ws_trim(col: Column | str) -> Column:
+    """Trim ALL leading/trailing whitespace.  ``F.trim`` strips spaces
+    only, so tab/newline-padded text slipped past the empty guard and
+    ``split`` emitted phantom '' tokens (tokens('\\t') was 2 — caught
+    by the Python ground-truth property test, with the DuckDB oracle
+    mirroring the same wrong answer via SQL ``trim``)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.split(F.trim(c), r"\s+")
-    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text; ''/whitespace-only ->
+    empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = ws_trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:

@@ -96,6 +96,7 @@ def merge_incremental_partitioned(
     key: str,
     version_col: str,
     partition_col: str,
+    assume_stable_partitions: bool = False,
 ) -> None:
     """K3 at warehouse scale without a transactional table format:
     MERGE into a parquet warehouse partitioned by ``partition_col``,
@@ -123,9 +124,39 @@ def merge_incremental_partitioned(
     Updates whose keys land in brand-new partition values are inserted
     (dynamic overwrite creates the partition; the pruned read simply
     finds no existing rows for it).
+
+    Keys that MOVE partitions (the update carries a different
+    ``partition_col`` value than the key's current row) are handled:
+    a column-pruned scan of just (key, partition) over the warehouse
+    locates the stale copies, their partitions join the touched set,
+    and the window-dedup then supersedes them.  A partition whose
+    every row was superseded is deleted explicitly — dynamic
+    overwrite cannot drop a partition it writes zero rows to (the
+    hypothesis merge-roundtrip test caught a stale copy surviving in
+    the abandoned partition).  Set ``assume_stable_partitions=True``
+    to skip the locator scan when the partition value is derived from
+    the immutable key (the common date-of-creation layout) — the scan
+    reads two columns of the whole warehouse, which is exactly the
+    price of supporting moves without a key index.
     """
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    touched = {r[0] for r in updates.select(partition_col).distinct().collect()}
     guard_no_warehouse_narrowing(spark, target_path, updates)
+    if not assume_stable_partitions:
+        from pyspark.sql import types as T
+
+        locator_schema = T.StructType(
+            [updates.schema[key], updates.schema[partition_col]]
+        )
+        stale = (
+            spark.read.schema(locator_schema)
+            .parquet(target_path)
+            .join(F.broadcast(updates.select(key).distinct()), key, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+        touched |= {r[0] for r in stale}
+    touched = sorted(touched, key=lambda v: (v is None, v))
     # schema from the updates side: an empty warehouse (zero-row base
     # write) has no partition dirs to infer from, and parquet matches
     # columns by name anyway
@@ -136,12 +167,26 @@ def merge_incremental_partitioned(
     )
     merged = upsert(target, updates.select(target.columns), key, version_col)
     merged = merged.localCheckpoint(eager=True)
+    written = {r[0] for r in merged.select(partition_col).distinct().collect()}
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target_path)
     )
+    # a touched partition with NO surviving rows was not rewritten by
+    # the dynamic overwrite — drop its directory so the superseded
+    # copies actually disappear (non-null partition values only; a
+    # NULL partition value never empties this way because NULL isin()
+    # never matched the pruned read to begin with)
+    emptied = [v for v in touched if v not in written and v is not None]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for v in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={v}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
     # the write was the checkpoint's only consumer — release the pinned
     # blocks (clearCache cannot; repeated merges would otherwise
     # accumulate a touched-slice-sized RDD per batch)

@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.similarity import as_double
-from pipeline311_spark.plans.common import REVENUE_SQL, dsum_sql, revenue_expr, table
+from pipeline311_spark.plans.common import emb_table, REVENUE_SQL, dsum_sql, revenue_expr, table
 from pipeline311_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -173,10 +173,10 @@ _SQDIST = (
 )
 
 _KMEANS_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 cent AS (SELECT label AS c_label, v AS cv
          FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-               FROM e) t WHERE rn = 1),
+               FROM e WHERE label IS NOT NULL) t WHERE rn = 1),
 scored AS (SELECT e.vec_id, cent.c_label, {_SQDIST.format(a='e.v', b='cent.cv')} AS sqdist
            FROM e CROSS JOIN cent),
 assigned AS (SELECT vec_id, c_label
@@ -195,10 +195,10 @@ def _sqdist(a, b):
 
 @register("q_kmeans_assign", _KMEANS_SQL, covers=("ext:similarity", "A-class", "O5"))
 def q_kmeans(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings").withColumn("v", as_double("embedding"))
+    e = emb_table(spark, sf_dir).withColumn("v", as_double("embedding"))
     first = Window.partitionBy("label").orderBy("vec_id")
     cent = (
-        e.withColumn("rn", F.row_number().over(first))
+        e.filter(F.col("label").isNotNull()).withColumn("rn", F.row_number().over(first))
         .filter(F.col("rn") == 1)
         .select(F.col("label").alias("c_label"), F.col("v").alias("cv"))
     )
@@ -220,8 +220,8 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 32, 16
 
 _CHUNK_SQL = f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents WHERE trim(text) <> ''),
+  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
 n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 s AS (SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start FROM n)
 SELECT doc_id,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.sampling import hash_bucket, hash_bucket_sql
 from pipeline311_spark.ext.textstats import quality_score
-from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.common import emb_table, table
 from pipeline311_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -156,10 +156,10 @@ _SQDIST_Q = (
 )
 
 _KMEANS_UPDATE_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 cent AS (SELECT label AS c_label, v AS cv
          FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-               FROM e) t WHERE rn = 1),
+               FROM e WHERE label IS NOT NULL) t WHERE rn = 1),
 scored AS (SELECT e.vec_id, e.v, cent.c_label, {_SQDIST_Q.format(a='e.v', b='cent.cv')} AS sqdist
            FROM e CROSS JOIN cent),
 assigned AS (SELECT vec_id, v, c_label
@@ -180,10 +180,10 @@ def q_kmeans_update(spark, sf_dir):
     from pipeline311_spark.ext.similarity import as_double
     from pipeline311_spark.plans.analytics11 import _sqdist
 
-    e = table(spark, sf_dir, "embeddings").withColumn("v", as_double("embedding"))
+    e = emb_table(spark, sf_dir).withColumn("v", as_double("embedding"))
     first = Window.partitionBy("label").orderBy("vec_id")
     cent = (
-        e.withColumn("rn", F.row_number().over(first))
+        e.filter(F.col("label").isNotNull()).withColumn("rn", F.row_number().over(first))
         .filter(F.col("rn") == 1)
         .select(F.col("label").alias("c_label"), F.col("v").alias("cv"))
     )
@@ -283,10 +283,10 @@ def q_event_outliers(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _KMEANS_FIT_SQL = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 cent0 AS (SELECT label AS c_id, v AS cv
           FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-                FROM e) t WHERE rn = 1),
+                FROM e WHERE label IS NOT NULL) t WHERE rn = 1),
 a0 AS (SELECT vec_id, v, c_id
        FROM (SELECT e.vec_id, e.v, cent0.c_id,
                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -320,10 +320,11 @@ def q_kmeans_fit2(spark, sf_dir):
     breaks — not just one step."""
     from pipeline311_spark.ext.similarity import as_double, kmeans_iterate
 
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     first = Window.partitionBy("label").orderBy("vec_id")
     cents = (
-        e.withColumn("v", as_double("embedding"))
+        e.filter(F.col("label").isNotNull())
+        .withColumn("v", as_double("embedding"))
         .withColumn("rn", F.row_number().over(first))
         .filter(F.col("rn") == 1)
         .select(F.col("label").alias("centroid_id"), F.col("v").alias("cv"))

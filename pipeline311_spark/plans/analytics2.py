@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pipeline311_spark.ext.similarity import ivf_ann_topk
 from pipeline311_spark.ext.textstats import normalize_text, tokens
 from pipeline311_spark.operators.skew import salted_agg
-from pipeline311_spark.plans.common import dec, table
+from pipeline311_spark.plans.common import emb_table, dec, table
 from pipeline311_spark.plans.extensions import _cos_sql
 from pipeline311_spark.plans.registry import register
 
@@ -27,7 +27,7 @@ _IVF_QUERIES = 5
 
 def _ivf_sql() -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_IVF_C}),
 assign AS (
   SELECT vec_id AS neighbor_id, v, centroid_id FROM (
@@ -57,7 +57,7 @@ WHERE rn <= {_IVF_K}
 
 @register("sim_ivf_ann_topk", _ivf_sql(), covers=("ext:similarity",))
 def q_ivf(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     centroids = e.filter(F.col("vec_id") < _IVF_C)
     queries = e.filter(F.col("vec_id") < _IVF_QUERIES)
     res = ivf_ann_topk(e, queries, centroids, k=_IVF_K, nprobe=_IVF_NPROBE)
@@ -148,7 +148,7 @@ WITH ranked AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS cnt
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median_value,
        MIN(cnt) AS n
@@ -163,6 +163,10 @@ def q_median_rows(e):
     value) table — split out so the two-middle-elements semantics
     (odd/even counts, duplicate values, the decimal-exact average of
     the two mid rows) are testable on hostile inputs."""
+    # median over the NON-NULL values (standard semantics; a NULL
+    # value would also land at engine-dependent window positions —
+    # Spark NULLS FIRST vs DuckDB NULLS LAST, the hostile-gate class)
+    e = e.filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     cw = Window.partitionBy("event_type")
     ranked = e.select(

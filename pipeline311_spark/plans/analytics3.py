@@ -127,7 +127,8 @@ def q_gsets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FROM_JSON_SQL = """
-SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+SELECT CASE WHEN json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS BIGINT) % 10 END AS k_mod,
        COUNT(*) AS n
 FROM events GROUP BY 1
 """

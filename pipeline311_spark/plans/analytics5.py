@@ -60,14 +60,18 @@ SELECT user_id, event_id,
        CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS DOUBLE) AS us_since_prev,
        lead(event_type) OVER w AS next_type
 FROM events
-WHERE user_id < 3
+WHERE user_id < 3 AND ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
 @register("q_lead_lag_deltas", _LEADLAG_SQL, covers=("O5", "T1"))
 def q_leadlag(spark, sf_dir):
-    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    # event-TIME operator: NULL timestamps are dropped (they have no
+    # position in the order; engines also disagree on NULL placement)
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 3) & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",

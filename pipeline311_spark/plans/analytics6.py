@@ -21,13 +21,16 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
        MIN(value) AS min_v, MAX(value) AS max_v
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
 @register("rollup_incremental_maintenance", _ROLLUP_MAINT_SQL, covers=("T1", "K4", "A-class"))
 def q_rollup_maint(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    # event-time rollup: NULL ts rows belong to no day partition (the
+    # history/delta split below would silently drop them anyway —
+    # make the convention explicit and oracle-mirrored)
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     history = e.filter(F.col("ts") < "2024-01-15")
     delta = e.filter(F.col("ts") >= "2024-01-15")

@@ -145,8 +145,9 @@ _CORR_SQL = """
 WITH x AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cx,
-         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS HUGEINT) AS k
-  FROM events),
+         CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS HUGEINT) AS k
+  FROM events
+  WHERE value IS NOT NULL AND nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') IS NOT NULL),
 s AS (
   SELECT event_type, COUNT(*) AS n,
          SUM(cx) AS sx, SUM(k) AS sy,
@@ -183,8 +184,15 @@ def q_pearson_rows(e):
     # events never have constant groups, so the oracle gate alone
     # could not surface it.
     cx = (dec("value") * 100).cast("decimal(38,0)")
-    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("decimal(38,0)")
-    x = e.select("event_type", cx.alias("cx"), k.alias("k"))
+    # pairwise deletion: rows missing either variable are excluded, and
+    # the non-matching-regexp '' is nullif'd before the ANSI cast (a
+    # malformed-props row previously CRASHED the query — hostile gate)
+    k = F.nullif(F.regexp_extract("props", r'"k": ([0-9]+)', 1), F.lit("")).cast(
+        "decimal(38,0)"
+    )
+    x = e.select("event_type", cx.alias("cx"), k.alias("k")).filter(
+        F.col("cx").isNotNull() & F.col("k").isNotNull()
+    )
     s = x.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cx").alias("sx"),

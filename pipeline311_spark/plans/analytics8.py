@@ -13,7 +13,7 @@ from pipeline311_spark.ext.sampling import (
     hash_bucket_sql,
     train_test_split,
 )
-from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.common import emb_table, table
 from pipeline311_spark.plans.registry import register
 
 _SAMPLE_SQL = f"""
@@ -79,7 +79,7 @@ _DOT_Q = "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, 
 _NORM_Q = "sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
 
 _QUANT_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 q AS (
   SELECT vec_id, v,
          CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
@@ -100,5 +100,5 @@ FROM d
 
 @register("emb_quantize_int8", _QUANT_SQL, covers=("ext:similarity", "ext:multimodal"))
 def q_quantize(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     return quantized_cosine_error(e, "vec_id", "embedding")

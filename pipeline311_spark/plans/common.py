@@ -31,6 +31,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with NULL vectors dropped — the engine-wide
+    convention: a NULL embedding is a failed/absent encode and takes
+    part in NO vector operation (a ZERO vector, by contrast, flows
+    through and yields NULL similarity via try_divide).  Oracles mirror
+    with ``WHERE embedding IS NOT NULL``."""
+    return load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 def dec(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({prec},{scale})")

@@ -51,7 +51,7 @@ _P15_SQL = """
 WITH src AS (
   SELECT event_id,
          CASE WHEN event_id % 2 = 0
-              THEN concat(strftime(ts, '%Y-%m-%d %H:%M:%S'), '+0000')
+              THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || '+0000'
               ELSE 'already local' END AS s
   FROM events WHERE event_id < 200)
 SELECT event_id,

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.dedup import exact_dedup
 from pipeline311_spark.ext.textstats import chunk_token_windows, quality_score
-from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.common import emb_table, table
 from pipeline311_spark.plans.extensions import (
     PUNCT_CLASS,
     _lang_hits_sql,
@@ -60,8 +60,8 @@ dedup AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({_norm_sql('text')}) ORDER BY doc_id) AS rn
     FROM kept) t
   WHERE rn = 1),
-t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM dedup WHERE trim(text) <> ''),
+t AS (SELECT doc_id, lang, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+      FROM dedup WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
 n AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 s AS (SELECT doc_id, lang, toks, n, unnest(range(0, n, {_STRIDE})) AS start FROM n)
 SELECT doc_id, lang,
@@ -89,7 +89,7 @@ def _retrieval_sql() -> str:
     from pipeline311_spark.plans.extensions import _N_QUERIES, _cos_sql  # noqa: F401
 
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_RETR_QUERIES}),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
@@ -109,7 +109,7 @@ FROM topk JOIN documents d ON d.doc_id = neighbor_id
 def q_retrieval_end_to_end(spark, sf_dir):
     from pipeline311_spark.ext.similarity import brute_force_topk
 
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
     hits = brute_force_topk(
         e, e.filter(F.col("vec_id") < _RETR_QUERIES), "vec_id", "embedding", k=_RETR_K

@@ -100,10 +100,12 @@ GROUP BY 1
 
 _BUDGET_TOKENS = 1500
 
-# guarded token count (''/whitespace -> 0, like ext.textstats.tokens)
+# guarded token count (''/whitespace -> 0, like ext.textstats.tokens;
+# regexp trim because SQL trim strips spaces only)
 _BUDGET_NTOK = (
-    "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE len(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
 )
 
 _BUDGET_SQL = f"""

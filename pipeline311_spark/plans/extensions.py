@@ -36,7 +36,7 @@ from pipeline311_spark.ext.textstats import (
     quality_score,
     token_count,
 )
-from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.common import emb_table, table
 from pipeline311_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -50,21 +50,30 @@ def _norm_sql(expr: str) -> str:
     return _NORM.format(expr=expr)
 
 
+def _wtrim_sql(expr: str) -> str:
+    """ALL-whitespace trim (SQL ``trim`` strips spaces only — a
+    tab-padded text slipped the '' guard and split into phantom ''
+    tokens; mirrors ext.textstats.ws_trim)."""
+    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+
+
 def _ntok_sql(expr: str = "text") -> str:
     """Whitespace token COUNT mirroring ext.textstats.tokens exactly:
     ''/whitespace-only → 0 (DuckDB's bare ``regexp_split_to_array``
     returns [''] → 1 there), NULL → NULL on both engines."""
+    w = _wtrim_sql(expr)
     return (
-        f"CASE WHEN trim({expr}) = '' THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END"
+        f"CASE WHEN {w} = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array({w}, '\\s+')) END"
     )
 
 
 def _tok_array_sql(expr: str = "text") -> str:
     """Whitespace token ARRAY mirroring ext.textstats.tokens: '' → []."""
+    w = _wtrim_sql(expr)
     return (
-        f"CASE WHEN trim({expr}) = '' THEN [] "
-        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+        f"CASE WHEN {w} = '' THEN [] "
+        f"ELSE regexp_split_to_array({w}, '\\s+') END"
     )
 
 
@@ -515,7 +524,7 @@ _TOPK_K = 10
 _N_QUERIES = 5
 
 _BRUTE_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
@@ -529,7 +538,7 @@ WHERE rn <= {_TOPK_K}
 
 @register("sim_bruteforce_topk", _BRUTE_SQL, covers=("ext:similarity",))
 def q_brute_topk(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     res = brute_force_topk(e, q, "vec_id", "embedding", k=_TOPK_K)
     return res.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
@@ -556,7 +565,7 @@ def _signature_sql(vec: str) -> str:
 
 def _ann_sql() -> str:
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES}),
 scored AS (
@@ -571,7 +580,7 @@ WHERE rn <= {_ANN_K}
 
 @register("sim_lsh_ann_topk", _ann_sql(), covers=("ext:similarity",))
 def q_lsh_ann(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     res = lsh_ann_topk(
         e, q, "vec_id", "embedding",
@@ -590,7 +599,7 @@ def _multiprobe_sql() -> str:
         "substr(bucket, i + 1))))" % _ANN_PLANES
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, {_signature_sql('v')} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, unnest({flips}) AS bucket
       FROM b WHERE vec_id < {_N_QUERIES}),
@@ -606,7 +615,7 @@ WHERE rn <= {_ANN_K}
 
 @register("sim_lsh_multiprobe_topk", _multiprobe_sql(), covers=("ext:similarity",))
 def q_lsh_multiprobe(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     q = e.filter(F.col("vec_id") < _N_QUERIES)
     res = lsh_multiprobe_topk(
         e, q, "vec_id", "embedding",
@@ -635,7 +644,7 @@ def q_lsh_partitioned_probe(spark, sf_dir):
 
     from pipeline311_spark.ext.similarity import cosine_pre, lsh_bucket
 
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     cb = (
         lsh_bucket(e, "vec_id", "embedding", _ANN_PLANES, _ANN_SEED, _EMB_DIM)
         .withColumnRenamed("vec_id", "neighbor_id")
@@ -688,7 +697,7 @@ _NEAR_DUP_MAX_BUCKET = 200
 def _near_dup_sql() -> str:
     self_cos = _cos_sql("a.v", "a.v")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 grp AS (
   SELECT vec_id, v,
          MIN(vec_id) OVER (PARTITION BY v) AS rep,
@@ -720,7 +729,7 @@ SELECT id_a, id_b, cos_sim FROM allpairs
 
 @register("emb_near_dup_pairs", _near_dup_sql(), covers=("ext:dedup", "ext:similarity"))
 def q_emb_near_dup(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     return embedding_near_dup_pairs(
         e, "vec_id", "embedding",
         threshold=_NEAR_DUP_THRESHOLD, n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_EMB_DIM,
@@ -737,10 +746,10 @@ _SEMDEDUP_MAX_CLUSTER = 10_000
 def _semdedup_sql() -> str:
     cos = _cos_sql("a.v", "b.v")
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 cent AS (SELECT label AS c_id, v AS cv
          FROM (SELECT label, v, ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-               FROM e) t WHERE rn = 1),
+               FROM e WHERE label IS NOT NULL) t WHERE rn = 1),
 assigned AS (
   SELECT vec_id, v, c_id FROM (
     SELECT e.vec_id, e.v, cent.c_id,
@@ -770,15 +779,15 @@ def q_semantic_dedup(spark, sf_dir):
 
     from pipeline311_spark.ext.similarity import semantic_dedup_keep
 
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     first = Window.partitionBy("label").orderBy("vec_id")
     cent = (
-        e.withColumn("rn", F.row_number().over(first))
+        e.filter(F.col("label").isNotNull()).withColumn("rn", F.row_number().over(first))
         .filter(F.col("rn") == 1)
         .select(F.col("label").alias("vec_id"), F.col("embedding"))
     )
     kept = semantic_dedup_keep(
-        table(spark, sf_dir, "embeddings"), cent, "vec_id", "embedding",
+        emb_table(spark, sf_dir), cent, "vec_id", "embedding",
         threshold=_SEMDEDUP_THRESHOLD, max_cluster=_SEMDEDUP_MAX_CLUSTER,
     )
     return kept.select(
@@ -1054,7 +1063,7 @@ def q_frame_sample(spark, sf_dir):
 _NORM_STATS_SQL = f"""
 WITH n AS (
   SELECT label, {_NORMV.format(a='embedding::DOUBLE[]')} AS nrm
-  FROM embeddings)
+  FROM embeddings WHERE embedding IS NOT NULL)
 SELECT label, COUNT(*) AS n_vecs,
        CAST(SUM(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
        MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
@@ -1066,7 +1075,7 @@ FROM n GROUP BY label
 def q_norm_stats(spark, sf_dir):
     from pipeline311_spark.ext.similarity import as_double, l2_norm
 
-    e = table(spark, sf_dir, "embeddings")
+    e = emb_table(spark, sf_dir)
     nrm = l2_norm(as_double("embedding"))
     n = e.select("label", nrm.alias("nrm"))
     return n.groupBy("label").agg(

@@ -29,7 +29,7 @@ WITH marked AS (
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_S} * 1000000
               THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessions AS (
   SELECT user_id, ts,
@@ -47,6 +47,8 @@ def q_sessionize_rows(events, gap_s: int = _SESSION_GAP_S):
     users) are testable on hostile inputs.  The per-user AGGREGATE is
     tie-order-robust: duplicate-ts rows always carry new_session=0, so
     the running sum's peer order can't change max(session_id)."""
+    # event-TIME kernel: NULL timestamps have no session position
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

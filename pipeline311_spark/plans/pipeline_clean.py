@@ -93,30 +93,32 @@ def _sf_source_cols():
     return tuple(by_name[f.name].alias(f.name) for f in SF_CASE_RAW.fields)
 
 
-# DuckDB CTE mirroring _sf_source, column-for-column.
+# DuckDB CTE mirroring _sf_source, column-for-column.  String
+# building uses || (NOT concat): DuckDB's concat ignores NULL inputs
+# while Spark's propagates them — the hostile-gate divergence class.
 _SRC_CTE = """
 src AS (
   SELECT
     CAST(event_id + 1000 AS VARCHAR) AS CaseNumber,
     CASE WHEN event_type = 'error' THEN 'Closed' ELSE 'Open' END AS Status,
-    concat('<''evt ', event_type, ' #', CAST(event_id AS VARCHAR), '''>') AS Description,
-    concat(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '+0000') AS CreatedDate,
-    concat(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '+0000') AS LastModifiedDate,
+    ('<''evt ' || event_type || ' #' || CAST(event_id AS VARCHAR) || '''>') AS Description,
+    (strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+0000') AS CreatedDate,
+    (strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+0000') AS LastModifiedDate,
     CASE WHEN event_id % 7 = 0 THEN 'not a date'
-         ELSE concat(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '+0000') END AS Sla_date__c,
+         ELSE (strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+0000') END AS Sla_date__c,
     CASE WHEN event_id % 10 = 0 THEN '0'
          WHEN event_id % 11 = 0 THEN 'oops'
          ELSE CAST(CAST(-(75 + user_id) AS DOUBLE) AS VARCHAR) END AS lon_s,
     CAST(CAST(39 + user_id / 100.0 AS DOUBLE) AS VARCHAR) AS lat_s,
     CASE WHEN user_id % 3 = 0 THEN 'false' WHEN user_id % 3 = 1 THEN 'true' END AS Private_Case__c,
-    concat('closed: ', event_type) AS Close_Reason__c,
-    concat('update: ', props) AS Status_Update__c,
-    CASE WHEN event_id % 4 = 0 THEN concat('The ', CAST(user_id AS VARCHAR), 'nd')
+    ('closed: ' || event_type) AS Close_Reason__c,
+    ('update: ' || props) AS Status_Update__c,
+    CASE WHEN event_id % 4 = 0 THEN ('The ' || CAST(user_id AS VARCHAR) || 'nd')
          WHEN event_id % 4 = 1 THEN '911'
          WHEN event_id % 4 = 2 THEN NULL
          ELSE CAST(user_id % 30 AS VARCHAR) END AS Police_District__c,
     CAST(user_id % 120 AS VARCHAR) AS Council_District_No__c,
-    concat('  ', upper(event_type), ' ') AS Pinpoint_Area__c,
+    ('  ' || upper(event_type) || ' ') AS Pinpoint_Area__c,
     CASE WHEN event_id % 3 = 0 THEN '0'
          WHEN event_id % 3 = 1 THEN CAST(event_id AS VARCHAR) END AS SAG_Parent_Case_Number__c,
     repeat('P', CAST(event_id % 40 AS INTEGER)) AS License_Plate_State__c
@@ -139,9 +141,9 @@ cleaned AS (
   SELECT
     CAST(CaseNumber AS BIGINT) AS service_request_id,
     Status AS status,
-    substring({_STRIP.format(c='Description')}, 1, 250) AS description,
+    coalesce(substring({_STRIP.format(c='Description')}, 1, 250), '') AS description,
     substring({_STRIP.format(c='Description')}, 1, 2000) AS description_full,
-    substring({_STRIP.format(c="CASE WHEN Status = 'Closed' THEN Close_Reason__c ELSE Status_Update__c END")}, 1, 2000) AS status_notes,
+    coalesce(substring({_STRIP.format(c="CASE WHEN Status = 'Closed' THEN Close_Reason__c ELSE Status_Update__c END")}, 1, 2000), '') AS status_notes,
     {fmt_ts_sql(_TS.format(c='CreatedDate'))} AS requested_ts,
     {fmt_ts_sql(_TS.format(c='Sla_date__c'))} AS expected_ts,
     CAST({_DIGIT.format(c='Police_District__c')} AS DOUBLE) AS police_district,

@@ -406,8 +406,8 @@ def q_case(spark, sf_dir):
 _JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+       CAST(SUM(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events GROUP BY event_type
 """
 
@@ -415,7 +415,9 @@ FROM events GROUP BY event_type
 @register("q_json_extract", _JSON_SQL, covers=("P5", "S1"))
 def q_json(spark, sf_dir):
     e = table(spark, sf_dir, "events")
-    k = F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("long")
+    # non-matching/NULL props extract '' — nullif it so the ANSI cast
+    # cannot crash (NULL-on-no-match, the reference's lenient semantics)
+    k = F.nullif(F.regexp_extract("props", r'"k": ([0-9]+)', 1), F.lit("")).cast("long")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(k).alias("sum_k"),

@@ -17,7 +17,7 @@ SELECT user_id, event_id,
        coalesce({fmt_ts_sql('lead(ts) OVER w')}, '9999-12-31 00:00:00.000000') AS valid_to,
        CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
 FROM events
-WHERE user_id < 5
+WHERE user_id < 5 AND ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
@@ -27,6 +27,8 @@ def q_scd2_rows(events):
     change log — split out so the interval semantics are testable on
     hostile inputs (duplicate timestamps, single-row keys) without the
     table scan."""
+    # event-TIME kernel: a NULL change-time has no interval position
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return events.select(

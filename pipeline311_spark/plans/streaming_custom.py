@@ -48,7 +48,7 @@ def _stream_events(spark, sf_dir):
 _STREAM_HOURLY_SQL = f"""
 SELECT {fmt_ts_sql("date_trunc('hour', ts)", micros=False)} AS window_start,
        event_type, COUNT(*) AS n
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -303,7 +303,7 @@ WITH o AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL {_SESSION_GAP_MIN} MINUTE
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (
   SELECT user_id, ts,

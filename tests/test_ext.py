@@ -468,8 +468,16 @@ def test_cache_scope_releases_persisted_intermediates(spark):
     with cache_scope():
         out = minhash_dedup_pairs(d, "doc_id", "text", k=8, bands=4, n=3)
         assert out.count() >= 1
-        assert jvm_cached() > base  # intermediates pinned while in scope
-    assert jvm_cached() == base  # all released at scope exit
+        inside = jvm_cached()
+        assert inside > base  # intermediates pinned while in scope
+    # drift-tolerant: other tests release checkpoints with
+    # unpersist(blocking=False), so the GLOBAL count can drop
+    # concurrently — assert our pins are gone (<= base) and that the
+    # scope exit actually released (strictly below the in-scope level),
+    # not an exact == that async GC makes flaky in the full suite
+    final = jvm_cached()
+    assert final < inside
+    assert final <= base
 
 
 def test_connected_components_releases_round_checkpoints(spark):

@@ -68,6 +68,77 @@ HOSTILE_DOCS = [
 ]
 
 
+def _write_hostile_events(path: str) -> None:
+    """Events with NULL ts / user / type / value / props, duplicates,
+    and out-of-order arrival — naive micros encoding like the driver's."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ts(mins):
+        return None if mins is None else t0 + datetime.timedelta(minutes=mins)
+
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (0, ts(0), 1, "click", 1.5, '{"k": 1}'),
+        (1, ts(1), 1, "click", 2.5, None),
+        (2, ts(90), 1, "view", None, '{"k": 2}'),
+        (3, ts(2), 2, "click", 0.0, "not json"),
+        (4, None, 2, "view", 3.0, '{"k": 3}'),
+        (5, ts(3), None, "error", -1.0, '{"k": 4}'),
+        (6, ts(200), 2, None, 4.0, "{}"),
+        (7, ts(200), 2, "view", 4.0, "{}"),  # duplicate ts
+        (8, ts(50), 3, "", 2.0, '{"k": 5}'),
+        (9, ts(10080), 1, "click", 9.5, '{"k": 6}'),  # a week later
+        (10, ts(-100), 3, "click", 1.0, '{"k": 7}'),  # before t0
+    ]
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def _write_hostile_embeddings(path: str, dim: int = 64) -> None:
+    """Embeddings with a zero vector, a NULL vector, NULL label, and
+    constant/duplicate vectors — float32 lists like the driver's."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def vec(seed):
+        return [((seed * 31 + i * 7) % 97) / 97.0 - 0.5 for i in range(dim)]
+
+    rows = [
+        (0, vec(1), 0),
+        (1, vec(2), 1),
+        (2, [0.0] * dim, 0),  # zero vector (failed encode)
+        (3, None, 1),  # NULL embedding
+        (4, vec(1), None),  # duplicate of 0, NULL label
+        (5, vec(5), 2),
+        (6, [1.0] * dim, 2),  # constant vector
+        (7, vec(7), 0),
+    ]
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "vec_id": pa.array(cols[0], pa.int64()),
+            "embedding": pa.array(cols[1], pa.list_(pa.float32())),
+            "label": pa.array(cols[2], pa.int32()),
+        }
+    )
+    pq.write_table(table, path)
+
+
 def main() -> None:
     only = set(sys.argv[1:])
 
@@ -88,13 +159,19 @@ def main() -> None:
     spark.createDataFrame(
         HOSTILE_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+    _write_hostile_events(os.path.join(tmp, "events.parquet"))
+    _write_hostile_embeddings(os.path.join(tmp, "embeddings.parquet"))
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet/*.parquet')"
     )
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp}/embeddings.parquet')"
+    )
 
-    other = [t for t in TABLES if t != "documents"]
+    other = [t for t in TABLES if t not in ("documents", "events", "embeddings")]
     ok = fail = skip = 0
     failures = []
     for name, spec in sorted(plans.REGISTRY.items()):
