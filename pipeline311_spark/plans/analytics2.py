@@ -66,6 +66,81 @@ def q_ivf(spark, sf_dir):
     )
 
 
+@register("sim_ivf_partitioned_probe", _ivf_sql(), covers=("ext:similarity", "K2"))
+def q_ivf_partitioned_probe(spark, sf_dir):
+    """The IVF store layout made concrete (what the ivf_assign /
+    SemDeDup docstrings prescribe for 100 TB): the cell assignment is
+    WRITTEN ``partitionBy(cell)`` once, and each query's ``nprobe``
+    cells resolve to partition directories on the read-back table —
+    a pruned file read per probe, never a corpus scan.  The partition
+    key is prefixed ('c' + id) so Hive-style partition-value inference
+    can't re-type it.  Results are identical to sim_ivf_ann_topk —
+    same oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pipeline311_spark.ext.similarity import as_double, cosine_pre, ivf_assign, l2_norm
+
+    e = emb_table(spark, sf_dir)
+    centroids = e.filter(F.col("vec_id") < _IVF_C)
+    cells = (
+        ivf_assign(e, centroids)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumn("pkey", F.concat(F.lit("c"), F.col("centroid_id").cast("string")))
+        .drop("centroid_id")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_ivfpart_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    cells.write.mode("overwrite").partitionBy("pkey").parquet(out)
+    corpus = spark.read.schema(cells.schema).parquet(out)
+
+    c = F.broadcast(
+        centroids.select(
+            F.col("vec_id").alias("centroid_id"), as_double("embedding").alias("cv")
+        ).withColumn("ccn", l2_norm(F.col("cv")))
+    )
+    q = (
+        e.filter(F.col("vec_id") < _IVF_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(c)
+        .select(
+            "query_id", "qv", "qn", "centroid_id",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("ccn")).alias("c_sim"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= _IVF_NPROBE)
+        .select(
+            "query_id", "qv", "qn",
+            F.concat(F.lit("c"), F.col("centroid_id").cast("string")).alias("pkey"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "pkey")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(F.col("qv"), F.col("v"), F.col("qn"), F.col("nv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus word count (top-k terms) + TF-IDF
 # ---------------------------------------------------------------------------
