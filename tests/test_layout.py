@@ -104,6 +104,34 @@ def test_lsh_partitioned_corpus_prunes_probe_reads(spark, sf_dir):
     assert "Filter (" not in plan
 
 
+def test_ivf_partitioned_cells_prune_probe_reads(spark, sf_dir):
+    """Same contract for the IVF store layout: cell assignment written
+    partitionBy(cell) must give partition-pruned probe reads."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pipeline311_spark.ext.similarity import ivf_assign
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    cells = (
+        ivf_assign(e, e.filter(F.col("vec_id") < 8))
+        .withColumn("pkey", F.concat(F.lit("c"), F.col("centroid_id").cast("string")))
+        .drop("centroid_id")
+    )
+    out = os.path.join(tempfile.gettempdir(), f"p311_ivfprune_{uuid.uuid4().hex[:12]}")
+    cells.write.mode("overwrite").partitionBy("pkey").parquet(out)
+    back = spark.read.parquet(out)
+    probe = back.filter(F.col("pkey") == "c0")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(pkey" in plan
+    assert "Filter (" not in plan
+
+
 def test_compact_parquet_dir_reduces_files_preserving_content(spark, tmp_path):
     import os
 

@@ -861,6 +861,65 @@ def test_token_budget_fill_is_prefix_of_hash_permutation(spark, rows, budget):
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_sorted_neighborhood_equals_python(spark, texts):
+    """Blocked sorted-neighborhood dedup against brute-force Python:
+    same normalization, same (block, key, id) order, same w−1-lead
+    candidate window, same exact token-set Jaccard and threshold."""
+    import os
+    import re
+    import tempfile
+
+    from pipeline311_spark.plans.analytics17 import (
+        _SNM_KEYLEN,
+        _SNM_THRESHOLD,
+        _SNM_W,
+        dedup_sorted_neighborhood,
+    )
+
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup_sorted_neighborhood(df.sparkSession, tmp).collect()
+        }
+
+    keyed = []
+    for i, t in enumerate(texts):
+        nt = re.sub(r"\s+", " ", t.lower()).strip()
+        if nt == "":
+            continue
+        keyed.append((nt[:1], nt[:_SNM_KEYLEN], i, set(nt.split(" "))))
+    want = {}
+    by_block: dict = {}
+    for block, nk, i, tk in keyed:
+        by_block.setdefault(block, []).append((nk, i, tk))
+    for block, members in by_block.items():
+        members.sort(key=lambda m: (m[0], m[1]))
+        for p in range(len(members)):
+            for q in range(p + 1, min(p + _SNM_W, len(members))):
+                _, ia, ta = members[p]
+                _, ib, tb = members[q]
+                inter = len(ta & tb)
+                jac = inter / (len(ta) + len(tb) - inter)
+                if jac >= _SNM_THRESHOLD:
+                    want[(min(ia, ib), max(ia, ib))] = jac
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     events=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=12),  # user
