@@ -279,6 +279,37 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Each query's ``nprobe`` closest centroid cells (max cosine,
+    centroid-id tiebreak): (query_id, qv, qn, centroid_id) rows —
+    shared by the in-memory ANN and the partitioned-store probe so the
+    tie-break/ordering semantics exist exactly once."""
+    c = F.broadcast(
+        centroids.select(F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv"))
+        .withColumn("ccn", l2_norm(F.col("cv")))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+    return (
+        q.join(c)
+        .select(
+            "query_id", "qv", "qn", "centroid_id",
+            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("ccn")).alias("c_sim"),
+        )
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -294,24 +325,7 @@ def ivf_ann_topk(
     cells = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    c = F.broadcast(
-        centroids.select(F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("cv"))
-        .withColumn("ccn", l2_norm(F.col("cv")))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    probes = (
-        q.join(c)
-        .select(
-            "query_id", "qv", "qn", "centroid_id",
-            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("ccn")).alias("c_sim"),
-        )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "qv", "qn", "centroid_id")
-    )
+    probes = ivf_probe_cells(queries, centroids, id_col, vec_col, nprobe)
     scored = (
         F.broadcast(probes)
         .join(cells, "centroid_id")

@@ -147,24 +147,31 @@ def merge_incremental_partitioned(
         locator_schema = T.StructType(
             [updates.schema[key], updates.schema[partition_col]]
         )
+        # no broadcast hint: the distinct update-key set is unbounded
+        # (a bulk batch could OOM a forced broadcast) — AQE broadcasts
+        # it when it is actually small
         stale = (
             spark.read.schema(locator_schema)
             .parquet(target_path)
-            .join(F.broadcast(updates.select(key).distinct()), key, "left_semi")
+            .join(updates.select(key).distinct(), key, "left_semi")
             .select(partition_col)
             .distinct()
             .collect()
         )
         touched |= {r[0] for r in stale}
-    touched = sorted(touched, key=lambda v: (v is None, v))
+    # NULL-safe pruning predicate: isin() never matches NULL, which
+    # would (a) strand a stale copy when a key moves OUT of the NULL
+    # partition and (b) let a NULL-carrying batch dynamically overwrite
+    # __HIVE_DEFAULT_PARTITION__ with only its own rows, deleting every
+    # other key that lived there
+    non_null = sorted(v for v in touched if v is not None)
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if None in touched:
+        pred = pred | F.col(partition_col).isNull()
     # schema from the updates side: an empty warehouse (zero-row base
     # write) has no partition dirs to infer from, and parquet matches
     # columns by name anyway
-    target = (
-        spark.read.schema(updates.schema)
-        .parquet(target_path)
-        .filter(F.col(partition_col).isin(touched))
-    )
+    target = spark.read.schema(updates.schema).parquet(target_path).filter(pred)
     merged = upsert(target, updates.select(target.columns), key, version_col)
     merged = merged.localCheckpoint(eager=True)
     written = {r[0] for r in merged.select(partition_col).distinct().collect()}
@@ -176,17 +183,25 @@ def merge_incremental_partitioned(
     )
     # a touched partition with NO surviving rows was not rewritten by
     # the dynamic overwrite — drop its directory so the superseded
-    # copies actually disappear (non-null partition values only; a
-    # NULL partition value never empties this way because NULL isin()
-    # never matched the pruned read to begin with)
-    emptied = [v for v in touched if v not in written and v is not None]
+    # copies actually disappear.  Directory names go through Spark's
+    # own Hive-path escaping (a value like 'US:east' is written as
+    # pc=US%3Aeast — a raw f-string path would silently miss it), NULL
+    # maps to the Hive default-partition dir, and a failed delete of a
+    # still-existing directory raises instead of leaving superseded
+    # rows resurrectable.
+    emptied = [v for v in touched if v not in written]
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for v in emptied:
-            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={v}")
+            dirname = (
+                "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
+            )
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={dirname}")
             fs = p.getFileSystem(conf)
-            fs.delete(p, True)
+            if fs.exists(p) and not fs.delete(p, True):
+                raise IOError(f"could not drop emptied partition directory {p}")
     # the write was the checkpoint's only consumer — release the pinned
     # blocks (clearCache cannot; repeated merges would otherwise
     # accumulate a touched-slice-sized RDD per batch)

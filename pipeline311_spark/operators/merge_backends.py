@@ -58,6 +58,7 @@ class ParquetWindowMergeBackend:
         key: str,
         version_col: str,
         partition_col: str | None = None,
+        assume_stable_partitions: bool = False,
     ) -> None:
         from pipeline311_spark.operators.merge import (
             guard_no_warehouse_narrowing,
@@ -80,7 +81,8 @@ class ParquetWindowMergeBackend:
                 )
                 return
             merge_incremental_partitioned(
-                spark, target_ref, updates, key, version_col, partition_col
+                spark, target_ref, updates, key, version_col, partition_col,
+                assume_stable_partitions=assume_stable_partitions,
             )
             return
         if _warehouse_exists(spark, target_ref):
@@ -129,6 +131,7 @@ class DeltaMergeBackend:
         key: str,
         version_col: str,
         partition_col: str | None = None,
+        assume_stable_partitions: bool = False,  # Delta MERGE needs no locator scan
     ) -> None:  # pragma: no cover - requires delta-spark
         from delta.tables import DeltaTable
 
@@ -171,9 +174,15 @@ def upsert_into(
     version_col: str,
     partition_col: str | None = None,
     backend: str = "parquet",
+    assume_stable_partitions: bool = False,
 ) -> None:
     """MERGE ``updates`` into the warehouse at ``target_ref`` through
-    the named backend (see module docstring)."""
+    the named backend (see module docstring).  Pass
+    ``assume_stable_partitions=True`` when the partition value is a
+    pure function of the immutable key — it skips the parquet
+    backend's per-batch (key, partition) locator scan for moved keys
+    (see operators/merge.merge_incremental_partitioned)."""
     get_merge_backend(backend).upsert_into(
-        spark, target_ref, updates, key, version_col, partition_col
+        spark, target_ref, updates, key, version_col, partition_col,
+        assume_stable_partitions=assume_stable_partitions,
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.similarity import as_double
 from pipeline311_spark.plans.common import emb_table, REVENUE_SQL, dsum_sql, revenue_expr, table
+from pipeline311_spark.plans.extensions import _wtrim_sql
 from pipeline311_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -220,8 +221,8 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 32, 16
 
 _CHUNK_SQL = f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
-  FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
+  SELECT doc_id, regexp_split_to_array({_wtrim_sql('text')}, '\\s+') AS toks
+  FROM documents WHERE {_wtrim_sql('text')} <> ''),
 n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 s AS (SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start FROM n)
 SELECT doc_id,

@@ -78,9 +78,8 @@ def q_ivf_partitioned_probe(spark, sf_dir):
     same oracle."""
     import os
     import tempfile
-    import uuid
 
-    from pipeline311_spark.ext.similarity import as_double, cosine_pre, ivf_assign, l2_norm
+    from pipeline311_spark.ext.similarity import cosine_pre, ivf_assign, ivf_probe_cells
 
     e = emb_table(spark, sf_dir)
     centroids = e.filter(F.col("vec_id") < _IVF_C)
@@ -90,38 +89,21 @@ def q_ivf_partitioned_probe(spark, sf_dir):
         .withColumn("pkey", F.concat(F.lit("c"), F.col("centroid_id").cast("string")))
         .drop("centroid_id")
     )
+    # pid-keyed deterministic store: one directory per process per sf
+    # (a uuid per invocation leaked a corpus-sized copy per run;
+    # concurrent gate PROCESSES still get isolated stores)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"p311_ivfpart_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+        f"p311_ivfpart_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     cells.write.mode("overwrite").partitionBy("pkey").parquet(out)
     corpus = spark.read.schema(cells.schema).parquet(out)
 
-    c = F.broadcast(
-        centroids.select(
-            F.col("vec_id").alias("centroid_id"), as_double("embedding").alias("cv")
-        ).withColumn("ccn", l2_norm(F.col("cv")))
-    )
-    q = (
-        e.filter(F.col("vec_id") < _IVF_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
-        .withColumn("qn", l2_norm(F.col("qv")))
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id")
-    )
-    probes = (
-        q.join(c)
-        .select(
-            "query_id", "qv", "qn", "centroid_id",
-            cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("ccn")).alias("c_sim"),
-        )
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= _IVF_NPROBE)
-        .select(
-            "query_id", "qv", "qn",
-            F.concat(F.lit("c"), F.col("centroid_id").cast("string")).alias("pkey"),
-        )
+    probes = ivf_probe_cells(
+        e.filter(F.col("vec_id") < _IVF_QUERIES), centroids, nprobe=_IVF_NPROBE
+    ).select(
+        "query_id", "qv", "qn",
+        F.concat(F.lit("c"), F.col("centroid_id").cast("string")).alias("pkey"),
     )
     scored = (
         F.broadcast(probes)

@@ -24,6 +24,7 @@ from pipeline311_spark.plans.extensions import (
     _lang_hits_sql,
     _norm_sql,
     _ntok_sql,
+    _wtrim_sql,
     _tok_array_sql,
 )
 from pipeline311_spark.plans.registry import register
@@ -60,8 +61,8 @@ dedup AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({_norm_sql('text')}) ORDER BY doc_id) AS rn
     FROM kept) t
   WHERE rn = 1),
-t AS (SELECT doc_id, lang, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
-      FROM dedup WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
+t AS (SELECT doc_id, lang, regexp_split_to_array({_wtrim_sql('text')}, '\\s+') AS toks
+      FROM dedup WHERE {_wtrim_sql('text')} <> ''),
 n AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
 s AS (SELECT doc_id, lang, toks, n, unnest(range(0, n, {_STRIDE})) AS start FROM n)
 SELECT doc_id, lang,

@@ -100,13 +100,10 @@ GROUP BY 1
 
 _BUDGET_TOKENS = 1500
 
-# guarded token count (''/whitespace -> 0, like ext.textstats.tokens;
-# regexp trim because SQL trim strips spaces only)
-_BUDGET_NTOK = (
-    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
-    "ELSE len(regexp_split_to_array("
-    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
-)
+from pipeline311_spark.plans.extensions import _ntok_sql
+
+# guarded token count (''/whitespace -> 0) — the ONE shared convention
+_BUDGET_NTOK = _ntok_sql("text")
 
 _BUDGET_SQL = f"""
 WITH t AS (

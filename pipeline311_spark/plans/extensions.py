@@ -651,9 +651,11 @@ def q_lsh_partitioned_probe(spark, sf_dir):
         .withColumn("pkey", F.concat(F.lit("b"), F.col("bucket")))
         .drop("bucket")
     )
+    # pid-keyed deterministic store (uuid-per-invocation leaked a
+    # corpus-sized copy per run; processes stay isolated)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"p311_annpart_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+        f"p311_annpart_{os.path.basename(sf_dir)}_{os.getpid()}",
     )
     cb.write.mode("overwrite").partitionBy("pkey").parquet(out)
     # explicit schema: an empty corpus leaves no partition dirs to infer

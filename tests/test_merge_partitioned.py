@@ -101,3 +101,45 @@ def test_column_dropping_batch_raises_not_narrows(spark, tmp_path):
         merge_incremental_partitioned(spark, path, narrowed, "key", "version", "bucket")
     # warehouse untouched: payload survives
     assert spark.read.parquet(path).columns.__contains__("payload")
+
+
+def test_merge_handles_null_and_special_partition_values(spark, tmp_path):
+    """The review/hostile scenarios: a key moving OUT of the NULL
+    partition must not strand a stale copy; a batch writing INTO the
+    NULL partition must not wipe that partition's other keys; a
+    partition value needing Hive path escaping ('US:east') must still
+    be droppable when emptied."""
+    path = str(tmp_path / "wh_null")
+    base = spark.createDataFrame(
+        [(1, 1.0, 1, None), (2, 2.0, 1, "US:east"), (3, 3.0, 1, None)],
+        "key long, val double, version int, pc string",
+    )
+    base.write.partitionBy("pc").parquet(path)
+
+    # key 1 moves NULL -> 'a' on a TIE version (update must win);
+    # key 2 updates in place in the escaped partition
+    u1 = spark.createDataFrame(
+        [(1, 10.0, 1, "a"), (2, 20.0, 2, "US:east")],
+        "key long, val double, version int, pc string",
+    )
+    merge_incremental_partitioned(spark, path, u1, "key", "version", "pc")
+    got = {r["key"]: (r["val"], r["pc"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10.0, "a"), 2: (20.0, "US:east"), 3: (3.0, None)}
+
+    # a new key lands in the NULL partition: key 3 must survive there
+    u2 = spark.createDataFrame(
+        [(4, 4.0, 1, None)], "key long, val double, version int, pc string"
+    )
+    merge_incremental_partitioned(spark, path, u2, "key", "version", "pc")
+    got = {r["key"]: (r["val"], r["pc"]) for r in spark.read.parquet(path).collect()}
+    assert got[3] == (3.0, None) and got[4] == (4.0, None)
+
+    # empty out the escaped partition: key 2 moves away; the
+    # 'pc=US%3Aeast' directory must actually disappear
+    u3 = spark.createDataFrame(
+        [(2, 30.0, 3, "b")], "key long, val double, version int, pc string"
+    )
+    merge_incremental_partitioned(spark, path, u3, "key", "version", "pc")
+    got = {r["key"]: (r["val"], r["pc"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10.0, "a"), 2: (30.0, "b"), 3: (3.0, None), 4: (4.0, None)}
+    assert not os.path.isdir(os.path.join(path, "pc=US%3Aeast"))
