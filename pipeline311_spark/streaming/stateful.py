@@ -130,6 +130,62 @@ ROCKSDB_STATE_STORE = (
 )
 
 
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor for the Spark-4 ``transformWithState`` API —
+    the same per-key running (count, cents) contract as
+    :func:`running_totals_stream`, on the NEW arbitrary-state surface
+    (named ValueState handles, timer registry, TTL support) that
+    supersedes ``applyInPandasWithState`` for new code.
+
+    Why keep both: transformWithState REQUIRES the RocksDB state-store
+    provider (Spark refuses HDFS-backed state for it), so the
+    applyInPandasWithState form remains the portable default; this
+    form is the forward path and the two are asserted equivalent in
+    tests/test_stateful_streaming.py.  A module-level class: the
+    processor is pickled to the state-server worker, so it must be
+    importable by reference."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream_tws(events_stream: DataFrame) -> DataFrame:
+    """:func:`running_totals_stream` on ``transformWithStateInPandas``.
+    The session must have the RocksDB state-store provider configured
+    (:func:`configure_state_store` — the API rejects the HDFS-backed
+    provider by design).
+
+    Runtime dependency note: the transformWithState state protocol
+    speaks protobuf between the Python worker and the state server —
+    ``google.protobuf`` must be installed or the query fails at start
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (this container
+    ships without it; the equivalence test is skipped-if-absent, the
+    same honest boundary as the Delta adapter)."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def configure_state_store(spark, provider: str = "rocksdb"):
     """Select the streaming state-store provider for queries started on
     this session.  The HDFS-backed default keeps every key's state in

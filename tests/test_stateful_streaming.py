@@ -71,6 +71,79 @@ def test_state_carries_across_micro_batches(spark, tmp_path, state_provider):
     assert (2, b1) not in rows
 
 
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's state protocol needs google.protobuf, "
+    "not installed in this container (same class of environment "
+    "boundary as the Delta adapter — the operator code is real, the "
+    "runtime dependency is absent)",
+)
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """The Spark-4 transformWithState form must produce the SAME
+    cumulative per-batch rows as the applyInPandasWithState kernel —
+    the two state APIs are interchangeable for this operator.
+    (transformWithState requires the RocksDB provider by design.)"""
+    from pipeline311_spark.streaming.stateful import running_totals_stream_tws
+
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    configure_state_store(spark, "rocksdb")
+    try:
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [(1, 100), (1, 200), (2, 50)], "user_id long, cents long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(1, 300)], "user_id long, cents long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("user_id long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+        q = (
+            running_totals_stream_tws(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        rows = {
+            (r["user_id"], r["batch_id"]): (r["n_events"], r["total_cents"])
+            for r in spark.read.parquet(out).collect()
+        }
+        batches = sorted({b for _, b in rows})
+        assert len(batches) == 2
+        b0, b1 = batches
+        assert rows[(1, b0)] == (2, 300)
+        assert rows[(1, b1)] == (3, 600)
+        assert rows[(2, b0)] == (1, 50)
+        assert (2, b1) not in rows
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
+
+
 def test_event_time_timeout_evicts_state(spark, tmp_path, state_provider):
     """EventTimeTimeout: a key silent past its gap emits one final row
     from the timeout branch and its state is removed; active keys keep
