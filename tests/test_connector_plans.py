@@ -196,6 +196,9 @@ _SINGLE_PARTITION_OK = {
     "sketch_hll_distinct",
     "sketch_hll_merge",
     "sketch_countmin_heavy",
+    # one-row rule-counter aggregate (a handful of longs) unpivoted to
+    # the per-rule report — bytes, not data, cross the single partition
+    "audit_expectations",
 }
 
 

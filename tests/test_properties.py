@@ -861,6 +861,47 @@ def test_token_budget_fill_is_prefix_of_hash_permutation(spark, rows, budget):
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # id (dups+nulls)
+            st.one_of(st.none(), st.integers(min_value=-10, max_value=120)),  # v
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_expectations_kernel_equals_python(spark, rows):
+    """The one-pass expectation evaluator against brute-force Python:
+    NULL predicate results are failures, unique counts exclude NULLs,
+    and the pass verdict is the exact integer threshold test."""
+    from pipeline311_spark.ext.expectations import (
+        evaluate_expectations,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["rule"]: (r["n_ok"], r["n_total"], r["passed"])
+        for r in evaluate_expectations(
+            df, [not_null("v", 3, 4), in_range("v", 0, 100), unique("k")]
+        ).collect()
+    }
+    n = len(rows)
+    ok_nn = sum(1 for _, v in rows if v is not None)
+    ok_rng = sum(1 for _, v in rows if v is not None and 0 <= v <= 100)
+    ks = [k for k, _ in rows if k is not None]
+    want = {
+        "not_null:v": (ok_nn, n, int(ok_nn * 4 >= 3 * n)),
+        "in_range:v": (ok_rng, n, int(ok_rng * 1 >= 1 * n)),
+        "unique:k": (len(set(ks)), len(ks), int(len(set(ks)) >= len(ks))),
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
     texts=st.lists(
         st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
         min_size=1,
