@@ -9,8 +9,13 @@ documents-only registry query on BOTH engines, comparing with the
 driver's own canonicalization (imported from check_oracle).
 
 Queries whose oracle references any other table are skipped (the
-hostile dir only ships documents.parquet); Spark-side skips are
-reported distinctly from mismatches.
+hostile dir ships documents/events/embeddings).  Scope: the TPC-H
+relational tables follow the spec's NOT NULL key constraints — their
+hostile counterparts are governed by the audit_referential_integrity /
+audit_expectations gates, not synthetic NULL keys (primary-key
+NULLness is out of contract); the dirty-in-practice tables are the
+three covered here.  The anti-join oracles use NOT EXISTS (never
+NOT IN), so the classic NULL-key anti-join divergence cannot occur.
 
 Usage: python tools/check_hostile_docs.py [query ...]
 """
