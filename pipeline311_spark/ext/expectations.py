@@ -50,6 +50,11 @@ def in_range(col: str, lo, hi, num: int = 1, den: int = 1) -> Expectation:
 
 
 def matches(col: str, pattern: str, num: int = 1, den: int = 1) -> Expectation:
+    """Anchor hazard: Java regex ``$`` matches BEFORE a final trailing
+    newline while RE2 (DuckDB) treats it as strict end-of-string — a
+    value like ``'web\n'`` passes ``...$`` on Spark and fails it on
+    the oracle.  Use ``\z`` (strict end in BOTH dialects) to anchor
+    cross-engine rules."""
     return Expectation(
         f"matches:{col}", F.regexp(F.col(col), F.lit(pattern)), None, num, den
     )
@@ -71,6 +76,8 @@ def evaluate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     NULL predicate results count as failures (SQL three-valued logic
     collapsed deliberately: an expectation you cannot prove holds does
     not hold).  ``passed`` is the exact-integer threshold test."""
+    if not rules:
+        raise ValueError("evaluate_expectations needs at least one rule")
     aggs = []
     for i, r in enumerate(rules):
         if r.unique_col is not None:

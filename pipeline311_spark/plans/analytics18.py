@@ -36,7 +36,7 @@ WITH s AS (
     count(doc_id) AS n_id,
     coalesce(sum(CASE WHEN n_chars BETWEEN 0 AND 100000 THEN 1 ELSE 0 END), 0) AS ok_chars,
     coalesce(sum(CASE WHEN lang IN ('en', 'es', 'de', 'fr', 'zh') THEN 1 ELSE 0 END), 0) AS ok_lang,
-    coalesce(sum(CASE WHEN regexp_matches(source, '^[a-z][a-z0-9_]*$') THEN 1 ELSE 0 END), 0) AS ok_src
+    coalesce(sum(CASE WHEN regexp_matches(source, '^[a-z][a-z0-9_]*\\z') THEN 1 ELSE 0 END), 0) AS ok_src
   FROM documents),
 rules AS (
   SELECT 'not_null:text' AS rule, ok_text AS n_ok, n_rows AS n_total, 9 AS num, 10 AS den FROM s
@@ -62,6 +62,6 @@ def audit_expectations(spark, sf_dir):
         unique("doc_id"),
         in_range("n_chars", 0, 100000),
         accepted_values("lang", _LANGS, 19, 20),
-        matches("source", r"^[a-z][a-z0-9_]*$"),
+        matches("source", r"^[a-z][a-z0-9_]*\z"),
     ]
     return evaluate_expectations(d, rules)

@@ -155,7 +155,12 @@ class RunningTotalsProcessor(StatefulProcessor):
         self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timer_values):
-        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        # ONE state-server round trip: ValueState.get() returns None
+        # when absent (unlike GroupState.get, which raises) — the
+        # exists()-then-get() idiom would pay two protobuf hops per
+        # key per micro-batch on the hot path
+        prev = self._totals.get()
+        n, cents = prev if prev is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
             cents += int(pdf["cents"].sum())

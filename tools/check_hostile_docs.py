@@ -14,8 +14,13 @@ relational tables follow the spec's NOT NULL key constraints — their
 hostile counterparts are governed by the audit_referential_integrity /
 audit_expectations gates, not synthetic NULL keys (primary-key
 NULLness is out of contract); the dirty-in-practice tables are the
-three covered here.  The anti-join oracles use NOT EXISTS (never
-NOT IN), so the classic NULL-key anti-join divergence cannot occur.
+three covered here.  Id columns (doc_id / vec_id / event_id) stay
+non-NULL in the hostile fixtures for the same reason — and note that
+a few oracles (dedup_surviving_corpus, dedup_semantic_keep,
+k3_merge_partitioned) use NOT IN over id subqueries, which is only
+safe while ids are non-NULL; adding NULL ids would hit the classic
+NOT-IN three-valued row wipe on the ORACLE side, not an engine bug.
+The J3/J4 reconciliation oracles themselves use NOT EXISTS.
 
 Usage: python tools/check_hostile_docs.py [query ...]
 """
@@ -70,6 +75,9 @@ HOSTILE_DOCS = [
     (9, "  padded   whitespace   everywhere  ", "en", "books", 36),
     (10, "unicode café naïve résumé tokens", "fr", "web", 32),
     (11, "the and of to a the and of to a", "en", "books", 31),
+    # trailing-newline SOURCE: Java-regex '$' matches before it, RE2
+    # '$' does not — the anchor class audit_expectations' \z avoids
+    (12, "plain text here", "en", "web\n", 15),
 ]
 
 
