@@ -958,6 +958,37 @@ def test_sorted_neighborhood_equals_python(spark, texts):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
 
+    # multi-pass variant: forward-key ∪ reversed-key candidate windows,
+    # deduped pairs, same verify
+    from pipeline311_spark.plans.analytics17 import dedup_snm_multipass
+
+    with tempfile.TemporaryDirectory() as tmp2:
+        df.write.parquet(os.path.join(tmp2, "documents.parquet"))
+        got_mp = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup_snm_multipass(df.sparkSession, tmp2).collect()
+        }
+    want_mp = {}
+    for key_of in (lambda nt: nt[:_SNM_KEYLEN], lambda nt: nt[::-1][:_SNM_KEYLEN]):
+        by_block: dict = {}
+        for i, t in enumerate(texts):
+            nt = re.sub(r"\s+", " ", t.lower()).strip()
+            if nt == "":
+                continue
+            k = key_of(nt)
+            by_block.setdefault(k[:1], []).append((k, i, set(nt.split(" "))))
+        for block, members in by_block.items():
+            members.sort(key=lambda m: (m[0], m[1]))
+            for p in range(len(members)):
+                for q in range(p + 1, min(p + _SNM_W, len(members))):
+                    _, ia, ta = members[p]
+                    _, ib, tb = members[q]
+                    inter = len(ta & tb)
+                    jac = inter / (len(ta) + len(tb) - inter)
+                    if jac >= _SNM_THRESHOLD:
+                        want_mp[(min(ia, ib), max(ia, ib))] = jac
+    assert set(got_mp) == set(want_mp)
+
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
