@@ -35,6 +35,18 @@ from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
 # pairs rep↔member — linear output, same downstream clusters.  See the
 # "Content-identity collapse" note below.
 IDENT_MAX_GROUP = 200
+# CROSS-group expansion cap: a verified rep↔rep pair whose two
+# identical-content groups would expand to more than this many
+# member↔member rows (gn_a · gn_b) emits ONLY the rep↔rep bridge edge
+# instead of the full bipartite product — two million-doc boilerplate
+# groups that verify as near-dups would otherwise emit 10^12 rows,
+# re-introducing exactly the quadratic blowup IDENT_MAX_GROUP caps
+# inside groups.  Downstream connected-components clusters are
+# IDENTICAL: every member is already connected to its rep by the
+# always-emitted intra-group pairs (clique or star), so the single
+# bridge edge joins the two components.  Sized at IDENT_MAX_GROUP² so
+# two groups at the intra-group clique boundary still expand fully.
+CROSS_MAX_PAIRS = IDENT_MAX_GROUP * IDENT_MAX_GROUP
 # Two affine keys for the XOR content fingerprints (independent of the
 # MinHash permutation family, which uses seed=42).
 FP_PARAMS = hash_params(2, seed=97)
@@ -400,6 +412,7 @@ def _expand_cross(
     groups: DataFrame,
     value_cols: list[str],
     swap_cols: tuple[tuple[str, str], ...] = (),
+    cross_cap: int = CROSS_MAX_PAIRS,
 ) -> DataFrame:
     """Expand verified rep↔rep pairs to member↔member pairs: two narrow
     joins against the (doc, rep) membership table (the verified pair
@@ -409,12 +422,26 @@ def _expand_cross(
     least/greatest member swap so they stay attributed to the right
     doc.
 
+    Cross-group cap (``cross_cap``, see ``CROSS_MAX_PAIRS``): the gate
+    runs on the pair's group SIZES, joined BEFORE the exploding
+    membership joins — a pair whose bipartite product exceeds the cap
+    emits its single rep↔rep bridge row and never touches the member
+    tables, so the blowup is prevented at plan level, not filtered
+    after the fact.  Mirrored 1:1 by every DuckDB oracle twin.
+
     Join side sizing: only members of MULTI-doc groups (gn >= 2) can
     differ from their rep, so the joins run LEFT against that subset
     (coalesce back to the rep itself on no match).  The broadcast side
     is then the dup-group membership — proportional to duplicated
     content, not the corpus — instead of the full doc-cardinality
     membership table."""
+    gsz = groups.filter(F.col("doc") == F.col("rep")).select("rep", "gn")
+    sized = cross.join(
+        gsz.select(F.col("rep").alias("doc_a"), F.col("gn").alias("__gna")), "doc_a"
+    ).join(gsz.select(F.col("rep").alias("doc_b"), F.col("gn").alias("__gnb")), "doc_b")
+    big = F.col("__gna") * F.col("__gnb") > F.lit(cross_cap)
+    bridge = sized.filter(big).select("doc_a", "doc_b", *value_cols)
+    small_cross = sized.filter(~big).select("doc_a", "doc_b", *value_cols)
     mem = groups.filter(F.col("gn") >= 2).select("doc", "rep")
     a = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
     b = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
@@ -425,8 +452,8 @@ def _expand_cross(
     for ca, cb in swap_cols:
         exprs[ca] = F.when(swap, F.col(ca)).otherwise(F.col(cb))
         exprs[cb] = F.when(swap, F.col(cb)).otherwise(F.col(ca))
-    return (
-        cross.join(a, "doc_a", "left")
+    expanded = (
+        small_cross.join(a, "doc_a", "left")
         .join(b, "doc_b", "left")
         .select(
             F.least(ma, mb).alias("doc_a"),
@@ -434,6 +461,7 @@ def _expand_cross(
             *[exprs[c].alias(c) for c in value_cols],
         )
     )
+    return expanded.unionByName(bridge)
 
 
 def minhash_signatures(
@@ -842,12 +870,35 @@ def _with_groups_flagged(sig: DataFrame) -> DataFrame:
     )
 
 
-def _flag_expand_ident(cross: DataFrame, sigg: DataFrame, max_group: int) -> DataFrame:
+def _flag_expand_ident(
+    cross: DataFrame, sigg: DataFrame, max_group: int, cross_cap: int = CROSS_MAX_PAIRS
+) -> DataFrame:
     """Expansion + identical-group pairs for the incremental paths:
     exactly the full-run expansion (:func:`_expand_cross` /
     :func:`_ident_member_pairs`) filtered to member pairs with >= 1 NEW
     doc — so the result provably equals the full re-dedup filtered to
-    pairs involving a new member, star/clique semantics included."""
+    pairs involving a new member, star/clique/bridge semantics
+    included.  The cross-group cap (``CROSS_MAX_PAIRS``) gates on group
+    sizes BEFORE the exploding membership joins, same as the full run;
+    a capped pair's bridge edge survives iff either REP doc is new —
+    which is exactly "the full run's bridge, filtered to new members"."""
+    rinfo = sigg.filter(F.col("doc") == F.col("rep")).select("rep", "is_new", "gn")
+    sized = cross.join(
+        rinfo.select(
+            F.col("rep").alias("doc_a"), F.col("is_new").alias("__ra"), F.col("gn").alias("__gna")
+        ),
+        "doc_a",
+    ).join(
+        rinfo.select(
+            F.col("rep").alias("doc_b"), F.col("is_new").alias("__rb"), F.col("gn").alias("__gnb")
+        ),
+        "doc_b",
+    )
+    big = F.col("__gna") * F.col("__gnb") > F.lit(cross_cap)
+    bridge = sized.filter(big & (F.col("__ra") | F.col("__rb"))).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    small_cross = sized.filter(~big).select("doc_a", "doc_b", "jaccard")
     a = sigg.select(
         F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"), F.col("is_new").alias("__na")
     )
@@ -855,7 +906,7 @@ def _flag_expand_ident(cross: DataFrame, sigg: DataFrame, max_group: int) -> Dat
         F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"), F.col("is_new").alias("__nb")
     )
     expanded = (
-        cross.join(a, "doc_a")
+        small_cross.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(F.col("__na") | F.col("__nb"))
         .select(
@@ -863,6 +914,7 @@ def _flag_expand_ident(cross: DataFrame, sigg: DataFrame, max_group: int) -> Dat
             F.greatest("__ma", "__mb").alias("doc_b"),
             "jaccard",
         )
+        .unionByName(bridge)
     )
     # clique via bucket-collect with a gn-gated buffer, pair gen
     # array-side with the >=1-new filter inline — grouped by the content

@@ -50,7 +50,7 @@ def in_range(col: str, lo, hi, num: int = 1, den: int = 1) -> Expectation:
 
 
 def matches(col: str, pattern: str, num: int = 1, den: int = 1) -> Expectation:
-    """Anchor hazard: Java regex ``$`` matches BEFORE a final trailing
+    r"""Anchor hazard: Java regex ``$`` matches BEFORE a final trailing
     newline while RE2 (DuckDB) treats it as strict end-of-string — a
     value like ``'web\n'`` passes ``...$`` on Spark and fails it on
     the oracle.  Use ``\z`` (strict end in BOTH dialects) to anchor

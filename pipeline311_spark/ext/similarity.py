@@ -412,17 +412,34 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    # Cross-group cap (mirrors ext.dedup.CROSS_MAX_PAIRS, same DuckDB
+    # oracle mirror): a verified rep↔rep pair between two identical-
+    # vector groups whose bipartite product exceeds the cap emits only
+    # the rep↔rep bridge edge — members are already connected to their
+    # rep by the ident arm below, so downstream clusters are identical
+    # and two million-copy embeddings can't emit 10^12 pair rows.  The
+    # size gate joins BEFORE the exploding membership joins.
+    from pipeline311_spark.ext.dedup import CROSS_MAX_PAIRS
+
+    gsz = groups.filter(F.col(id_col) == F.col("rep")).select("rep", "gn")
+    sized = cross.join(
+        gsz.select(F.col("rep").alias("id_a"), F.col("gn").alias("__gna")), "id_a"
+    ).join(gsz.select(F.col("rep").alias("id_b"), F.col("gn").alias("__gnb")), "id_b")
+    big = F.col("__gna") * F.col("__gnb") > F.lit(CROSS_MAX_PAIRS)
+    bridge = sized.filter(big).select("id_a", "id_b", "cos_sim")
+    small_cross = sized.filter(~big).select("id_a", "id_b", "cos_sim")
     mem = groups.select(F.col(id_col).alias("__m"), "rep")
     ea = mem.select(F.col("rep").alias("id_a"), F.col("__m").alias("__ma"))
     eb = mem.select(F.col("rep").alias("id_b"), F.col("__m").alias("__mb"))
     expanded = (
-        cross.join(ea, "id_a")
+        small_cross.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             F.least("__ma", "__mb").alias("id_a"),
             F.greatest("__ma", "__mb").alias("id_b"),
             "cos_sim",
         )
+        .unionByName(bridge)
     )
     # Identical-vector pairs: cosine computed with the SAME expression
     # as cross pairs (on v,v) so the value matches the oracle bit-wise.

@@ -74,11 +74,22 @@ def guard_no_warehouse_narrowing(spark, target_path: str, updates: DataFrame) ->
     loss).  An empty warehouse (zero-row base write, no partition dirs)
     has no inferable schema — nothing to narrow, guard skipped.  Shared
     by the partitioned MERGE below and the unpartitioned parquet
-    backend (operators/merge_backends.py)."""
+    backend (operators/merge_backends.py).
+
+    Only the two AnalysisException classes that mean "empty/absent
+    warehouse" are swallowed: any OTHER failure of the schema read
+    (permissions, corrupt footer, remote-FS error) propagates instead
+    of silently disabling the guard for the batch."""
+    from pyspark.errors import AnalysisException
+
     try:
         warehouse_cols = [f.name for f in spark.read.parquet(target_path).schema.fields]
-    except Exception:
-        return
+    except AnalysisException as e:
+        get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        cond = get() if get is not None else None
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return
+        raise
     missing = [c for c in warehouse_cols if c not in set(updates.columns)]
     if missing:
         from pipeline311_spark.sources.validate import SchemaMismatch
@@ -139,7 +150,23 @@ def merge_incremental_partitioned(
     reads two columns of the whole warehouse, which is exactly the
     price of supporting moves without a key index.
     """
-    touched = {r[0] for r in updates.select(partition_col).distinct().collect()}
+    # collect Spark's OWN string rendering alongside each native value:
+    # directory names must come from the engine's formatter (cast to
+    # string — boolean True writes dir 'true', not Python's 'True';
+    # dates/timestamps/decimals likewise), or the emptied-partition
+    # delete below silently misses the dir and superseded rows stay
+    # resurrectable
+    render: dict = {}
+
+    def _vals_with_render(df: DataFrame) -> set:
+        rows = df.select(
+            F.col(partition_col).alias("__v"),
+            F.col(partition_col).cast("string").alias("__s"),
+        ).distinct().collect()
+        render.update({r["__v"]: r["__s"] for r in rows})
+        return {r["__v"] for r in rows}
+
+    touched = _vals_with_render(updates)
     guard_no_warehouse_narrowing(spark, target_path, updates)
     if not assume_stable_partitions:
         from pyspark.sql import types as T
@@ -150,15 +177,11 @@ def merge_incremental_partitioned(
         # no broadcast hint: the distinct update-key set is unbounded
         # (a bulk batch could OOM a forced broadcast) — AQE broadcasts
         # it when it is actually small
-        stale = (
+        touched |= _vals_with_render(
             spark.read.schema(locator_schema)
             .parquet(target_path)
             .join(updates.select(key).distinct(), key, "left_semi")
-            .select(partition_col)
-            .distinct()
-            .collect()
         )
-        touched |= {r[0] for r in stale}
     # NULL-safe pruning predicate: isin() never matches NULL, which
     # would (a) strand a stale copy when a key moves OUT of the NULL
     # partition and (b) let a NULL-carrying batch dynamically overwrite
@@ -183,12 +206,14 @@ def merge_incremental_partitioned(
     )
     # a touched partition with NO surviving rows was not rewritten by
     # the dynamic overwrite — drop its directory so the superseded
-    # copies actually disappear.  Directory names go through Spark's
-    # own Hive-path escaping (a value like 'US:east' is written as
-    # pc=US%3Aeast — a raw f-string path would silently miss it), NULL
-    # maps to the Hive default-partition dir, and a failed delete of a
-    # still-existing directory raises instead of leaving superseded
-    # rows resurrectable.
+    # copies actually disappear.  Directory names are Spark's own
+    # cast-to-string rendering (collected with the values above — the
+    # writer's formatter, e.g. boolean → 'true' where Python str()
+    # gives 'True') passed through Spark's Hive-path escaping (a value
+    # like 'US:east' is written as pc=US%3Aeast — a raw f-string path
+    # would silently miss it), NULL maps to the Hive default-partition
+    # dir, and a failed delete of a still-existing directory raises
+    # instead of leaving superseded rows resurrectable.
     emptied = [v for v in touched if v not in written]
     if emptied:
         jvm = spark._jvm
@@ -196,7 +221,7 @@ def merge_incremental_partitioned(
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for v in emptied:
             dirname = (
-                "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
+                "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(render[v])
             )
             p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={dirname}")
             fs = p.getFileSystem(conf)

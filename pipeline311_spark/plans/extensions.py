@@ -96,6 +96,11 @@ _JACCARD_N = 5
 _JACCARD_THRESHOLD = 0.2
 _JACCARD_MAX_DF = 50
 _IDENT_MAX_GROUP = 200  # mirrors ext.dedup.IDENT_MAX_GROUP
+# mirrors ext.dedup.CROSS_MAX_PAIRS: rep↔rep pairs whose two groups
+# would expand to more than this many member↔member rows emit only the
+# rep↔rep bridge edge (downstream clusters identical — members are
+# connected to their rep by the always-emitted ident pairs)
+_CROSS_MAX_PAIRS = _IDENT_MAX_GROUP * _IDENT_MAX_GROUP
 
 # Content-identity collapse (mirrors ext/dedup.py r5 semantics): docs
 # are grouped by their exact sorted distinct-shingle list (the oracle's
@@ -136,7 +141,13 @@ expanded AS (
          CASE WHEN ga.doc_id < gb.doc_id THEN c.sz_a ELSE c.sz_b END AS sz_a,
          CASE WHEN ga.doc_id < gb.doc_id THEN c.sz_b ELSE c.sz_a END AS sz_b,
          c.jaccard
-  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b),
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b
+  WHERE ga.gn * gb.gn <= {_CROSS_MAX_PAIRS}
+  UNION ALL
+  SELECT c.doc_a, c.doc_b, c.inter, c.sz_a, c.sz_b, c.jaccard
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a AND ga.doc_id = c.doc_a
+                   JOIN grp gb ON gb.rep = c.doc_b AND gb.doc_id = c.doc_b
+  WHERE ga.gn * gb.gn > {_CROSS_MAX_PAIRS}),
 ident AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS inter,
          a.sz AS sz_a, a.sz AS sz_b, CAST(1.0 AS DOUBLE) AS jaccard
@@ -252,7 +263,13 @@ cross_rep AS (
 expanded AS (
   SELECT LEAST(ga.doc_id, gb.doc_id) AS doc_a, GREATEST(ga.doc_id, gb.doc_id) AS doc_b,
          c.jaccard
-  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b),
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b
+  WHERE ga.gn * gb.gn <= {_CROSS_MAX_PAIRS}
+  UNION ALL
+  SELECT c.doc_a, c.doc_b, c.jaccard
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a AND ga.doc_id = c.doc_a
+                   JOIN grp gb ON gb.rep = c.doc_b AND gb.doc_id = c.doc_b
+  WHERE ga.gn * gb.gn > {_CROSS_MAX_PAIRS}),
 ident AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
   FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
@@ -483,7 +500,13 @@ expanded AS (
          CASE WHEN ga.doc_id < gb.doc_id THEN c.sig_a ELSE c.sig_b END AS sig_a,
          CASE WHEN ga.doc_id < gb.doc_id THEN c.sig_b ELSE c.sig_a END AS sig_b,
          c.hamming
-  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b),
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b
+  WHERE ga.gn * gb.gn <= {_CROSS_MAX_PAIRS}
+  UNION ALL
+  SELECT c.doc_a, c.doc_b, c.sig_a, c.sig_b, c.hamming
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.doc_a AND ga.doc_id = c.doc_a
+                   JOIN grp gb ON gb.rep = c.doc_b AND gb.doc_id = c.doc_b
+  WHERE ga.gn * gb.gn > {_CROSS_MAX_PAIRS}),
 ident AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sig_a, a.simhash AS sig_b,
          CAST(0 AS INTEGER) AS hamming
@@ -715,7 +738,13 @@ cross_rep AS (
 expanded AS (
   SELECT LEAST(ga.vec_id, gb.vec_id) AS id_a, GREATEST(ga.vec_id, gb.vec_id) AS id_b,
          c.cos_sim
-  FROM cross_rep c JOIN grp ga ON ga.rep = c.id_a JOIN grp gb ON gb.rep = c.id_b),
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.id_a JOIN grp gb ON gb.rep = c.id_b
+  WHERE ga.gn * gb.gn <= {_CROSS_MAX_PAIRS}
+  UNION ALL
+  SELECT c.id_a, c.id_b, c.cos_sim
+  FROM cross_rep c JOIN grp ga ON ga.rep = c.id_a AND ga.vec_id = c.id_a
+                   JOIN grp gb ON gb.rep = c.id_b AND gb.vec_id = c.id_b
+  WHERE ga.gn * gb.gn > {_CROSS_MAX_PAIRS}),
 ident AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {self_cos} AS cos_sim
   FROM grp a JOIN grp b ON a.rep = b.rep AND a.vec_id < b.vec_id

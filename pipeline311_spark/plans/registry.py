@@ -36,12 +36,56 @@ def register(name: str, oracle: str | None, covers: tuple[str, ...] = ()):
     return deco
 
 
+DRIVER_SAMPLE = 50  # how many queries() entries the driver oracle-checks per round
+
+
+def driver_sample_order() -> list[str]:
+    """Registry names ordered so the FIRST ``DRIVER_SAMPLE`` entries
+    span EVERY SURVEY §2 covers tag any registry query carries
+    (individual operator ids — S1..S10, K1..K10, … — plus the
+    extension families, ~78 tags total; full-tag greedy set cover
+    needs ~30 queries, comfortably under 50).
+
+    The driver's per-round correctness gate checks the first 50
+    entries of ``queries()`` against their DuckDB oracles — with a
+    coverage-blind order, a red in an unsampled family (e.g. sampling
+    or sketches, which registration order placed past 50) could hide
+    for a whole round.  Greedy max-new-tags cover (ties broken by
+    registration order — deterministic, a pure function of registry
+    content), everything else follows in registration order.
+    tests/test_entry.py asserts the first 50 actually span every tag."""
+    remaining: set[str] = set()
+    for spec in REGISTRY.values():
+        remaining.update(spec.covers)
+    names = list(REGISTRY)
+    picked: list[str] = []
+    in_head: set[str] = set()
+    while remaining:
+        best, best_new = None, 0
+        for n in names:
+            if n in in_head:
+                continue
+            new = len(remaining & set(REGISTRY[n].covers))
+            if new > best_new:
+                best, best_new = n, new
+        if best is None:
+            break
+        picked.append(best)
+        in_head.add(best)
+        remaining -= set(REGISTRY[best].covers)
+    return picked + [n for n in names if n not in in_head]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {n: REGISTRY[n].fn for n in driver_sample_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in driver_sample_order()
+        if REGISTRY[n].oracle is not None
+    }
 
 
 # Import for side effect: populates REGISTRY.

@@ -143,3 +143,54 @@ def test_merge_handles_null_and_special_partition_values(spark, tmp_path):
     got = {r["key"]: (r["val"], r["pc"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: (10.0, "a"), 2: (30.0, "b"), 3: (3.0, None), 4: (4.0, None)}
     assert not os.path.isdir(os.path.join(path, "pc=US%3Aeast"))
+
+
+def test_boolean_partition_emptied_dir_uses_spark_rendering(spark, tmp_path):
+    """ADVICE r5: emptied-partition dir names must come from Spark's own
+    value rendering, not Python str() — boolean True writes 'pc=true'
+    while str(True) is 'True', so the delete silently missed the dir
+    and left superseded rows resurrectable."""
+    path = str(tmp_path / "wh_bool")
+    base = spark.createDataFrame(
+        [(1, 1.0, 1, True), (2, 2.0, 1, False)],
+        "key long, val double, version int, pc boolean",
+    )
+    base.write.partitionBy("pc").parquet(path)
+    assert os.path.isdir(os.path.join(path, "pc=true"))
+
+    # key 1 moves out of the True partition, emptying it
+    u = spark.createDataFrame(
+        [(1, 10.0, 2, False)], "key long, val double, version int, pc boolean"
+    )
+    merge_incremental_partitioned(spark, path, u, "key", "version", "pc")
+    # explicit schema on read-back: partition-dir inference has no
+    # boolean type and would surface pc as the string 'false'
+    got = {
+        r["key"]: (r["val"], r["pc"])
+        for r in spark.read.schema(base.schema).parquet(path).collect()
+    }
+    assert got == {1: (10.0, False), 2: (2.0, False)}
+    assert not os.path.isdir(os.path.join(path, "pc=true")), (
+        "emptied boolean partition dir survived — stale copy resurrectable"
+    )
+
+
+def test_narrowing_guard_propagates_non_empty_warehouse_errors(spark, tmp_path):
+    """ADVICE r5: the narrowing guard may swallow ONLY the absent/empty-
+    warehouse AnalysisException classes; a corrupt warehouse read must
+    propagate instead of silently disabling the guard for the batch."""
+    import pytest
+
+    from pipeline311_spark.operators.merge import guard_no_warehouse_narrowing
+
+    updates = spark.createDataFrame([(1, 1.0)], "key long, val double")
+
+    # absent path: swallowed (nothing to narrow)
+    guard_no_warehouse_narrowing(spark, str(tmp_path / "does_not_exist"), updates)
+
+    # corrupt footer: must raise, not return
+    bad = tmp_path / "wh_corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    with pytest.raises(Exception):
+        guard_no_warehouse_narrowing(spark, str(bad), updates)

@@ -100,13 +100,18 @@ def main():
         for op in spec.covers:
             by_op[op].append(name + ("" if spec.oracle else " (rows-only)"))
 
+    n_total = len(plans.REGISTRY)
+    n_oracle = sum(1 for s in plans.REGISTRY.values() if s.oracle)
+    oracle_clause = (
+        "every one with a DuckDB oracle"
+        if n_oracle == n_total
+        else f"{n_oracle} with DuckDB oracles (the rest are explicitly rows-only: stubbed-codec or non-SQL ops)"
+    )
     lines = [
         "# COVERAGE — SURVEY.md §2 operator inventory → engine + oracle-checked queries",
         "",
         "Generated by tools/gen_coverage.py from the query registry.",
-        f"Registry: {len(plans.REGISTRY)} queries, "
-        f"{sum(1 for s in plans.REGISTRY.values() if s.oracle)} with DuckDB oracles "
-        "(the rest are explicitly rows-only: stubbed-codec or non-SQL ops).",
+        f"Registry: {n_total} queries, {oracle_clause}.",
         "",
         "| Operator | Engine implementation | Oracle-checked queries | Tests |",
         "|---|---|---|---|",
@@ -121,10 +126,28 @@ def main():
     for op in sorted(extra_ops):
         lines.append(f"| {op} | — | {', '.join(sorted(by_op[op]))} | |")
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "COVERAGE.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}: {len(STATIC)} operators, {len(plans.REGISTRY)} queries")
+
+    # README registry counts are GENERATED, never hand-edited: every
+    # "N registry queries" / "N/N at sf..." mention is rewritten from
+    # the live registry so the docs can't drift from the code again
+    # (r5 verdict: README said 176 after audit_expectations made 177).
+    import re
+
+    readme = os.path.join(repo, "README.md")
+    with open(readme) as f:
+        txt = f.read()
+    new = re.sub(r"\b\d+ registry queries\b", f"{n_total} registry queries", txt)
+    new = re.sub(r"\b\d+ queries in `pipeline311_spark/plans/`", f"{n_total} queries in `pipeline311_spark/plans/`", new)
+    new = re.sub(r"\b\d+/\d+ at sf0\.001", f"{n_oracle}/{n_total} at sf0.001", new)
+    if new != txt:
+        with open(readme, "w") as f:
+            f.write(new)
+        print(f"rewrote registry counts in {readme}")
 
 
 if __name__ == "__main__":
