@@ -1,0 +1,224 @@
+"""Stdlib-only media codecs: PNG (zlib deflate) and WAV (PCM).
+
+These make the multimodal ``fake=False`` decode paths REAL in any
+environment — no PIL/scipy/ffmpeg needed — while staying pure public
+knowledge (PNG spec: RFC 2083 / ISO 15948; WAV via the stdlib ``wave``
+module).  They are deliberately scoped to the formats a pipeline
+controls end-to-end (its own staged artifacts):
+
+* PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA), non-interlaced; all five scanline filters (None / Sub /
+  Up / Average / Paeth) are implemented on decode, so any compliant
+  encoder's output of those shapes round-trips.
+* WAV: integer PCM, 8/16/32-bit, any channel count (decoded to a
+  mono mix when asked).
+
+Anything outside that envelope raises ``ValueError`` with the reason —
+the Spark operators treat that as "corrupt media" (null features / no
+rows for the item), never a job abort.
+
+Scale note: these run INSIDE Arrow-batched ``mapInPandas`` workers
+(see ext/multimodal.py) — pure-Python per-item decode is the honest
+cost model for media at 100 TB; swapping in a C decoder changes only
+the function body, not the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal compliant PNG encoder (8-bit, non-interlaced).
+
+    ``pixels`` is the row-major raw sample stream
+    (width·height·channels bytes).  ``filter_type`` applies ONE filter
+    to every scanline (0..4) — useful for exercising all decoder
+    filter paths; 0 (None) is the production default."""
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != stride * height:
+        raise ValueError(f"pixels length {len(pixels)} != {stride * height}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad filter type {filter_type}")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        else:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if filter_type == 1:
+                    raw.append((row[i] - a) & 0xFF)
+                elif filter_type == 2:
+                    raw.append((row[i] - b) & 0xFF)
+                elif filter_type == 3:
+                    raw.append((row[i] - (a + b) // 2) & 0xFF)
+                else:
+                    raw.append((row[i] - _paeth(a, b, c)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, pixels)`` where
+    ``pixels`` is the row-major unfiltered sample stream.  Raises
+    ``ValueError`` on anything outside the supported envelope (see
+    module docstring)."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if comp or filt:
+                raise ValueError("nonstandard compression/filter method")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(stride):
+                row[i] = (row[i] + (row[i - ch] if i >= ch else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad scanline filter {ft}")
+        out += row
+        prev = bytes(row)
+    return width, height, ch, bytes(out)
+
+
+def encode_wav(
+    samples: list[int], framerate: int = 8000, sampwidth: int = 2, nchannels: int = 1
+) -> bytes:
+    """Integer-PCM WAV encoder via the stdlib ``wave`` module.
+    ``samples`` are channel-interleaved signed ints."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nchannels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        fmt = {1: "b", 2: "<h", 4: "<i"}[sampwidth]
+        if sampwidth == 1:  # WAV 8-bit is unsigned
+            w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+        else:
+            w.writeframes(b"".join(struct.pack(fmt, s) for s in samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes, mono: bool = True) -> tuple[int, int, list[int]]:
+    """Decode integer-PCM WAV to ``(framerate, nchannels, samples)``.
+    With ``mono=True`` multi-channel frames are averaged (floor
+    division — exact integer semantics, mirrorable in SQL).  Raises
+    ``ValueError`` outside the supported envelope."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, sw, fr, nframes = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"not a PCM WAV: {e}") from e
+    if sw not in (1, 2, 4):
+        raise ValueError(f"unsupported sample width {sw}")
+    if sw == 1:
+        vals = [b - 128 for b in raw]
+    else:
+        fmt = {2: "h", 4: "i"}[sw]
+        vals = list(struct.unpack(f"<{len(raw) // sw}{fmt}", raw))
+    if mono and nch > 1:
+        vals = [
+            sum(vals[i : i + nch]) // nch for i in range(0, len(vals) - nch + 1, nch)
+        ]
+        nch_out = 1
+    else:
+        nch_out = nch
+    return fr, nch_out, vals

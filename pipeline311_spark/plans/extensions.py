@@ -1090,6 +1090,129 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# REAL stdlib codecs (r6), oracle-gated end-to-end: each doc's md5
+# digest bytes become deterministic media content — a 4x4 grayscale
+# image / 8 int16 PCM samples — which the engine ENCODES to an actual
+# PNG / WAV payload and pushes through the real decode operators
+# (ext/codecs.py via decode_image_features(fake=False) /
+# audio_pcm_window_features).  DuckDB cannot run zlib, but it can
+# compute the SAME md5-derived integers directly — so any codec bug
+# (filter math, CRC, PCM framing, windowing) surfaces as an exact-int
+# mismatch.  PNG byte length is zlib-version-dependent and excluded.
+
+def _md5_media(d, kind: str):
+    """(media_id, payload) where payload is a real PNG (4x4 gray, md5
+    digest bytes as pixels) or WAV (8 int16 LE samples from the same
+    bytes) — encoded INSIDE mapInPandas with the stdlib codec."""
+    import hashlib as _hl
+    import struct as _st
+
+    import pandas as _pd
+
+    from pipeline311_spark.ext.codecs import encode_png, encode_wav
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                dg = _hl.md5(text.encode("utf-8")).digest()
+                if kind == "png":
+                    payloads.append(encode_png(4, 4, dg, 0))
+                else:
+                    samples = list(_st.unpack("<8h", dg))
+                    payloads.append(encode_wav(samples, framerate=8000, sampwidth=2))
+                ids.append(mid)
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(ids, dtype="int64"),
+                    "payload": _pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.filter(F.col("text").isNotNull()).select("doc_id", "text").mapInPandas(
+        run, schema
+    )
+
+
+_PX = [
+    f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)" for i in range(16)
+]
+# little-endian int16 from digest byte pairs, matching struct '<8h'
+_SMP = [
+    f"(CASE WHEN {_PX[2 * k]} + 256 * {_PX[2 * k + 1]} >= 32768 "
+    f"THEN {_PX[2 * k]} + 256 * {_PX[2 * k + 1]} - 65536 "
+    f"ELSE {_PX[2 * k]} + 256 * {_PX[2 * k + 1]} END)"
+    for k in range(8)
+]
+
+_PNG_ROUNDTRIP_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       CAST({' + '.join(_PX)} AS BIGINT) AS sum_px,
+       CAST(LEAST({', '.join(_PX)}) AS BIGINT) AS min_px,
+       CAST(GREATEST({', '.join(_PX)}) AS BIGINT) AS max_px
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register("multimodal_png_roundtrip", _PNG_ROUNDTRIP_SQL, covers=("ext:multimodal",))
+def q_png_roundtrip(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import decode_image_features
+
+    d = table(spark, sf_dir, "documents")
+    feats = decode_image_features(_md5_media(d, "png"), dim=8, fake=False)
+    f = F.col("features")
+    # mean*16 is exact in IEEE doubles (sum <= 4080 integral, /16 is a
+    # power-of-two scale) — recovers the integer pixel sum bit-exactly
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        F.round(f[3] * 16).cast("long").alias("sum_px"),
+        f[5].cast("long").alias("min_px"),
+        f[6].cast("long").alias("max_px"),
+    )
+
+
+_WAV_WINDOWS_SQL = f"""
+SELECT doc_id AS media_id, CAST(w AS INT) AS window_no,
+       CAST(4 AS BIGINT) AS n_samples,
+       CAST({{sum_abs}} AS BIGINT) AS sum_abs,
+       CAST({{peak}} AS BIGINT) AS peak
+FROM documents, unnest([0, 1]) AS t(w)
+WHERE text IS NOT NULL
+""".format(
+    sum_abs="CASE WHEN w = 0 THEN "
+    + " + ".join(f"ABS({_SMP[k]})" for k in range(4))
+    + " ELSE "
+    + " + ".join(f"ABS({_SMP[k]})" for k in range(4, 8))
+    + " END",
+    peak="CASE WHEN w = 0 THEN GREATEST("
+    + ", ".join(f"ABS({_SMP[k]})" for k in range(4))
+    + ") ELSE GREATEST("
+    + ", ".join(f"ABS({_SMP[k]})" for k in range(4, 8))
+    + ") END",
+)
+
+
+@register("multimodal_wav_windows", _WAV_WINDOWS_SQL, covers=("ext:multimodal",))
+def q_wav_windows(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import audio_pcm_window_features
+
+    d = table(spark, sf_dir, "documents")
+    return audio_pcm_window_features(
+        _md5_media(d, "wav"), window_samples=4, max_windows=8
+    ).select("media_id", "window_no", "n_samples", "sum_abs", "peak")
+
+
 # Embedding norm stats (decimal-exact group means over rounded norms).
 _NORM_STATS_SQL = f"""
 WITH n AS (

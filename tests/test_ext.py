@@ -270,9 +270,15 @@ def test_frame_sample_shapes(docs):
     assert all(len(bytes(r["frame"])) <= 16 for r in frames)
 
 
-def test_decode_real_codec_is_explicit_stub(docs):
-    with pytest.raises(NotImplementedError):
-        decode_image_features(documents_as_media(docs), fake=False)
+def test_decode_real_codec_degrades_non_png_to_null_features(docs):
+    """r6: fake=False is REAL now (stdlib PNG codec) — document text
+    bytes are not PNGs, so every row degrades to NULL features while
+    byte_len/sha survive (the quarantine contract; see
+    tests/test_codecs.py for actual-PNG decoding)."""
+    out = decode_image_features(documents_as_media(docs), fake=False).collect()
+    assert len(out) == len(DOCS)
+    assert all(r["features"] is None for r in out)
+    assert all(r["byte_len"] >= 0 and len(r["sha256"]) == 64 for r in out)
 
 
 def test_connected_components_clusters(spark):
