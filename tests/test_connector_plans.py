@@ -210,3 +210,52 @@ def test_registry_wide_plan_audit(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in _SINGLE_PARTITION_OK:
             assert "SinglePartition" not in plan, name
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """SCALE.md asserts AQE handles skewed fact⋈fact sort-merge joins;
+    prove it executes here: a manufactured 90%-hot key must make the
+    FINAL adaptive plan carry a skew-split SMJ ('skew=true'), i.e. the
+    oversized partition was subdivided at runtime.  Thresholds are
+    lowered to make test-scale bytes trigger the same code path that
+    256 MB partitions trigger at 100 TB.  Complementary to
+    salted_join/q_salted_join: AQE splits oversized partitions of an
+    existing shuffle; salting is for the cases AQE can't touch
+    (aggregation hot GROUPS, broadcast-ineligible replays) — see
+    operators/skew.py and the tools/skew_probe.py measurements in
+    SCALE.md."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of the left fact rides ONE key; right fact is modest but
+        # above every broadcast threshold we just disabled
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(5_000).select(
+            F.pmod("id", F.lit(100)).alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        # inspect the SAME DataFrame the action executes: df.count()
+        # spins up its own QueryExecution, leaving j's plan un-finalized
+        j = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] > 0  # finalize AQE
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan[:2000]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -305,3 +305,94 @@ def test_final_state_independent_of_batch_boundaries(spark, tmp_path, n_files, p
         n, tot = want.get(u, (0, 0))
         want[u] = (n + 1, tot + c)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Recording-fake contract for the transformWithState processor (r6):
+# the live equivalence test above skips without google.protobuf (Spark's
+# state-server protocol), but everything WE own — the StatefulProcessor's
+# state handling, accumulation, and emit contract — executes here against
+# a recording fake of the handle/ValueState API, the same treatment as
+# the Delta adapter (tests/fake_delta.py).
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self, store: dict, key):
+        self._store, self._key = store, key
+        self.gets = 0
+        self.updates = 0
+
+    def get(self):
+        self.gets += 1
+        return self._store.get(self._key)
+
+    def update(self, value):
+        self.updates += 1
+        self._store[self._key] = value
+
+
+class _FakeHandle:
+    """Per-key view of a persistent dict, recording getValueState calls
+    the way StatefulProcessorHandle hands out named state variables."""
+
+    def __init__(self, store: dict, key):
+        self._store, self._key = store, key
+        self.state_vars: list[tuple] = []
+        self.value_states: list[_FakeValueState] = []
+
+    def getValueState(self, name: str, schema) -> _FakeValueState:
+        self.state_vars.append((name, schema))
+        vs = _FakeValueState(self._store, (name, self._key))
+        self.value_states.append(vs)
+        return vs
+
+
+def test_tws_processor_contract_with_recording_fake():
+    """Drive RunningTotalsProcessor through the StatefulProcessor API
+    with a fake handle: same batches as the live tests, asserting (a)
+    cumulative per-key rows identical to the applyInPandasWithState
+    kernel's contract, (b) state persists across micro-batches, and
+    (c) exactly ONE state round trip per key per batch (the documented
+    hot-path claim — exists()+get() would be two)."""
+    import pandas as pd
+
+    from pipeline311_spark.streaming.stateful import (
+        STATE_SCHEMA,
+        RunningTotalsProcessor,
+    )
+
+    store: dict = {}  # persists across micro-batches, like the state backend
+
+    def run_batch(key_rows: dict):
+        emitted = {}
+        for key, pdfs in key_rows.items():
+            proc = RunningTotalsProcessor()
+            handle = _FakeHandle(store, key)
+            proc.init(handle)
+            assert handle.state_vars == [("totals", STATE_SCHEMA)]
+            out = list(proc.handleInputRows((key,), iter(pdfs), None))
+            proc.close()
+            vs = handle.value_states[0]
+            assert vs.gets == 1, "more than one state fetch per key per batch"
+            assert vs.updates == 1
+            assert len(out) == 1
+            emitted[key] = (
+                int(out[0]["n_events"][0]),
+                int(out[0]["total_cents"][0]),
+            )
+        return emitted
+
+    # batch 0: user 1 (two rows, split across two pandas chunks), user 2
+    b0 = run_batch(
+        {
+            1: [pd.DataFrame({"cents": [100]}), pd.DataFrame({"cents": [200]})],
+            2: [pd.DataFrame({"cents": [50]})],
+        }
+    )
+    assert b0 == {1: (2, 300), 2: (1, 50)}
+    # batch 1: only user 1 — state from batch 0 must carry
+    b1 = run_batch({1: [pd.DataFrame({"cents": [300]})]})
+    assert b1 == {1: (3, 600)}
+    # untouched key's state survived
+    assert store[("totals", 2)] == (1, 50)

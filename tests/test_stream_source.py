@@ -129,3 +129,83 @@ def test_stream_source_checkpoint_restart_exactly_once(spark, sf_dir):
     got = spark.read.parquet(out).select("event_id")
     assert got.count() == n                       # no gap, and
     assert got.distinct().count() == n            # no overlap (exactly-once)
+
+
+def test_crash_resume_into_merge_matches_uninterrupted(spark, sf_dir):
+    """r6 punch #6: kill the incremental sync between micro-batches and
+    restart from the checkpoint — the foreachBatch MERGE must resume
+    into the serving table such that the FINAL table exactly matches an
+    uninterrupted run (the reference's ordered processing,
+    sync-db2-ago.py:539-556, exists precisely for this resumability).
+
+    The source is the rate-limited connector stream (several
+    micro-batches by construction), so the interrupt genuinely lands
+    between batches.  Effective exactly-once = checkpointed source
+    offsets + an IDEMPOTENT merge: a replayed batch (foreachBatch is
+    at-least-once across restarts) upserts the same latest-per-key
+    rows again, changing nothing.  A torn parquet overwrite mid-batch
+    is the failure mode the transactional MERGE backends
+    (operators/merge_backends.py delta seam) exist for, out of scope
+    for the parquet kernel."""
+    from pipeline311_spark.plans.common import prep_session
+    from pipeline311_spark.plans.streaming_custom import (
+        EVENTS,
+        _parquet_upsert_batch_fn,
+        _serving_table_result,
+    )
+    from pipeline311_spark.sources import salesforce_sim
+    from pipeline311_spark.sources.readers import normalize_event_time
+
+    prep_session(spark)
+    salesforce_sim.register(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(path).schema
+    n = spark.read.parquet(path).count()
+    per = max(1, (n + 3) // 4)  # ~4 micro-batches
+    base = os.path.join(tempfile.gettempdir(), f"ss_resume_{uuid.uuid4().hex[:12]}")
+
+    def committed(q):
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    def run(out, ckpt, interrupt: bool):
+        def start():
+            raw = (
+                spark.readStream.format("sf_cases")
+                .schema(physical)
+                .option("path", path)
+                .option("maxrowspertrigger", str(per))
+                .load()
+            )
+            stream = normalize_event_time(raw, EVENTS).select(
+                "user_id", "event_id", "event_type", "ts"
+            )
+            return (
+                stream.writeStream.foreachBatch(_parquet_upsert_batch_fn(out))
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        if interrupt:
+            deadline = time.time() + 120
+            while time.time() < deadline and committed(q) < per:
+                time.sleep(0.05)
+            q.stop()
+            q.awaitTermination(30)
+            assert committed(q) < n, "stream drained before the interrupt"
+            q = start()
+        deadline = time.time() + 240
+        done = 0
+        while time.time() < deadline and done < n:
+            done = committed(q)
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination(30)
+        return _serving_table_result(spark, out)
+
+    interrupted = run(base + ".out1", base + ".ckpt1", interrupt=True)
+    clean = run(base + ".out2", base + ".ckpt2", interrupt=False)
+    a = sorted(tuple(r) for r in interrupted.collect())
+    b = sorted(tuple(r) for r in clean.collect())
+    assert a == b and len(a) > 0
