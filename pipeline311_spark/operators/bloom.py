@@ -72,12 +72,18 @@ def bloom_build(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    return words.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("mp")
-    ).select(
+    # Dense assembly via union-with-zeros + sort: O(n_words log n_words).
+    # The previous shape probed a sparse MAP per slot — but Spark maps
+    # are unsorted arrays with LINEAR element_at, making the assembly
+    # O(n_words²): ~4 s at 2^20 bits, minutes at the 2^26 cap (found by
+    # the r6 fp-rate probe; the small oracle corpora never hit it).
+    zeros = df.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("word"), F.lit(0).cast("long").alias("bits")
+    )
+    dense = words.unionByName(zeros).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return dense.groupBy().agg(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.element_at("mp", i.cast("int")), F.lit(0).cast("long")),
+            F.sort_array(F.collect_list(F.struct("word", "bits"))), lambda s: s["bits"]
         ).alias("words")
     )
 
@@ -85,23 +91,50 @@ def bloom_build(
 def bloom_might_contain(
     df: DataFrame, key: str, bloom: DataFrame, m_bits: int = 1 << 16, k: int = 5, seed: int = 7
 ) -> DataFrame:
-    """Adds ``__maybe``: true iff all k bits for the key are set.  The
-    one-row filter is broadcast; the probe is pure map-side Column math
-    on the scan — no shuffle, no join of the key list."""
-    probed = df.crossJoin(F.broadcast(bloom))
-    hit = F.forall(
-        _positions(F.col(key), m_bits, k, seed),
-        lambda p: (
-            F.element_at("words", (p / 64).cast("int") + 1)
-            .bitwiseAND(F.element_at(_bit_masks(), (p % 64).cast("int") + 1))
+    """Adds ``__maybe``: true iff all k bits for the key are set.
+
+    The filter rides a SCALAR SUBQUERY: Spark evaluates the one-row
+    words array once and treats it as a plan constant — no join at
+    all, the probe is pure map-side Column math on the scan.  The
+    previous broadcast-crossJoin shape materialized the m_bits/8-byte
+    array into every probed row, so per-row cost grew with the filter
+    size — measured 32.5 s vs 1.6 s per 400k rows at the 2^26-bit
+    ``auto_m_bits`` cap (found by the r6 fp-rate probe; small oracle
+    corpora never noticed).  The k probes are unrolled Columns, so the
+    hot path has no interpreted higher-order function either.
+
+    Subqueries can't nest inside lambdas (UNSUPPORTED_SUBQUERY_
+    EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION), which is also why the
+    positions are unrolled rather than ``forall``-folded."""
+    import uuid
+    from functools import reduce
+
+    from pipeline311_spark.ext.hashing import MOD
+
+    view = f"__bloom_words_{uuid.uuid4().hex[:12]}"
+    bloom.createOrReplaceTempView(view)
+    w = F.expr(f"(SELECT words FROM {view})")
+    h = portable_hash64(F.col(key).cast("string")) % MOD
+    conds = []
+    for a, b in hash_params(k, seed):
+        p = affine(h, a, b) % m_bits
+        conds.append(
+            (
+                F.element_at(w, (p / 64).cast("int") + 1)
+                .bitwiseAND(F.element_at(_bit_masks(), (p % 64).cast("int") + 1))
+            )
+            != 0
         )
-        != 0,
-    )
-    # NULL key → NULL positions; short-circuit to false BEFORE forall
-    # (a NULL-element predicate NPEs in codegen, and semantically a
-    # NULL key is never "in" the filter)
+    hit = reduce(lambda x, y: x & y, conds)
+    # NULL key → NULL hash; short-circuit to false (semantically a NULL
+    # key is never "in" the filter)
     hit = F.when(F.col(key).isNull(), F.lit(False)).otherwise(hit)
-    return probed.withColumn("__maybe", hit).drop("words")
+    out = df.withColumn("__maybe", hit)
+    # force analysis so the view's plan is bound into the DataFrame,
+    # then drop the registration — no catalog residue per call
+    out.schema
+    df.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 def auto_m_bits(

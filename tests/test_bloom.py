@@ -49,20 +49,21 @@ def test_anti_join_bloom_keeps_null_keys(spark):
 
 
 def test_bloom_probe_is_map_side(spark):
-    # the probe itself must add no Exchange: broadcast filter + Column
-    # math on the scan
+    # r6: the probe is a SCALAR SUBQUERY constant + Column math — the
+    # probe side must carry NO join and NO exchange at all (the filter
+    # BUILD aggregates inside the subquery; its exchanges move
+    # m/64-long rows, not the probe side).  The old broadcast-crossJoin
+    # shape copied the words array into every probed row — per-row cost
+    # grew with m_bits (20x at the auto_m_bits cap).
     dest = spark.range(100).select(F.col("id").alias("k"))
     bloom = bloom_build(dest, "k")
     probed = bloom_might_contain(spark.range(1000).select(F.col("id").alias("k")), "k", bloom)
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    # shuffle exchanges print as "Exchange hashpartitioning/range..." —
-    # the probed table must reach the filter via broadcast join only.
-    # (The filter BUILD legitimately aggregates: its exchanges sit
-    # behind the broadcast and move m/64-long rows, not the probe side.)
-    probe_side = plan.split("BroadcastExchange")[0]
+    probe_side = plan.split("Subquery")[0]
     assert "Exchange hashpartitioning" not in probe_side
     assert "Exchange rangepartitioning" not in probe_side
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in probe_side  # no join of any kind on the probe
+    assert "scalar-subquery" in plan or "Subquery" in plan
 
 
 def test_bloom_anti_join_property(spark):

@@ -233,6 +233,10 @@ def test_aqe_skew_join_split_fires(spark):
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # pin explicitly: skew detection compares against the MEDIAN
+        # partition size, so a conf left behind by another test (1
+        # partition, or hundreds of tiny ones) changes the medians
+        "spark.sql.shuffle.partitions": "4",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     try:

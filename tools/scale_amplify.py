@@ -92,6 +92,10 @@ def main() -> None:
 
     max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     factors = [f for f in (1, 4, 16, 64) if f <= max_factor]
+    env_f = os.environ.get("SPARK_GRAFT_AMPLIFY_FACTORS")
+    if env_f:  # e.g. "64" to run one factor in its own process
+        factors = [int(x) for x in env_f.split(",")]
+    only = set(sys.argv[2:])  # optional op-name filter (e.g. just 'bloom')
 
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
@@ -118,6 +122,60 @@ def main() -> None:
         lsh_ann_topk,
     )
     from pipeline311_spark.ext.textstats import lang_id
+
+    # -- Bloom-gated reconciliation (r6 punch #8): measure the fp-rate
+    # degradation past auto_m_bits' 2^26-bit broadcast cap, not just
+    # assert it.  dest scales to 32M keys at x64 (past the ~6.7M-key
+    # point where bits/key drops below 10); source is dest plus an
+    # equal count of known-missing keys, so the measured fp rate is
+    # exact: maybes among the known-missing half / half size.  The
+    # anti-join output must stay EXACTLY the missing half at every
+    # factor — degradation costs probe-side work, never correctness.
+    if not only or "bloom" in only:
+        from pipeline311_spark.operators.bloom import (
+            anti_join_bloom,
+            auto_m_bits,
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        for m in factors:
+            n_dest = 500_000 * m
+            dest = spark.range(n_dest).select(F.col("id").alias("k"))
+            source = spark.range(2 * n_dest).select(F.col("id").alias("k"))
+            m_bits = auto_m_bits(dest, "k")
+            t0 = time.time()
+            n_anti = anti_join_bloom(source, dest, "k", m_bits=m_bits).count()
+            secs = round(time.time() - t0, 3)
+            bl = bloom_build(dest, "k", m_bits)
+            # fp measured EXACTLY on a 2M-key sample of the known-missing
+            # half (the full half only tightens the 4th decimal)
+            n_probe = min(n_dest, 2_000_000)
+            missing = spark.range(n_dest, n_dest + n_probe).select(F.col("id").alias("k"))
+            fp = (
+                bloom_might_contain(missing, "k", bl, m_bits)
+                .filter("__maybe")
+                .count()
+                / n_probe
+            )
+            print(
+                json.dumps(
+                    {
+                        "op": "anti_join_bloom",
+                        "factor": m,
+                        "n_dest": n_dest,
+                        "m_bits": m_bits,
+                        "bits_per_key": round(m_bits / n_dest, 2),
+                        "fp_rate": round(fp, 5),
+                        "anti_rows_exact": n_anti == n_dest,
+                        "secs": secs,
+                    }
+                ),
+                flush=True,
+            )
+    if only == {"bloom"}:
+        spark.stop()
+        return
 
     base = tempfile.mkdtemp(prefix="p311_amplify_")
     docs_path = {}
@@ -185,6 +243,8 @@ def main() -> None:
     OPS["lsh_ann_topk"](1).count()
 
     for name, fn in OPS.items():
+        if only and name not in only:
+            continue
         secs: dict[int, float] = {}
         rows: dict[int, int] = {}
         for m in factors:
