@@ -177,15 +177,20 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    rsizes = groups.filter(F.col("doc") == F.col("rep")).select("doc", "sz")
+    # group size rides the SAME sizes join the Jaccard needs anyway —
+    # the expansion cap then costs zero extra stages (gn_cols)
+    rsizes = groups.filter(F.col("doc") == F.col("rep")).select("doc", "sz", "gn")
+    ra = rsizes.toDF("doc_a", "sz_a", "gn_a")
+    rb = rsizes.toDF("doc_b", "sz_b", "gn_b")
     cross = (
-        inter.join(rsizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(rsizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        inter.join(ra, "doc_a")
+        .join(rb, "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
     )
     expanded = _expand_cross(
-        cross, groups, ["inter", "sz_a", "sz_b", "jaccard"], swap_cols=(("sz_a", "sz_b"),)
+        cross, groups, ["inter", "sz_a", "sz_b", "jaccard"],
+        swap_cols=(("sz_a", "sz_b"),), gn_cols=("gn_a", "gn_b"),
     )
     ident = _ident_member_pairs(
         groups, max_group, carry=("sz",), group_key=("sz", "fp1", "fp2")
@@ -413,6 +418,7 @@ def _expand_cross(
     value_cols: list[str],
     swap_cols: tuple[tuple[str, str], ...] = (),
     cross_cap: int = CROSS_MAX_PAIRS,
+    gn_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Expand verified rep↔rep pairs to member↔member pairs: two narrow
     joins against the (doc, rep) membership table (the verified pair
@@ -423,11 +429,19 @@ def _expand_cross(
     doc.
 
     Cross-group cap (``cross_cap``, see ``CROSS_MAX_PAIRS``): the gate
-    runs on the pair's group SIZES, joined BEFORE the exploding
+    runs on the pair's group SIZES, known BEFORE the exploding
     membership joins — a pair whose bipartite product exceeds the cap
     emits its single rep↔rep bridge row and never touches the member
     tables, so the blowup is prevented at plan level, not filtered
     after the fact.  Mirrored 1:1 by every DuckDB oracle twin.
+
+    ``gn_cols`` names the pair's group-size columns when the caller
+    already carried them onto ``cross`` (through the banding shuffle —
+    ``lsh_candidate_pairs(carry=("gn",))`` — or an existing sizes
+    join): the gate is then a pure row filter with ZERO added stages.
+    Without it the sizes are joined in from ``groups`` (two AQE stage
+    materializations — measured ~1 s of stage-wave overhead per run at
+    bench scale, which is why every hot caller carries instead).
 
     Join side sizing: only members of MULTI-doc groups (gn >= 2) can
     differ from their rep, so the joins run LEFT against that subset
@@ -435,16 +449,24 @@ def _expand_cross(
     is then the dup-group membership — proportional to duplicated
     content, not the corpus — instead of the full doc-cardinality
     membership table."""
-    gsz = groups.filter(F.col("doc") == F.col("rep")).select("rep", "gn")
-    sized = cross.join(
-        gsz.select(F.col("rep").alias("doc_a"), F.col("gn").alias("__gna")), "doc_a"
-    ).join(gsz.select(F.col("rep").alias("doc_b"), F.col("gn").alias("__gnb")), "doc_b")
-    big = F.col("__gna") * F.col("__gnb") > F.lit(cross_cap)
-    bridge = sized.filter(big).select("doc_a", "doc_b", *value_cols)
-    small_cross = sized.filter(~big).select("doc_a", "doc_b", *value_cols)
+    if gn_cols is not None:
+        ca_, cb_ = gn_cols
+        sized = cross.withColumn("__gna", F.col(ca_)).withColumn("__gnb", F.col(cb_))
+    else:
+        gsz = groups.filter(F.col("doc") == F.col("rep")).select("rep", "gn")
+        sized = cross.join(
+            gsz.select(F.col("rep").alias("doc_a"), F.col("gn").alias("__gna")), "doc_a"
+        ).join(gsz.select(F.col("rep").alias("doc_b"), F.col("gn").alias("__gnb")), "doc_b")
+    # The cap rides the membership JOIN CONDITION: a pair past the cap
+    # matches nothing, the left join keeps it once with NULL members,
+    # and the coalesce below yields the rep↔rep bridge row.  One plan,
+    # no filter-split + union — a union would duplicate the (expensive)
+    # verify subtree into both arms and re-run it (measured ~1 s of
+    # re-executed stages per pair query at bench scale).
+    small = F.col("__gna") * F.col("__gnb") <= F.lit(cross_cap)
     mem = groups.filter(F.col("gn") >= 2).select("doc", "rep")
-    a = mem.select(F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"))
-    b = mem.select(F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"))
+    a = mem.select(F.col("rep").alias("__ra"), F.col("doc").alias("__ma"))
+    b = mem.select(F.col("rep").alias("__rb"), F.col("doc").alias("__mb"))
     ma = F.coalesce("__ma", "doc_a")
     mb = F.coalesce("__mb", "doc_b")
     swap = ma < mb
@@ -452,16 +474,15 @@ def _expand_cross(
     for ca, cb in swap_cols:
         exprs[ca] = F.when(swap, F.col(ca)).otherwise(F.col(cb))
         exprs[cb] = F.when(swap, F.col(cb)).otherwise(F.col(ca))
-    expanded = (
-        small_cross.join(a, "doc_a", "left")
-        .join(b, "doc_b", "left")
+    return (
+        sized.join(a, (F.col("doc_a") == F.col("__ra")) & small, "left")
+        .join(b, (F.col("doc_b") == F.col("__rb")) & small, "left")
         .select(
             F.least(ma, mb).alias("doc_a"),
             F.greatest(ma, mb).alias("doc_b"),
             *[exprs[c].alias(c) for c in value_cols],
         )
     )
-    return expanded.unionByName(bridge)
 
 
 def minhash_signatures(
@@ -486,6 +507,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int | None = 200,
     distinct_pairs: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Band the signature (bands × k/bands rows) and emit distinct doc
     pairs sharing any band bucket.  ``max_bucket`` caps pathological
@@ -510,10 +532,15 @@ def lsh_candidate_pairs(
     same pair once per agreeing band — for callers (minhash_dedup_pairs)
     that dedupe later anyway on a much smaller, already-materialized
     candidate set.
+
+    ``carry``: per-doc columns of ``sig`` (e.g. group size ``gn``) to
+    ride the banding shuffle into the output as ``<c>_a`` / ``<c>_b``
+    — a few extra bytes per banded row instead of post-hoc join stages
+    against a doc-cardinality table.
     """
     banded = sig.select(
-        "doc", F.explode(_band_expr(k, bands)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "doc", *carry, F.explode(_band_expr(k, bands)).alias("bk")
+    ).select("doc", *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # Size-gate FIRST (spill-safe window count), collect membership only
     # for surviving buckets: a hot bucket never reaches collect_set.
     # One row per (doc, band) → count == distinct docs in the bucket.
@@ -521,14 +548,18 @@ def lsh_candidate_pairs(
     gate = (F.col("n") >= 2) if max_bucket is None else (
         (F.col("n") >= 2) & (F.col("n") <= max_bucket)
     )
+    member = F.struct("doc", *carry) if carry else F.col("doc")
     buckets = (
         banded.withColumn("n", F.count("*").over(wsz))
         .filter(gate)
         .groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        # sort_array on structs orders by the leading field (doc) —
+        # same pair order as the plain-doc form
+        .agg(F.sort_array(F.collect_set(member)).alias("docs"))
     )
-    out = buckets.select(F.explode(_bucket_pairs_expr()).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    pair_cols = ["doc_a", "doc_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
+    out = buckets.select(F.explode(_bucket_pairs_expr(carry)).alias("p")).select(
+        *[F.col(f"p.{c}").alias(c) for c in pair_cols]
     )
     return out.distinct() if distinct_pairs else out
 
@@ -552,17 +583,38 @@ def _band_expr(k: int, bands: int) -> Column:
     ])
 
 
-@jvm_memo(maxsize=1)
-def _bucket_pairs_expr() -> Column:
+@jvm_memo(maxsize=4)
+def _bucket_pairs_expr(carry: tuple[str, ...] = ()) -> Column:
     """Memoized all-ordered-pairs (i < j) generator over the fixed
-    ``docs`` bucket-membership array, generated array-side."""
+    ``docs`` bucket-membership array, generated array-side.
+
+    With ``carry`` (e.g. ``("gn",)``) the array elements are structs
+    ``(doc, *carry)`` and each pair emits ``doc_a, doc_b`` plus
+    ``<c>_a, <c>_b`` for every carried field — how per-doc values
+    (group sizes for the cross-expansion cap) ride the banding shuffle
+    instead of paying join stages later."""
     docs = F.col("docs")
+    if not carry:
+        return F.flatten(
+            F.transform(
+                docs,
+                lambda x, i: F.transform(
+                    F.slice(docs, i + 2, F.greatest(F.size(docs) - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
     return F.flatten(
         F.transform(
             docs,
             lambda x, i: F.transform(
                 F.slice(docs, i + 2, F.greatest(F.size(docs) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    *[x[c].alias(f"{c}_a") for c in carry],
+                    *[y[c].alias(f"{c}_b") for c in carry],
+                ),
             ),
         )
     )
@@ -670,9 +722,12 @@ def minhash_dedup_pairs(
     )
     reps = sigg.filter(F.col("doc") == F.col("rep"))
     # Materialize the (tiny) candidate set once: downstream reuse would
-    # otherwise re-execute the whole signature+banding pipeline.
+    # otherwise re-execute the whole signature+banding pipeline.  Group
+    # sizes ride the banding (carry) so the expansion cap needs no join.
     cand = persist_tracked(
-        lsh_candidate_pairs(reps, k, bands, max_bucket=max_bucket, distinct_pairs=False)
+        lsh_candidate_pairs(
+            reps, k, bands, max_bucket=max_bucket, distinct_pairs=False, carry=("gn",)
+        )
     )
     cand.count()
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
@@ -683,7 +738,9 @@ def minhash_dedup_pairs(
     )
     cand_grams = _gram_hash_table(small, "__id", "__t", n)
     cross = _jaccard_verify(cand.distinct(), cand_grams, threshold)
-    return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
+    return _expand_cross(
+        cross, sigg, ["jaccard"], gn_cols=("gn_a", "gn_b")
+    ).unionByName(
         _ident_member_pairs(
             sigg, max_group, group_key=("sz", "fp1", "fp2")
         ).withColumn("jaccard", F.lit(1.0))
@@ -719,7 +776,9 @@ def minhash_pairs_from_grams(
     )
     reps = sigg.filter(F.col("doc") == F.col("rep"))
     cand = persist_tracked(
-        lsh_candidate_pairs(reps, k, bands, max_bucket=max_bucket, distinct_pairs=False)
+        lsh_candidate_pairs(
+            reps, k, bands, max_bucket=max_bucket, distinct_pairs=False, carry=("gn",)
+        )
     )
     cand.count()
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
@@ -727,7 +786,9 @@ def minhash_pairs_from_grams(
     ).distinct()
     cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
     cross = _jaccard_verify(cand.distinct(), cand_grams, threshold)
-    return _expand_cross(cross, sigg, ["jaccard"]).unionByName(
+    return _expand_cross(
+        cross, sigg, ["jaccard"], gn_cols=("gn_a", "gn_b")
+    ).unionByName(
         _ident_member_pairs(
             sigg, max_group, group_key=("sz", "fp1", "fp2")
         ).withColumn("jaccard", F.lit(1.0))
@@ -764,13 +825,15 @@ def _jaccard_verify(
     doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
+    extra = [c for c in cand.columns if c not in ("doc_a", "doc_b")]
     return (
-        cand.select("doc_a", "doc_b")
+        cand.select("doc_a", "doc_b", *extra)
         .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            *extra,
             "set_a",
             "set_b",
             F.size("set_a").alias("sz_a"),
@@ -780,6 +843,7 @@ def _jaccard_verify(
         .select(
             "doc_a",
             "doc_b",
+            *extra,
             F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
             "sz_a",
             "sz_b",
@@ -788,7 +852,7 @@ def _jaccard_verify(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", *extra, "jaccard")
     )
 
 
@@ -843,7 +907,10 @@ def minhash_incremental_pairs(
     sigg = persist_tracked(_with_groups_flagged(sig))
     reps = sigg.filter(F.col("doc") == F.col("rep"))
     cand = _incremental_candidates(
-        reps.select("doc", F.col("g_new").alias("is_new"), *[f"mh{i}" for i in range(k)]),
+        reps.select(
+            "doc", F.col("g_new").alias("is_new"), "rep_new", "gn",
+            *[f"mh{i}" for i in range(k)],
+        ),
         k, bands, max_bucket,
     )
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
@@ -879,42 +946,34 @@ def _flag_expand_ident(
     doc — so the result provably equals the full re-dedup filtered to
     pairs involving a new member, star/clique/bridge semantics
     included.  The cross-group cap (``CROSS_MAX_PAIRS``) gates on group
-    sizes BEFORE the exploding membership joins, same as the full run;
-    a capped pair's bridge edge survives iff either REP doc is new —
-    which is exactly "the full run's bridge, filtered to new members"."""
-    rinfo = sigg.filter(F.col("doc") == F.col("rep")).select("rep", "is_new", "gn")
-    sized = cross.join(
-        rinfo.select(
-            F.col("rep").alias("doc_a"), F.col("is_new").alias("__ra"), F.col("gn").alias("__gna")
-        ),
-        "doc_a",
-    ).join(
-        rinfo.select(
-            F.col("rep").alias("doc_b"), F.col("is_new").alias("__rb"), F.col("gn").alias("__gnb")
-        ),
-        "doc_b",
-    )
-    big = F.col("__gna") * F.col("__gnb") > F.lit(cross_cap)
-    bridge = sized.filter(big & (F.col("__ra") | F.col("__rb"))).select(
-        "doc_a", "doc_b", "jaccard"
-    )
-    small_cross = sized.filter(~big).select("doc_a", "doc_b", "jaccard")
+    sizes known BEFORE the exploding membership joins — carried onto
+    ``cross`` through the banding (``_incremental_candidates`` emits
+    ``gn_a/gn_b`` and ``rep_new_a/rep_new_b``), so the gate is a pure
+    row filter with zero added stages, same as the full run; a capped
+    pair's bridge edge survives iff either REP doc is new — which is
+    exactly "the full run's bridge, filtered to new members"."""
+    # same single-plan shape as _expand_cross: the cap rides the join
+    # condition; a capped pair matches nothing and coalesces to the
+    # rep↔rep bridge row (no filter-split + union re-running the verify)
+    small = F.col("gn_a") * F.col("gn_b") <= F.lit(cross_cap)
     a = sigg.select(
-        F.col("rep").alias("doc_a"), F.col("doc").alias("__ma"), F.col("is_new").alias("__na")
+        F.col("rep").alias("__ra"), F.col("doc").alias("__ma"), F.col("is_new").alias("__na")
     )
     b = sigg.select(
-        F.col("rep").alias("doc_b"), F.col("doc").alias("__mb"), F.col("is_new").alias("__nb")
+        F.col("rep").alias("__rb"), F.col("doc").alias("__mb"), F.col("is_new").alias("__nb")
     )
+    keep_new = F.when(
+        small, F.col("__na") | F.col("__nb")
+    ).otherwise(F.col("rep_new_a") | F.col("rep_new_b"))
     expanded = (
-        small_cross.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(F.col("__na") | F.col("__nb"))
+        cross.join(a, (F.col("doc_a") == F.col("__ra")) & small, "left")
+        .join(b, (F.col("doc_b") == F.col("__rb")) & small, "left")
+        .filter(keep_new)
         .select(
-            F.least("__ma", "__mb").alias("doc_a"),
-            F.greatest("__ma", "__mb").alias("doc_b"),
+            F.least(F.coalesce("__ma", "doc_a"), F.coalesce("__mb", "doc_b")).alias("doc_a"),
+            F.greatest(F.coalesce("__ma", "doc_a"), F.coalesce("__mb", "doc_b")).alias("doc_b"),
             "jaccard",
         )
-        .unionByName(bridge)
     )
     # clique via bucket-collect with a gn-gated buffer, pair gen
     # array-side with the >=1-new filter inline — grouped by the content
@@ -954,11 +1013,15 @@ def _flag_expand_ident(
 
 
 def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int) -> DataFrame:
-    """Band a flagged signature table (doc, is_new, mh*) — since the r5
-    content collapse, one REPRESENTATIVE row per distinct gram set,
-    with ``is_new`` meaning "the group contains any new doc" — and emit
-    the distinct candidate rep pairs with >=1 flagged member, persisted
-    + counted (the tiny materialization every caller reuses).
+    """Band a flagged signature table (doc, is_new, rep_new, gn, mh*) —
+    since the r5 content collapse, one REPRESENTATIVE row per distinct
+    gram set, with ``is_new`` meaning "the group contains any new doc"
+    — and emit the distinct candidate rep pairs with >=1 flagged
+    member, persisted + counted (the tiny materialization every caller
+    reuses).  ``rep_new`` (the rep doc's OWN flag) and ``gn`` (group
+    size) ride the banding into the pair output as ``rep_new_a/b`` /
+    ``gn_a/b``, so the downstream expansion cap and bridge filter
+    (:func:`_flag_expand_ident`) need no sizes join.
 
     The bucket size-gate sees COMBINED rep counts (existing + new
     content groups together), so gating matches a full re-dedup
@@ -966,15 +1029,22 @@ def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int)
     membership collection — the incremental work-pruning (their pairs
     could only ever expand to old-old member pairs)."""
     banded = sig.select(
-        "doc", "is_new", F.explode(_band_expr(k, bands)).alias("bk")
-    ).select("doc", "is_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "doc", "is_new", "rep_new", "gn", F.explode(_band_expr(k, bands)).alias("bk")
+    ).select(
+        "doc", "is_new", "rep_new", "gn",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
     wsz = Window.partitionBy("band", "key")
     buckets = (
         banded.withColumn("n", F.count("*").over(wsz))
         .withColumn("n_new", F.sum(F.col("is_new").cast("int")).over(wsz))
         .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket) & (F.col("n_new") >= 1))
         .groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set(F.struct("doc", "is_new"))).alias("members"))
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc", "is_new", "rep_new", "gn"))
+            ).alias("members")
+        )
     )
     m = F.col("members")
     pairs = F.flatten(
@@ -986,6 +1056,10 @@ def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int)
                     lambda y: F.struct(
                         x["doc"].alias("doc_a"),
                         y["doc"].alias("doc_b"),
+                        x["rep_new"].alias("rep_new_a"),
+                        y["rep_new"].alias("rep_new_b"),
+                        x["gn"].alias("gn_a"),
+                        y["gn"].alias("gn_b"),
                         (x["is_new"] | y["is_new"]).alias("has_new"),
                     ),
                 ),
@@ -995,7 +1069,14 @@ def _incremental_candidates(sig: DataFrame, k: int, bands: int, max_bucket: int)
     )
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.rep_new_a").alias("rep_new_a"),
+            F.col("p.rep_new_b").alias("rep_new_b"),
+            F.col("p.gn_a").alias("gn_a"),
+            F.col("p.gn_b").alias("gn_b"),
+        )
         .distinct()
     )
     cand = persist_tracked(cand)
@@ -1048,7 +1129,10 @@ def minhash_incremental_from_store(
     sigg = persist_tracked(_with_groups_flagged(old_sig.unionByName(new_sig)))
     reps = sigg.filter(F.col("doc") == F.col("rep"))
     cand = _incremental_candidates(
-        reps.select("doc", F.col("g_new").alias("is_new"), *[f"mh{i}" for i in range(k)]),
+        reps.select(
+            "doc", F.col("g_new").alias("is_new"), "rep_new", "gn",
+            *[f"mh{i}" for i in range(k)],
+        ),
         k, bands, max_bucket,
     )
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
@@ -1154,7 +1238,8 @@ def simhash_near_pairs(
         .withColumn("rep", F.min("doc").over(w))
         .withColumn("gn", F.count("*").over(w))
     )
-    reps = groups.filter(F.col("doc") == F.col("rep")).select("doc", "simhash")
+    # gn rides the banding so the expansion cap needs no sizes join
+    reps = groups.filter(F.col("doc") == F.col("rep")).select("doc", "simhash", "gn")
     if bands < 1 or bits % bands:
         # zero-width bands would key every signature to mask 0 — one
         # global bucket, then the size gate drops everything (silent)
@@ -1164,6 +1249,7 @@ def simhash_near_pairs(
     banded = reps.select(
         "doc",
         "simhash",
+        "gn",
         F.explode(
             F.array(*[
                 F.struct(
@@ -1173,7 +1259,9 @@ def simhash_near_pairs(
                 for bi in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "doc", "simhash", "gn", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     wsz = Window.partitionBy("band", "key")
     if max_bucket is not None:
         banded = banded.withColumn("n", F.count("*").over(wsz)).filter(
@@ -1192,6 +1280,8 @@ def simhash_near_pairs(
             F.col("b.doc").alias("doc_b"),
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
+            F.col("a.gn").alias("gn_a"),
+            F.col("b.gn").alias("gn_b"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
@@ -1199,9 +1289,11 @@ def simhash_near_pairs(
     )
     # Expansion: rep↔rep pairs back to member↔member, sig columns
     # following the least/greatest member swap — the shared kernel
-    # (:func:`_expand_cross`, same join-side sizing argument).
+    # (:func:`_expand_cross`, same join-side sizing argument; gn rode
+    # the band join, so the cap is a pure row filter).
     expanded = _expand_cross(
-        cross, groups, ["sig_a", "sig_b", "hamming"], swap_cols=(("sig_a", "sig_b"),)
+        cross, groups, ["sig_a", "sig_b", "hamming"],
+        swap_cols=(("sig_a", "sig_b"),), gn_cols=("gn_a", "gn_b"),
     )
     ident = _ident_member_pairs(
         groups, max_group, carry=("simhash",), group_key=("simhash",)

@@ -389,7 +389,9 @@ def embedding_near_dup_pairs(
         b.withColumn("rep", F.min(id_col).over(wg))
         .withColumn("gn", F.count("*").over(wg))
     )
-    reps = groups.filter(F.col(id_col) == F.col("rep")).drop("rep", "gn")
+    # gn stays on the reps so the cross-group cap below is a pure row
+    # filter — no sizes join, no extra AQE stage
+    reps = groups.filter(F.col(id_col) == F.col("rep")).drop("rep")
     wsz = Window.partitionBy("bucket")
     gated = reps
     if max_bucket is not None:
@@ -406,6 +408,8 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.gn").alias("__gna"),
+            F.col("b.gn").alias("__gnb"),
             cosine_pre(
                 F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
             ).alias("cos_sim"),
@@ -418,28 +422,26 @@ def embedding_near_dup_pairs(
     # the rep↔rep bridge edge — members are already connected to their
     # rep by the ident arm below, so downstream clusters are identical
     # and two million-copy embeddings can't emit 10^12 pair rows.  The
-    # size gate joins BEFORE the exploding membership joins.
+    # sizes rode the bucket self-join, and the cap rides the membership
+    # JOIN CONDITION (a capped pair matches nothing and coalesces to
+    # the rep pair) — one plan, no filter-split + union re-running the
+    # bucketed self-join.
     from pipeline311_spark.ext.dedup import CROSS_MAX_PAIRS
 
-    gsz = groups.filter(F.col(id_col) == F.col("rep")).select("rep", "gn")
-    sized = cross.join(
-        gsz.select(F.col("rep").alias("id_a"), F.col("gn").alias("__gna")), "id_a"
-    ).join(gsz.select(F.col("rep").alias("id_b"), F.col("gn").alias("__gnb")), "id_b")
-    big = F.col("__gna") * F.col("__gnb") > F.lit(CROSS_MAX_PAIRS)
-    bridge = sized.filter(big).select("id_a", "id_b", "cos_sim")
-    small_cross = sized.filter(~big).select("id_a", "id_b", "cos_sim")
-    mem = groups.select(F.col(id_col).alias("__m"), "rep")
-    ea = mem.select(F.col("rep").alias("id_a"), F.col("__m").alias("__ma"))
-    eb = mem.select(F.col("rep").alias("id_b"), F.col("__m").alias("__mb"))
+    small = F.col("__gna") * F.col("__gnb") <= F.lit(CROSS_MAX_PAIRS)
+    mem = groups.filter(F.col("gn") >= 2).select(F.col(id_col).alias("__m"), "rep")
+    ea = mem.select(F.col("rep").alias("__ra"), F.col("__m").alias("__ma"))
+    eb = mem.select(F.col("rep").alias("__rb"), F.col("__m").alias("__mb"))
+    ma = F.coalesce("__ma", "id_a")
+    mb = F.coalesce("__mb", "id_b")
     expanded = (
-        small_cross.join(ea, "id_a")
-        .join(eb, "id_b")
+        cross.join(ea, (F.col("id_a") == F.col("__ra")) & small, "left")
+        .join(eb, (F.col("id_b") == F.col("__rb")) & small, "left")
         .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
+            F.least(ma, mb).alias("id_a"),
+            F.greatest(ma, mb).alias("id_b"),
             "cos_sim",
         )
-        .unionByName(bridge)
     )
     # Identical-vector pairs: cosine computed with the SAME expression
     # as cross pairs (on v,v) so the value matches the oracle bit-wise.

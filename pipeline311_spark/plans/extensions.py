@@ -1213,6 +1213,44 @@ def q_wav_windows(spark, sf_dir):
     ).select("media_id", "window_no", "n_samples", "sum_abs", "peak")
 
 
+# Nearest-neighbor downsample of the 4x4 md5 image by factor 2 keeps
+# pixels (0,0),(0,2),(2,0),(2,2) = digest bytes 0, 2, 8, 10 — the
+# oracle recomputes exactly those from the hex, so the whole
+# encode → decode → resize → re-encode → decode chain (two real codec
+# round trips through two mapInPandas stages) is exact-int gated.
+_PNG_RESIZE_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS orig_w, CAST(4 AS BIGINT) AS orig_h,
+       CAST(2 AS BIGINT) AS new_w, CAST(2 AS BIGINT) AS new_h,
+       CAST({_PX[0]} + {_PX[2]} + {_PX[8]} + {_PX[10]} AS BIGINT) AS sum_px
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register("multimodal_png_resize_roundtrip", _PNG_RESIZE_SQL, covers=("ext:multimodal",))
+def q_png_resize_roundtrip(spark, sf_dir):
+    from pipeline311_spark.ext.multimodal import decode_image_features, resize_png
+
+    d = table(spark, sf_dir, "documents")
+    resized = resize_png(_md5_media(d, "png"), factor=2).select(
+        "media_id", F.col("resized").alias("payload"),
+        "orig_w", "orig_h", "new_w", "new_h",
+    )
+    feats = decode_image_features(resized, dim=8, fake=False).join(
+        resized.select("media_id", "orig_w", "orig_h"), "media_id"
+    )
+    f = F.col("features")
+    # mean*4 exact in IEEE doubles (integral sum, power-of-two scale)
+    return feats.select(
+        "media_id",
+        F.col("orig_w").cast("long").alias("orig_w"),
+        F.col("orig_h").cast("long").alias("orig_h"),
+        f[0].cast("long").alias("new_w"),
+        f[1].cast("long").alias("new_h"),
+        F.round(f[3] * 4).cast("long").alias("sum_px"),
+    )
+
+
 # Embedding norm stats (decimal-exact group means over rounded norms).
 _NORM_STATS_SQL = f"""
 WITH n AS (
