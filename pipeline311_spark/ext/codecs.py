@@ -106,8 +106,18 @@ def encode_png(
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to ``(width, height, channels, pixels)`` where
     ``pixels`` is the row-major unfiltered sample stream.  Raises
-    ``ValueError`` on anything outside the supported envelope (see
-    module docstring)."""
+    ``ValueError`` on ANYTHING outside the supported envelope —
+    including zlib/struct failures on truncated or corrupt payloads
+    (review r6: a deflate stream cut mid-way raised ``zlib.error``,
+    which escaped the operators' ValueError quarantine and aborted
+    the job)."""
+    try:
+        return _decode_png_inner(payload)
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt PNG: {e}") from e
+
+
+def _decode_png_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -119,11 +129,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("truncated chunk")
-        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated chunk CRC")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r}")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length {len(data)}")
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -196,6 +211,10 @@ def decode_wav(payload: bytes, mono: bool = True) -> tuple[int, int, list[int]]:
     With ``mono=True`` multi-channel frames are averaged (floor
     division — exact integer semantics, mirrorable in SQL).  Raises
     ``ValueError`` outside the supported envelope."""
+    # wave.open raises bare RuntimeError on some malformed headers and
+    # struct.error on truncated chunks (review r6: both escaped a
+    # wave.Error-only catch and aborted the job); everything maps to
+    # the ValueError quarantine contract
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             nch, sw, fr, nframes = (
@@ -205,10 +224,12 @@ def decode_wav(payload: bytes, mono: bool = True) -> tuple[int, int, list[int]]:
                 w.getnframes(),
             )
             raw = w.readframes(nframes)
-    except (wave.Error, EOFError, struct.error) as e:
+    except (wave.Error, EOFError, struct.error, RuntimeError) as e:
         raise ValueError(f"not a PCM WAV: {e}") from e
     if sw not in (1, 2, 4):
         raise ValueError(f"unsupported sample width {sw}")
+    if len(raw) % (sw * nch):
+        raise ValueError("data chunk truncated mid-frame")
     if sw == 1:
         vals = [b - 128 for b in raw]
     else:

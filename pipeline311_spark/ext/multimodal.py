@@ -101,6 +101,8 @@ def _png_features(payload: bytes, dim: int) -> list[float] | None:
         w, h, ch, px = decode_png(payload)
     except ValueError:
         return None
+    if not px:  # spec-valid 0x0 PNG: no pixels, no stats (review r6:
+        return None  # mean = s/0 crashed the task instead of degrading)
     n = len(px)
     s = sum(px)
     s2 = sum(b * b for b in px)

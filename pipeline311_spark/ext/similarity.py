@@ -416,32 +416,25 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-    # Cross-group cap (mirrors ext.dedup.CROSS_MAX_PAIRS, same DuckDB
-    # oracle mirror): a verified rep↔rep pair between two identical-
-    # vector groups whose bipartite product exceeds the cap emits only
-    # the rep↔rep bridge edge — members are already connected to their
-    # rep by the ident arm below, so downstream clusters are identical
-    # and two million-copy embeddings can't emit 10^12 pair rows.  The
-    # sizes rode the bucket self-join, and the cap rides the membership
-    # JOIN CONDITION (a capped pair matches nothing and coalesces to
-    # the rep pair) — one plan, no filter-split + union re-running the
-    # bucketed self-join.
-    from pipeline311_spark.ext.dedup import CROSS_MAX_PAIRS
+    # Cross-group cap + member expansion: the SHARED kernel
+    # (ext.dedup._expand_cross — a verified rep↔rep pair between two
+    # identical-vector groups whose bipartite product exceeds
+    # CROSS_MAX_PAIRS emits only the rep↔rep bridge edge, gated in the
+    # membership JOIN CONDITION with the sizes that rode the bucket
+    # self-join — zero added stages, clusters identical because the
+    # ident arm below always wires members to their rep).  Same DuckDB
+    # oracle mirror as the dedup family.
+    from pipeline311_spark.ext.dedup import _expand_cross
 
-    small = F.col("__gna") * F.col("__gnb") <= F.lit(CROSS_MAX_PAIRS)
-    mem = groups.filter(F.col("gn") >= 2).select(F.col(id_col).alias("__m"), "rep")
-    ea = mem.select(F.col("rep").alias("__ra"), F.col("__m").alias("__ma"))
-    eb = mem.select(F.col("rep").alias("__rb"), F.col("__m").alias("__mb"))
-    ma = F.coalesce("__ma", "id_a")
-    mb = F.coalesce("__mb", "id_b")
     expanded = (
-        cross.join(ea, (F.col("id_a") == F.col("__ra")) & small, "left")
-        .join(eb, (F.col("id_b") == F.col("__rb")) & small, "left")
-        .select(
-            F.least(ma, mb).alias("id_a"),
-            F.greatest(ma, mb).alias("id_b"),
-            "cos_sim",
+        _expand_cross(
+            cross.withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b"),
+            groups.select(F.col(id_col).alias("doc"), "rep", "gn"),
+            ["cos_sim"],
+            gn_cols=("__gna", "__gnb"),
         )
+        .withColumnRenamed("doc_a", "id_a")
+        .withColumnRenamed("doc_b", "id_b")
     )
     # Identical-vector pairs: cosine computed with the SAME expression
     # as cross pairs (on v,v) so the value matches the oracle bit-wise.

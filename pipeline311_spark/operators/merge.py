@@ -155,16 +155,28 @@ def merge_incremental_partitioned(
     # string — boolean True writes dir 'true', not Python's 'True';
     # dates/timestamps/decimals likewise), or the emptied-partition
     # delete below silently misses the dir and superseded rows stay
-    # resurrectable
-    render: dict = {}
+    # resurrectable.  Values are canonicalized through their rendering
+    # for SET membership: Python NaN != NaN, so two separately
+    # collected NaN objects would otherwise compare unequal and the
+    # freshly rewritten pc=NaN directory would land in `emptied` and be
+    # deleted — data loss for its surviving rows (review r6).  Spark's
+    # cast renders NaN deterministically ('NaN'), making the string the
+    # safe identity; `orig` keeps one native value per rendering for
+    # the pruning predicate (Spark SQL equality treats NaN = NaN as
+    # true, so isin() with the NaN literal still matches).
+    render_orig: dict = {}  # rendering -> native value
 
     def _vals_with_render(df: DataFrame) -> set:
         rows = df.select(
             F.col(partition_col).alias("__v"),
             F.col(partition_col).cast("string").alias("__s"),
         ).distinct().collect()
-        render.update({r["__v"]: r["__s"] for r in rows})
-        return {r["__v"] for r in rows}
+        out = set()
+        for r in rows:
+            key = r["__s"]  # None only for NULL value
+            render_orig[key] = r["__v"]
+            out.add(key)
+        return out
 
     touched = _vals_with_render(updates)
     guard_no_warehouse_narrowing(spark, target_path, updates)
@@ -187,7 +199,7 @@ def merge_incremental_partitioned(
     # partition and (b) let a NULL-carrying batch dynamically overwrite
     # __HIVE_DEFAULT_PARTITION__ with only its own rows, deleting every
     # other key that lived there
-    non_null = sorted(v for v in touched if v is not None)
+    non_null = [render_orig[s] for s in sorted(s for s in touched if s is not None)]
     pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     if None in touched:
         pred = pred | F.col(partition_col).isNull()
@@ -197,7 +209,11 @@ def merge_incremental_partitioned(
     target = spark.read.schema(updates.schema).parquet(target_path).filter(pred)
     merged = upsert(target, updates.select(target.columns), key, version_col)
     merged = merged.localCheckpoint(eager=True)
-    written = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    # written partitions by RENDERING too, same identity as `touched`
+    written = {
+        r[0]
+        for r in merged.select(F.col(partition_col).cast("string")).distinct().collect()
+    }
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -214,14 +230,14 @@ def merge_incremental_partitioned(
     # would silently miss it), NULL maps to the Hive default-partition
     # dir, and a failed delete of a still-existing directory raises
     # instead of leaving superseded rows resurrectable.
-    emptied = [v for v in touched if v not in written]
+    emptied = [s for s in touched if s not in written]
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        for v in emptied:
+        for s in emptied:
             dirname = (
-                "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(render[v])
+                "__HIVE_DEFAULT_PARTITION__" if s is None else esc.escapePathName(s)
             )
             p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_col}={dirname}")
             fs = p.getFileSystem(conf)

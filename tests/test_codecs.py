@@ -160,3 +160,64 @@ def test_resize_png_real_roundtrip(spark):
                 gpx[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
                 == px[(2 * y * 8 + 2 * x) * 3 : (2 * y * 8 + 2 * x) * 3 + 3]
             )
+
+
+def test_corrupt_media_never_escapes_valueerror():
+    """Review r6: truncated deflate streams raised zlib.error, malformed
+    WAV headers raised RuntimeError/struct.error — all escaped the
+    operators' ValueError quarantine and aborted jobs.  Everything
+    corrupt must surface as ValueError."""
+    # PNG with CRC-valid chunks but a truncated deflate stream
+    good = encode_png(8, 8, bytes(64), 0)
+    import struct as st
+    import zlib as zl
+
+    sig = good[:8]
+    ihdr = good[8:33]
+
+    def chunk(tag, data):
+        return st.pack(">I", len(data)) + tag + data + st.pack(
+            ">I", zl.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    full_idat = zl.compress(bytes((1 + 8) * 8))
+    truncated = sig + ihdr + chunk(b"IDAT", full_idat[: len(full_idat) // 2]) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(truncated)
+    # IHDR with wrong length
+    bad_ihdr = sig + chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ValueError):
+        decode_png(bad_ihdr)
+    # WAV: malformed header (RuntimeError path) and truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + b"\x00" * 40)
+    wav = bytearray(encode_wav([1000, -1000, 500, 7]))
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav[:-3]))  # cut mid-sample
+    # byte-mutation fuzz: every mutation either decodes or ValueErrors
+    import random
+
+    rng = random.Random(1)
+    for payload, dec in ((good, decode_png), (bytes(wav), decode_wav)):
+        for _ in range(200):
+            b = bytearray(payload)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            cut = rng.randrange(len(b)) if rng.random() < 0.3 else len(b)
+            try:
+                dec(bytes(b[:cut]))
+            except ValueError:
+                pass  # quarantine contract
+
+
+def test_zero_pixel_png_degrades_to_null_features(spark):
+    """Review r6: a spec-valid 0x0 PNG crashed _png_features with
+    ZeroDivisionError; it must degrade to NULL features like any other
+    undecodable payload."""
+    from pipeline311_spark.ext.multimodal import decode_image_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(0, 0, b"", 0)))], "media_id long, payload binary"
+    )
+    rows = decode_image_features(df, dim=8, fake=False).collect()
+    assert len(rows) == 1 and rows[0]["features"] is None

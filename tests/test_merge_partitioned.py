@@ -194,3 +194,52 @@ def test_narrowing_guard_propagates_non_empty_warehouse_errors(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"PAR1 this is not a parquet file")
     with pytest.raises(Exception):
         guard_no_warehouse_narrowing(spark, str(bad), updates)
+
+
+def test_nan_partition_value_not_deleted_after_rewrite(spark):
+    """Review r6: Python NaN != NaN, so two separately collected NaN
+    partition values compared unequal, the freshly rewritten pc=NaN
+    directory landed in `emptied`, and its surviving rows were deleted.
+    Partition identity now goes through Spark's string rendering."""
+    import math
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"wh_nan_{uuid.uuid4().hex[:10]}")
+    base = spark.createDataFrame(
+        [(1, 1.0, 1, float("nan")), (2, 2.0, 1, 0.5)],
+        "key long, val double, version int, pc double",
+    )
+    base.write.partitionBy("pc").parquet(path)
+
+    # update key 1 IN the NaN partition (it survives there) and add key 3
+    u = spark.createDataFrame(
+        [(1, 10.0, 2, float("nan")), (3, 3.0, 1, float("nan"))],
+        "key long, val double, version int, pc double",
+    )
+    merge_incremental_partitioned(spark, path, u, "key", "version", "pc")
+    got = {
+        r["key"]: (r["val"], r["pc"])
+        for r in spark.read.schema(base.schema).parquet(path).collect()
+    }
+    assert got[1][0] == 10.0 and math.isnan(got[1][1])
+    assert got[3][0] == 3.0 and math.isnan(got[3][1])
+    assert got[2] == (2.0, 0.5)
+    assert os.path.isdir(os.path.join(path, "pc=NaN"))
+
+    # and a key MOVING OUT of NaN empties + deletes the dir when no rows survive
+    path2 = os.path.join(tempfile.gettempdir(), f"wh_nan2_{uuid.uuid4().hex[:10]}")
+    spark.createDataFrame(
+        [(1, 1.0, 1, float("nan")), (2, 2.0, 1, 0.5)],
+        "key long, val double, version int, pc double",
+    ).write.partitionBy("pc").parquet(path2)
+    mv = spark.createDataFrame(
+        [(1, 5.0, 2, 0.5)], "key long, val double, version int, pc double"
+    )
+    merge_incremental_partitioned(spark, path2, mv, "key", "version", "pc")
+    got2 = {
+        r["key"]: (r["val"], r["pc"])
+        for r in spark.read.schema(base.schema).parquet(path2).collect()
+    }
+    assert got2 == {1: (5.0, 0.5), 2: (2.0, 0.5)}
+    assert not os.path.isdir(os.path.join(path2, "pc=NaN"))

@@ -90,12 +90,19 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    max_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # args: [max_factor] [op ...] — a non-numeric first arg is an op
+    # filter with the default factor (review r6: 'scale_amplify.py
+    # bloom' crashed on int('bloom'))
+    args = sys.argv[1:]
+    if args and args[0].isdigit():
+        max_factor, args = int(args[0]), args[1:]
+    else:
+        max_factor = 16
     factors = [f for f in (1, 4, 16, 64) if f <= max_factor]
     env_f = os.environ.get("SPARK_GRAFT_AMPLIFY_FACTORS")
     if env_f:  # e.g. "64" to run one factor in its own process
         factors = [int(x) for x in env_f.split(",")]
-    only = set(sys.argv[2:])  # optional op-name filter (e.g. just 'bloom')
+    only = set(args)  # optional op-name filter (e.g. just 'bloom')
 
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
