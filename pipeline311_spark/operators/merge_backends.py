@@ -14,8 +14,13 @@ backend:
 * ``delta``: a native ``DeltaTable.merge`` with the same
   updates-win-on-version-tie semantics.  The delta-spark library is not
   in this container, so the backend raises a clear ImportError at
-  construction; its unit test is skipped-not-failed in-container and
-  runs wherever delta-spark is installed.
+  construction; its exact builder-call chain and tie-break semantics
+  are contract-asserted against a recording, EXECUTING fake
+  (tests/fake_delta.py), and the live test runs wherever delta-spark
+  is installed.
+* ``sqlmerge``: the ANSI ``MERGE INTO`` statement for SQL-capable v2
+  catalogs (Iceberg, Delta-SQL, Unity) — same clause chain as the
+  Delta adapter, statement text contract-asserted.
 
 At 100 TB the seam is what matters: the call sites (sinks, streaming
 foreachBatch, the k3 queries) name a backend and a target ref, and the
@@ -152,9 +157,56 @@ class DeltaMergeBackend:
         )
 
 
+class SqlMergeBackend:
+    """ANSI ``MERGE INTO`` statement against a SQL-capable v2 catalog
+    table (Iceberg, Delta-SQL, Unity, …) — ``target_ref`` is a TABLE
+    IDENTIFIER here, not a path.  Emits the same clause chain and
+    tie-break semantics as :class:`DeltaMergeBackend` (updates win on
+    ``version >=`` ties, unmatched updates insert, unmatched target
+    rows survive), so all three backends are interchangeable through
+    :func:`upsert_into`.
+
+    The statement text is a PURE FUNCTION (:meth:`merge_statement`) so
+    the contract test can assert it exactly; this container ships no
+    v2 catalog with row-level-operation support, so execution is
+    contract-asserted via a recorded ``spark.sql`` (the same honest
+    boundary as the Delta adapter — tests/test_merge_backends.py)."""
+
+    name = "sqlmerge"
+
+    @staticmethod
+    def merge_statement(target_ref: str, source_view: str, key: str, version_col: str) -> str:
+        return (
+            f"MERGE INTO {target_ref} t USING {source_view} u "
+            f"ON t.`{key}` = u.`{key}` "
+            f"WHEN MATCHED AND u.`{version_col}` >= t.`{version_col}` THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def upsert_into(
+        self,
+        spark: SparkSession,
+        target_ref: str,
+        updates: DataFrame,
+        key: str,
+        version_col: str,
+        partition_col: str | None = None,  # table format owns partitioning
+        assume_stable_partitions: bool = False,  # native MERGE needs no locator scan
+    ) -> None:
+        import uuid
+
+        view = f"__merge_src_{uuid.uuid4().hex[:12]}"
+        updates.createOrReplaceTempView(view)
+        try:
+            spark.sql(self.merge_statement(target_ref, view, key, version_col))
+        finally:
+            spark.catalog.dropTempView(view)
+
+
 _BACKENDS = {
     ParquetWindowMergeBackend.name: ParquetWindowMergeBackend,
     DeltaMergeBackend.name: DeltaMergeBackend,
+    SqlMergeBackend.name: SqlMergeBackend,
 }
 
 
