@@ -1517,3 +1517,76 @@ def test_pearson_equals_python(spark, pts):
             continue  # float rounding near zero variance: value undefined
         want = (n * sxy - sx * sy) / (math.sqrt(rx) * math.sqrt(ry))
         assert abs(gr - want) < 1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),  # key
+                st.integers(min_value=0, max_value=3),  # version
+                st.integers(min_value=0, max_value=3),  # partition-value index
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    ptype=st.sampled_from(["bool", "double"]),
+)
+def test_merge_partitioned_hostile_partition_types(spark, tmp_path_factory, batches, ptype):
+    """r6 partition-identity fix under randomized multi-batch merges:
+    boolean and double (including NaN and NULL) partition values must
+    fold exactly like the Python dict — dir names from Spark's own
+    rendering ('true', 'NaN'), NaN-keyed partitions never spuriously
+    deleted after a rewrite, emptied dirs actually gone."""
+    import datetime as dt
+    import os
+
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    domain = {
+        "bool": [True, False, None, True],
+        "double": [float("nan"), 0.5, None, -1.25],
+    }[ptype]
+    sch = f"pk long, version timestamp, pc {'boolean' if ptype == 'bool' else 'double'}"
+
+    def canon(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and v != v:
+            return "NaN"
+        return v
+
+    path = str(tmp_path_factory.mktemp("wh_hostile_pc") / "t")
+    state: dict = {}
+    for batch in batches:
+        per_key: dict = {}
+        for k, ver, pi in batch:
+            if k not in per_key or ver >= per_key[k][0]:
+                per_key[k] = (ver, domain[pi])
+        rows = [(k, dt.datetime(2024, 1, 1 + ver), v) for k, (ver, v) in per_key.items()]
+        df = spark.createDataFrame(rows, sch)
+        upsert_into(spark, path, df, "pk", "version", partition_col="pc")
+        for k, (ver, v) in per_key.items():
+            if k not in state or ver >= state[k][0]:
+                state[k] = (ver, canon(v))
+    if not state and not os.path.isdir(path):
+        return  # all-empty sequence: creation legitimately deferred
+    got = {
+        r["pk"]: (r["version"].day - 1, canon(r["pc"]))
+        for r in spark.read.schema(sch).parquet(path).collect()
+    }
+    assert got == state
+    # directory-level identity: exactly the surviving partitions exist
+    def dirname(cv):
+        if cv is None:
+            return "pc=__HIVE_DEFAULT_PARTITION__"
+        if ptype == "bool":
+            return "pc=true" if cv else "pc=false"
+        return f"pc={cv}"
+    expect = {dirname(cv) for _, cv in state.values()}
+    have = {d for d in os.listdir(path) if d.startswith("pc=")}
+    assert have == expect, f"partition dirs {have} != surviving {expect}"
