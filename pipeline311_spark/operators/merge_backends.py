@@ -147,11 +147,13 @@ class DeltaMergeBackend:
             writer.save(target_ref)
             return
         target = DeltaTable.forPath(spark, target_ref)
-        cond = f"t.`{key}` = u.`{key}`"
+        k = key.replace("`", "``")
+        v = version_col.replace("`", "``")
+        cond = f"t.`{k}` = u.`{k}`"
         (
             target.alias("t")
             .merge(updates.alias("u"), cond)
-            .whenMatchedUpdateAll(condition=f"u.`{version_col}` >= t.`{version_col}`")
+            .whenMatchedUpdateAll(condition=f"u.`{v}` >= t.`{v}`")
             .whenNotMatchedInsertAll()
             .execute()
         )
@@ -170,16 +172,35 @@ class SqlMergeBackend:
     the contract test can assert it exactly; this container ships no
     v2 catalog with row-level-operation support, so execution is
     contract-asserted via a recorded ``spark.sql`` (the same honest
-    boundary as the Delta adapter — tests/test_merge_backends.py)."""
+    boundary as the Delta adapter — tests/test_merge_backends.py).
+
+    Contract divergence to know (same as the Delta adapter, tested
+    there): the source batch must be KEY-UNIQUE — SQL MERGE raises
+    MERGE_CARDINALITY_VIOLATION when several source rows match one
+    target row, where the parquet window kernel would dedup them.
+    ``target_ref`` is split on dots and each part backtick-quoted
+    (``lake.db.cases`` → ``\`lake\`.\`db\`.\`cases\```) — it must be a
+    plain dotted identifier, never arbitrary SQL."""
 
     name = "sqlmerge"
 
     @staticmethod
-    def merge_statement(target_ref: str, source_view: str, key: str, version_col: str) -> str:
+    def _q(ident: str) -> str:
+        """Backtick-quote one identifier part (embedded backticks are
+        legal in Spark via doubling — escape, don't trust)."""
+        return "`" + ident.replace("`", "``") + "`"
+
+    @classmethod
+    def _q_ref(cls, ref: str) -> str:
+        return ".".join(cls._q(p) for p in ref.split("."))
+
+    @classmethod
+    def merge_statement(cls, target_ref: str, source_view: str, key: str, version_col: str) -> str:
+        k, v = cls._q(key), cls._q(version_col)
         return (
-            f"MERGE INTO {target_ref} t USING {source_view} u "
-            f"ON t.`{key}` = u.`{key}` "
-            f"WHEN MATCHED AND u.`{version_col}` >= t.`{version_col}` THEN UPDATE SET * "
+            f"MERGE INTO {cls._q_ref(target_ref)} t USING {cls._q(source_view)} u "
+            f"ON t.{k} = u.{k} "
+            f"WHEN MATCHED AND u.{v} >= t.{v} THEN UPDATE SET * "
             f"WHEN NOT MATCHED THEN INSERT *"
         )
 
@@ -190,11 +211,25 @@ class SqlMergeBackend:
         updates: DataFrame,
         key: str,
         version_col: str,
-        partition_col: str | None = None,  # table format owns partitioning
+        partition_col: str | None = None,
         assume_stable_partitions: bool = False,  # native MERGE needs no locator scan
     ) -> None:
         import uuid
 
+        # first batch creates the table (v2 create-from-DataFrame),
+        # honoring partition_col — same bootstrap contract as the
+        # parquet and Delta backends, so the backends stay genuinely
+        # interchangeable through upsert_into (review r6: MERGE INTO a
+        # missing table raises TABLE_OR_VIEW_NOT_FOUND, killing the
+        # first micro-batch of a streaming sink)
+        if not spark.catalog.tableExists(target_ref):
+            writer = updates.writeTo(target_ref)
+            if partition_col is not None:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(F.col(partition_col))
+            writer.create()
+            return
         view = f"__merge_src_{uuid.uuid4().hex[:12]}"
         updates.createOrReplaceTempView(view)
         try:

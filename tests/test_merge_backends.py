@@ -258,14 +258,20 @@ def test_sqlmerge_backend_statement_contract(spark, monkeypatch):
 
     stmt = SqlMergeBackend.merge_statement("lake.db.cases", "src_v", "key", "version")
     assert stmt == (
-        "MERGE INTO lake.db.cases t USING src_v u "
+        "MERGE INTO `lake`.`db`.`cases` t USING `src_v` u "
         "ON t.`key` = u.`key` "
         "WHEN MATCHED AND u.`version` >= t.`version` THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     )
+    # identifier hygiene: embedded backticks escape by doubling, never
+    # break out of the quoted identifier
+    hostile = SqlMergeBackend.merge_statement("db.ca`ses", "v", "k`ey", "ver")
+    assert "`ca``ses`" in hostile and "t.`k``ey` = u.`k``ey`" in hostile
 
     recorded = []
     monkeypatch.setattr(spark, "sql", lambda q, **kw: recorded.append(q))
+    # tableExists must report True or the backend takes the create path
+    monkeypatch.setattr(spark.catalog, "tableExists", lambda ref: True)
     updates = spark.createDataFrame(
         [(1, 2, "x")], "key long, version long, payload string"
     )
@@ -276,7 +282,7 @@ def test_sqlmerge_backend_statement_contract(spark, monkeypatch):
     import re
 
     assert re.fullmatch(
-        r"MERGE INTO lake\.db\.cases t USING __merge_src_[0-9a-f]{12} u "
+        r"MERGE INTO `lake`\.`db`\.`cases` t USING `__merge_src_[0-9a-f]{12}` u "
         r"ON t\.`key` = u\.`key` "
         r"WHEN MATCHED AND u\.`version` >= t\.`version` THEN UPDATE SET \* "
         r"WHEN NOT MATCHED THEN INSERT \*",
@@ -284,3 +290,26 @@ def test_sqlmerge_backend_statement_contract(spark, monkeypatch):
     ), q
     # and the temp view was cleaned up after the statement
     assert not any(v.name.startswith("__merge_src_") for v in spark.catalog.listTables())
+
+
+def test_sqlmerge_backend_first_batch_creates_table(spark):
+    """The bootstrap contract all three backends share: the first call
+    against a missing target CREATES it (v2 create-from-DataFrame) —
+    MERGE INTO a missing table would otherwise kill the first
+    micro-batch of a streaming sink.  The create path executes for
+    real against the session catalog."""
+    import uuid
+
+    from pipeline311_spark.operators.merge_backends import upsert_into
+
+    tbl = f"seam_boot_{uuid.uuid4().hex[:10]}"
+    try:
+        base = spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "key long, version long, payload string"
+        )
+        upsert_into(spark, tbl, base, "key", "version", backend="sqlmerge")
+        assert spark.catalog.tableExists(tbl)
+        got = {r["key"]: r["payload"] for r in spark.table(tbl).collect()}
+        assert got == {1: "a", 2: "b"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

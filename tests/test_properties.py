@@ -1575,10 +1575,12 @@ def test_merge_partitioned_hostile_partition_types(spark, tmp_path_factory, batc
                 state[k] = (ver, canon(v))
     if not state and not os.path.isdir(path):
         return  # all-empty sequence: creation legitimately deferred
-    got = {
-        r["pk"]: (r["version"].day - 1, canon(r["pc"]))
-        for r in spark.read.schema(sch).parquet(path).collect()
-    }
+    rows = spark.read.schema(sch).parquet(path).collect()
+    # row-count FIRST: a stale duplicate left in an abandoned partition
+    # would be masked by the dict comprehension (last collected row
+    # wins, read order nondeterministic)
+    assert len(rows) == len(state), f"{len(rows)} rows for {len(state)} keys"
+    got = {r["pk"]: (r["version"].day - 1, canon(r["pc"])) for r in rows}
     assert got == state
     # directory-level identity: exactly the surviving partitions exist
     def dirname(cv):
