@@ -6,10 +6,13 @@ knowledge (PNG spec: RFC 2083 / ISO 15948; WAV via the stdlib ``wave``
 module).  They are deliberately scoped to the formats a pipeline
 controls end-to-end (its own staged artifacts):
 
-* PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+* PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette —
+  expanded to RGB/RGBA on decode via PLTE/tRNS), 4 (gray+alpha),
   6 (RGBA), non-interlaced; all five scanline filters (None / Sub /
   Up / Average / Paeth) are implemented on decode, so any compliant
-  encoder's output of those shapes round-trips.
+  encoder's output of those shapes round-trips (validated against the
+  PNGs shipped inside the Python standard distribution — see
+  tests/test_codecs.py).
 * WAV: integer PCM, 8/16/32-bit, any channel count (decoded to a
   mono mix when asked).
 
@@ -31,8 +34,10 @@ import wave
 import zlib
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: channels per PNG color type (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: SCANLINE channels per PNG color type (8-bit depth only); type 3
+#: (palette) carries 1 index byte per pixel on the wire and is
+#: expanded to truecolor RGB/RGBA on decode
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -66,7 +71,10 @@ def encode_png(
     ``pixels`` is the row-major raw sample stream
     (width·height·channels bytes).  ``filter_type`` applies ONE filter
     to every scanline (0..4) — useful for exercising all decoder
-    filter paths; 0 (None) is the production default."""
+    filter paths; 0 (None) is the production default.  Palette output
+    (color type 3) is decode-only — re-encodes are truecolor."""
+    if color_type == 3:
+        raise ValueError("palette PNGs are decode-only; encode truecolor (0/2/4/6)")
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
     if len(pixels) != stride * height:
@@ -123,6 +131,8 @@ def _decode_png_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     width = height = color_type = None
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -150,6 +160,12 @@ def _decode_png_inner(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("interlaced PNG unsupported")
             if comp or filt:
                 raise ValueError("nonstandard compression/filter method")
+        elif tag == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("bad PLTE length")
+            plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -185,6 +201,26 @@ def _decode_png_inner(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad scanline filter {ft}")
         out += row
         prev = bytes(row)
+    if color_type == 3:
+        # palette expansion: 1-byte indices → RGB (or RGBA when a tRNS
+        # alpha table is present); decode output is always truecolor
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        n_entries = len(plte) // 3
+        if trns is not None:
+            expanded = bytearray()
+            for idx in out:
+                if idx >= n_entries:
+                    raise ValueError(f"palette index {idx} out of range")
+                expanded += plte[idx * 3 : idx * 3 + 3]
+                expanded.append(trns[idx] if idx < len(trns) else 255)
+            return width, height, 4, bytes(expanded)
+        expanded = bytearray()
+        for idx in out:
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            expanded += plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(expanded)
     return width, height, ch, bytes(out)
 
 

@@ -5,6 +5,7 @@ NotImplementedError; now PNG/WAV run for real in this container)."""
 from __future__ import annotations
 
 import math
+import os
 import struct
 import zlib
 
@@ -221,3 +222,69 @@ def test_zero_pixel_png_degrades_to_null_features(spark):
     )
     rows = decode_image_features(df, dim=8, fake=False).collect()
     assert len(rows) == 1 and rows[0]["features"] is None
+
+
+def test_decode_external_encoder_pngs():
+    """Roundtrip validation against PNGs written by EXTERNAL encoders
+    (the files shipped inside the running Python distribution — idlelib
+    icons etc., palette and RGBA, various filter choices): our decoder
+    must accept them and a re-encode → decode roundtrip must be
+    pixel-identical.  This is the non-circular check the synthetic
+    roundtrips can't give (they only prove encoder and decoder agree
+    with each other)."""
+    import glob
+    import sys
+
+    paths = sorted(
+        glob.glob(os.path.join(sys.prefix, "lib", "python*", "idlelib", "Icons", "*.png"))
+    )
+    if not paths:
+        pytest.skip("no stdlib PNGs found in this distribution")
+    decoded = 0
+    for p in paths:
+        data = open(p, "rb").read()
+        try:
+            w, h, ch, px = decode_png(data)
+        except ValueError:
+            continue  # outside the documented envelope (16-bit etc.)
+        assert w > 0 and h > 0 and len(px) == w * h * ch
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        assert decode_png(encode_png(w, h, px, ct)) == (w, h, ch, px)
+        decoded += 1
+    assert decoded >= 2, f"expected to decode several stdlib PNGs, got {decoded}"
+
+
+def test_decode_palette_png():
+    """Color type 3 (palette) expands to truecolor via PLTE, and to
+    RGBA when a tRNS alpha table is present."""
+    import struct as st
+    import zlib as zl
+
+    def chunk(tag, data):
+        return st.pack(">I", len(data)) + tag + data + st.pack(
+            ">I", zl.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))  # R,G,B entries
+    raw = bytes([0, 0, 1, 0, 2, 0])  # rows: [idx0, idx1], [idx2, idx0], filter 0
+    idat = chunk(b"IDAT", zl.compress(raw))
+    iend = chunk(b"IEND", b"")
+    w, h, ch, px = decode_png(sig + ihdr + plte + idat + iend)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0])
+    # with tRNS: first entry alpha 128, others default 255
+    trns = chunk(b"tRNS", bytes([128]))
+    w, h, ch, px = decode_png(sig + ihdr + plte + trns + idat + iend)
+    assert (w, h, ch) == (2, 2, 4)
+    assert px == bytes(
+        [255, 0, 0, 128, 0, 255, 0, 255, 0, 0, 255, 255, 255, 0, 0, 128]
+    )
+    # out-of-range palette index rejects
+    bad = chunk(b"IDAT", zl.compress(bytes([0, 7, 1, 0, 2, 0])))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(sig + ihdr + plte + bad + iend)
+    # palette output is decode-only on the encode side
+    with pytest.raises(ValueError, match="decode-only"):
+        encode_png(2, 2, bytes(4), 3)
