@@ -13,8 +13,8 @@ controls end-to-end (its own staged artifacts):
   encoder's output of those shapes round-trips (validated against the
   PNGs shipped inside the Python standard distribution — see
   tests/test_codecs.py).
-* WAV: integer PCM, 8/16/32-bit, any channel count (decoded to a
-  mono mix when asked).
+* WAV: integer PCM, 8/16/24/32-bit, any channel count (decoded to
+  a mono mix when asked).
 
 Anything outside that envelope raises ``ValueError`` with the reason —
 the Spark operators treat that as "corrupt media" (null features / no
@@ -228,16 +228,20 @@ def encode_wav(
     samples: list[int], framerate: int = 8000, sampwidth: int = 2, nchannels: int = 1
 ) -> bytes:
     """Integer-PCM WAV encoder via the stdlib ``wave`` module.
-    ``samples`` are channel-interleaved signed ints."""
+    ``samples`` are channel-interleaved signed ints (8/16/24/32-bit)."""
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(nchannels)
         w.setsampwidth(sampwidth)
         w.setframerate(framerate)
-        fmt = {1: "b", 2: "<h", 4: "<i"}[sampwidth]
         if sampwidth == 1:  # WAV 8-bit is unsigned
             w.writeframes(bytes((s + 128) & 0xFF for s in samples))
+        elif sampwidth == 3:
+            w.writeframes(
+                b"".join(s.to_bytes(3, "little", signed=True) for s in samples)
+            )
         else:
+            fmt = {2: "<h", 4: "<i"}[sampwidth]
             w.writeframes(b"".join(struct.pack(fmt, s) for s in samples))
     return buf.getvalue()
 
@@ -262,12 +266,17 @@ def decode_wav(payload: bytes, mono: bool = True) -> tuple[int, int, list[int]]:
             raw = w.readframes(nframes)
     except (wave.Error, EOFError, struct.error, RuntimeError) as e:
         raise ValueError(f"not a PCM WAV: {e}") from e
-    if sw not in (1, 2, 4):
+    if sw not in (1, 2, 3, 4):
         raise ValueError(f"unsupported sample width {sw}")
     if len(raw) % (sw * nch):
         raise ValueError("data chunk truncated mid-frame")
     if sw == 1:
         vals = [b - 128 for b in raw]
+    elif sw == 3:  # 24-bit: no struct code, decode 3-byte LE signed
+        vals = [
+            int.from_bytes(raw[i : i + 3], "little", signed=True)
+            for i in range(0, len(raw), 3)
+        ]
     else:
         fmt = {2: "h", 4: "i"}[sw]
         vals = list(struct.unpack(f"<{len(raw) // sw}{fmt}", raw))

@@ -288,3 +288,38 @@ def test_decode_palette_png():
     # palette output is decode-only on the encode side
     with pytest.raises(ValueError, match="decode-only"):
         encode_png(2, 2, bytes(4), 3)
+
+
+def test_decode_external_encoder_wavs():
+    """Decode the PCM WAVs shipped inside the running Python test data
+    (written by external tools, stereo, multiple widths incl. 24-bit)
+    and roundtrip them through our encoder at the same width."""
+    import glob
+    import sys
+    import wave as _wave
+    import io as _io
+
+    paths = sorted(
+        glob.glob(os.path.join(sys.prefix, "lib", "python*", "test", "audiodata", "pluck-pcm*.wav"))
+    )
+    if not paths:
+        pytest.skip("no stdlib test WAVs in this distribution")
+    decoded = 0
+    for p in paths:
+        data = open(p, "rb").read()
+        with _wave.open(_io.BytesIO(data)) as w:
+            sw, nch, fr = w.getsampwidth(), w.getnchannels(), w.getframerate()
+        fr2, nch2, vals = decode_wav(data, mono=False)
+        assert (fr2, nch2) == (fr, nch) and len(vals) > 0
+        rt_fr, rt_nch, rt_vals = decode_wav(
+            encode_wav(vals, framerate=fr, sampwidth=sw, nchannels=nch), mono=False
+        )
+        assert (rt_fr, rt_nch, rt_vals) == (fr, nch, vals)
+        decoded += 1
+    assert decoded >= 3
+
+
+def test_wav_24bit_roundtrip():
+    samples = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
+    got = decode_wav(encode_wav(samples, sampwidth=3))[2]
+    assert got == samples
