@@ -1,0 +1,192 @@
+"""The HTTP seam of the S1 connector: SOQL building, cursor
+pagination, and the retry ladder as testable pure logic.
+
+The reference's extract client is a REST session with
+``Retry(total=10, connect=5, backoff_factor=3)`` and a 540 s timeout
+(delete-removed-tickets.py:24-25, sync-db2.py:42-43), paging through
+results with ``query_all_iter`` (sync-db2.py:49-50,
+delete-removed-tickets.py:34) over a SOQL string whose projection and
+WHERE clause are hand-built (config.py:103-145).  This module is the
+engine-native equivalent of that client, factored so every piece is
+contract-testable WITHOUT a network:
+
+* :func:`soql_query` — the SOQL text from the SAME DSv2 ``Filter``
+  objects the connector's ``pushFilters`` accepts, so a pushed
+  predicate renders into the remote WHERE clause exactly once;
+* :func:`fetch_all` — cursor pagination (`nextRecordsUrl`) with the
+  reference's retry ladder (``backoff_factor * 2**(attempt-1)``
+  sleeps, same schedule as urllib3's ``Retry``), transport-agnostic;
+* :class:`UrllibTransport` — the real stdlib HTTP client (no
+  ``requests`` in this container), constructed with the reference's
+  540 s timeout; raises :class:`TransportError` on any network
+  failure so ``fetch_all`` owns the retry policy;
+* tests drive :func:`fetch_all` through a RECORDING fake transport
+  (tests/test_rest_transport.py) — the same environment-boundary
+  treatment as the Delta adapter.
+
+The DSv2 connector (sources/salesforce_sim.py) stands in for the
+remote API with a parquet-backed page store; a production deployment
+swaps its page read for ``fetch_all(UrllibTransport(...), ...)`` and
+nothing else changes — pushdown, pagination partitioning, and the
+streaming offsets are transport-independent.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+from pyspark.sql.datasource import (
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+class TransportError(Exception):
+    """Any transport-level failure (connection, 5xx, bad JSON) — the
+    retry ladder's unit of failure."""
+
+
+def _soql_literal(v) -> str:
+    """SOQL literal rendering: strings quoted with backslash escaping,
+    datetimes as unquoted ISO-8601 (SOQL convention), bools lowercase,
+    numbers plain."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return str(v)
+
+
+def _attr(f: Filter) -> str:
+    return f.attribute[0]
+
+
+def soql_where(filters: list[Filter]) -> str:
+    """WHERE clause from pushed DSv2 filters — the same predicate
+    classes the connector's ``pushFilters`` accepts, so a pushed
+    filter is applied at the remote exactly once.  Raises on a filter
+    class the remote can't express (the caller must then NOT claim it
+    as pushed)."""
+    parts = []
+    for f in filters:
+        if isinstance(f, EqualTo):
+            parts.append(f"{_attr(f)} = {_soql_literal(f.value)}")
+        elif isinstance(f, GreaterThan):
+            parts.append(f"{_attr(f)} > {_soql_literal(f.value)}")
+        elif isinstance(f, GreaterThanOrEqual):
+            parts.append(f"{_attr(f)} >= {_soql_literal(f.value)}")
+        elif isinstance(f, LessThan):
+            parts.append(f"{_attr(f)} < {_soql_literal(f.value)}")
+        elif isinstance(f, LessThanOrEqual):
+            parts.append(f"{_attr(f)} <= {_soql_literal(f.value)}")
+        elif isinstance(f, IsNotNull):
+            parts.append(f"{_attr(f)} != null")
+        else:
+            raise ValueError(f"filter not expressible in SOQL: {f!r}")
+    return " AND ".join(parts)
+
+
+def soql_query(table: str, columns: list[str], filters: list[Filter] | None = None) -> str:
+    """The reference's hand-built query text (config.py:103-145) from
+    structured inputs: explicit projection (never ``SELECT *`` — SOQL
+    has no star) plus the pushed-filter WHERE clause."""
+    q = f"SELECT {', '.join(columns)} FROM {table}"
+    w = soql_where(filters or [])
+    return f"{q} WHERE {w}" if w else q
+
+
+@dataclass
+class RetryPolicy:
+    """The reference ladder: Retry(total=10, backoff_factor=3) →
+    sleeps of backoff_factor · 2^(attempt-1) seconds between tries
+    (urllib3 semantics), 540 s per-request timeout."""
+
+    max_tries: int = 10
+    backoff_factor: float = 3.0
+    timeout_s: float = 540.0
+
+    def sleeps(self) -> Iterator[float]:
+        for attempt in range(1, self.max_tries):
+            yield self.backoff_factor * (2 ** (attempt - 1))
+
+
+def fetch_all(
+    transport: Callable[[str, dict | None], dict],
+    query_url: str,
+    soql: str,
+    retry: RetryPolicy | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Iterator[dict]:
+    """``query_all_iter`` semantics: GET the query endpoint, yield
+    ``records``, follow ``nextRecordsUrl`` until ``done`` — each HTTP
+    request independently wrapped in the retry ladder.  ``transport``
+    is any ``(url, params) -> parsed-json`` callable raising
+    :class:`TransportError` on failure; ``sleep`` is injectable so the
+    ladder is testable without wall-clock time."""
+    retry = retry or RetryPolicy()
+
+    def get_with_retry(url: str, params: dict | None) -> dict:
+        sleeps = retry.sleeps()
+        tries = 0
+        while True:
+            tries += 1
+            try:
+                return transport(url, params)
+            except TransportError:
+                if tries >= retry.max_tries:
+                    raise
+                sleep(next(sleeps))
+
+    page = get_with_retry(query_url, {"q": soql})
+    while True:
+        yield from page.get("records", [])
+        if page.get("done", True) or not page.get("nextRecordsUrl"):
+            return
+        page = get_with_retry(page["nextRecordsUrl"], None)
+
+
+@dataclass
+class UrllibTransport:
+    """Real stdlib HTTP transport (no ``requests`` in this container):
+    bearer-token GET returning parsed JSON, every failure class mapped
+    to :class:`TransportError` so :func:`fetch_all` owns retries.  The
+    540 s default timeout is the reference's session timeout."""
+
+    base_url: str
+    token: str
+    timeout_s: float = 540.0
+    headers: dict = field(default_factory=dict)
+
+    def __call__(self, url: str, params: dict | None) -> dict:
+        full = url if url.startswith("http") else self.base_url.rstrip("/") + url
+        if params:
+            full += ("&" if "?" in full else "?") + urllib.parse.urlencode(params)
+        req = urllib.request.Request(
+            full,
+            headers={"Authorization": f"Bearer {self.token}", **self.headers},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                if resp.status >= 500:
+                    raise TransportError(f"server error {resp.status}")
+                return json.loads(resp.read().decode("utf-8"))
+        except TransportError:
+            raise
+        except Exception as e:  # URLError, timeout, JSON decode, HTTPError
+            raise TransportError(str(e)) from e

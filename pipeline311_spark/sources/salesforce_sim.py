@@ -19,9 +19,16 @@ equivalent: a ``DataSource`` that
   reader honors an explicit ``columns`` option (the 37-column SOQL
   projection analog) and otherwise reads the declared schema.
 
-A real Salesforce client would replace ``_read_page``'s pyarrow call
-with a paginated REST request built from the same pushed filters; the
-plan shape (partitioned, filtered at source) is identical.
+The HTTP side itself is a SEAM, not a hand-wave:
+``sources/rest_transport.py`` provides the SOQL builder (from the
+same pushed ``Filter`` objects), ``query_all_iter``-style cursor
+pagination, the reference's retry ladder (Retry(total=10,
+backoff_factor=3), 540 s timeout — delete-removed-tickets.py:24-25),
+and a real stdlib ``UrllibTransport`` — all contract-tested through a
+recording fake transport (tests/test_rest_transport.py).  A production
+deployment swaps this reader's pyarrow page read for
+``fetch_all(UrllibTransport(...), ...)``; the plan shape
+(partitioned, filtered at source) is identical.
 """
 
 from __future__ import annotations
