@@ -201,6 +201,21 @@ def _decode_png_inner(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad scanline filter {ft}")
         out += row
         prev = bytes(row)
+    if color_type in (0, 2) and trns is not None:
+        # tRNS on gray/truecolor is a COLOR KEY (2 bytes per sample,
+        # big-endian; low byte carries the value at 8-bit depth):
+        # pixels equal to the key become fully transparent — emit an
+        # alpha channel rather than silently dropping transparency
+        # (the same image saved palette+tRNS would decode to RGBA)
+        if len(trns) != 2 * ch:
+            raise ValueError(f"bad tRNS length {len(trns)} for color type {color_type}")
+        key = bytes(trns[2 * i + 1] for i in range(ch))
+        expanded = bytearray()
+        for i in range(0, len(out), ch):
+            px_val = bytes(out[i : i + ch])
+            expanded += px_val
+            expanded.append(0 if px_val == key else 255)
+        return width, height, ch + 1, bytes(expanded)
     if color_type == 3:
         # palette expansion: 1-byte indices → RGB (or RGBA when a tRNS
         # alpha table is present); decode output is always truecolor

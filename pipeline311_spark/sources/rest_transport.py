@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import time
+import urllib.error
 import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
@@ -52,19 +53,36 @@ from pyspark.sql.datasource import (
 
 
 class TransportError(Exception):
-    """Any transport-level failure (connection, 5xx, bad JSON) — the
-    retry ladder's unit of failure."""
+    """A CONNECTION-level failure (refused, timeout, bad JSON) — the
+    retry ladder's unit of failure.  Mirrors the reference exactly:
+    ``Retry`` without a ``status_forcelist`` retries connection
+    errors, never HTTP status codes."""
+
+
+class HttpStatusError(Exception):
+    """An HTTP error RESPONSE (4xx/5xx).  Deliberately NOT retried: a
+    401 (expired token) or 400 (malformed SOQL) fails the same way
+    ten times — retrying would stall the job ~25 minutes on the
+    reference ladder before surfacing the real error."""
+
+    def __init__(self, status: int, msg: str):
+        super().__init__(f"HTTP {status}: {msg}")
+        self.status = status
 
 
 def _soql_literal(v) -> str:
     """SOQL literal rendering: strings quoted with backslash escaping,
-    datetimes as unquoted ISO-8601 (SOQL convention), bools lowercase,
-    numbers plain."""
+    datetimes as unquoted UTC ISO-8601 (tz-aware values are CONVERTED
+    to UTC first — stamping a non-UTC wall time with Z would shift the
+    remote WHERE clause by the offset; second precision, SOQL
+    convention), bools lowercase, numbers plain."""
     import datetime as dt
 
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
         return v.strftime("%Y-%m-%dT%H:%M:%SZ")
     if isinstance(v, dt.date):
         return v.isoformat()
@@ -74,7 +92,9 @@ def _soql_literal(v) -> str:
 
 
 def _attr(f: Filter) -> str:
-    return f.attribute[0]
+    # multi-segment DSv2 paths are relationship fields: SOQL spells
+    # them dotted (Account.Name) — never truncate to the first segment
+    return ".".join(f.attribute)
 
 
 def soql_where(filters: list[Filter]) -> str:
@@ -113,17 +133,19 @@ def soql_query(table: str, columns: list[str], filters: list[Filter] | None = No
 
 @dataclass
 class RetryPolicy:
-    """The reference ladder: Retry(total=10, backoff_factor=3) →
-    sleeps of backoff_factor · 2^(attempt-1) seconds between tries
-    (urllib3 semantics), 540 s per-request timeout."""
+    """The reference ladder: Retry(total=10, backoff_factor=3).
+    Sleep schedule is urllib3's EXACTLY: the first retry is immediate
+    (``get_backoff_time`` returns 0 while the consecutive-error count
+    is <= 1), then backoff_factor · 2^(n-1) — [0, 6, 12, 24, …] for
+    factor 3.  Per-request timeout lives on the TRANSPORT (the
+    reference's 540 s session timeout → :class:`UrllibTransport`)."""
 
     max_tries: int = 10
     backoff_factor: float = 3.0
-    timeout_s: float = 540.0
 
     def sleeps(self) -> Iterator[float]:
         for attempt in range(1, self.max_tries):
-            yield self.backoff_factor * (2 ** (attempt - 1))
+            yield 0.0 if attempt <= 1 else self.backoff_factor * (2 ** (attempt - 1))
 
 
 def fetch_all(
@@ -156,8 +178,12 @@ def fetch_all(
     page = get_with_retry(query_url, {"q": soql})
     while True:
         yield from page.get("records", [])
-        if page.get("done", True) or not page.get("nextRecordsUrl"):
+        if page.get("done", True):
             return
+        if not page.get("nextRecordsUrl"):
+            # done=false without a cursor: a silently short extract is
+            # the worst failure mode for a parity-gated pipeline
+            raise TransportError("done=false but no nextRecordsUrl — truncated page stream")
         page = get_with_retry(page["nextRecordsUrl"], None)
 
 
@@ -183,10 +209,10 @@ class UrllibTransport:
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                if resp.status >= 500:
-                    raise TransportError(f"server error {resp.status}")
                 return json.loads(resp.read().decode("utf-8"))
-        except TransportError:
-            raise
-        except Exception as e:  # URLError, timeout, JSON decode, HTTPError
+        except urllib.error.HTTPError as e:
+            # an HTTP RESPONSE arrived: not a transport failure, not
+            # retryable (reference Retry has no status_forcelist)
+            raise HttpStatusError(e.code, e.reason) from e
+        except Exception as e:  # URLError, timeout, bad JSON: retryable
             raise TransportError(str(e)) from e

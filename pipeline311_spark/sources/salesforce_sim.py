@@ -146,7 +146,10 @@ class CaseSourceReader(DataSourceReader):
     def pushFilters(self, filters):  # noqa: N802 (API name)
         supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, IsNotNull)
         for f in filters:
-            if isinstance(f, supported):
+            # nested column paths are NOT claimed: _attr takes the
+            # first segment only, so accepting ('a','b') would filter
+            # on the wrong column — return it for Spark to evaluate
+            if isinstance(f, supported) and len(f.attribute) == 1:
                 self.pushed.append(f)
             else:
                 yield f  # unsupported -> Spark evaluates it post-scan

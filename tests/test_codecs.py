@@ -323,3 +323,32 @@ def test_wav_24bit_roundtrip():
     samples = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
     got = decode_wav(encode_wav(samples, sampwidth=3))[2]
     assert got == samples
+
+
+def test_trns_color_key_on_gray_and_truecolor():
+    """Review r6: tRNS on color types 0/2 is a COLOR KEY (2 bytes per
+    sample) — matching pixels must decode transparent via an added
+    alpha channel, not silently opaque."""
+    import struct as st
+    import zlib as zl
+
+    def chunk(tag, data):
+        return st.pack(">I", len(data)) + tag + data + st.pack(
+            ">I", zl.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x1 grayscale: pixel values 7 and 9; key = 7
+    ihdr = chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+    trns = chunk(b"tRNS", st.pack(">H", 7))
+    idat = chunk(b"IDAT", zl.compress(bytes([0, 7, 9])))
+    w, h, ch, px = decode_png(sig + ihdr + trns + idat + chunk(b"IEND", b""))
+    assert (w, h, ch) == (2, 1, 2)
+    assert px == bytes([7, 0, 9, 255])  # keyed pixel transparent
+    # truecolor key
+    ihdr2 = chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+    trns2 = chunk(b"tRNS", st.pack(">HHH", 1, 2, 3))
+    idat2 = chunk(b"IDAT", zl.compress(bytes([0, 1, 2, 3, 9, 9, 9])))
+    w, h, ch, px = decode_png(sig + ihdr2 + trns2 + idat2 + chunk(b"IEND", b""))
+    assert (w, h, ch) == (2, 1, 4)
+    assert px == bytes([1, 2, 3, 0, 9, 9, 9, 255])

@@ -76,16 +76,17 @@ def test_pagination_follows_cursor_in_order():
 
 
 def test_retry_ladder_matches_reference_schedule():
-    """Two 5xx failures then success: sleeps must be the urllib3
-    schedule backoff_factor * 2^(attempt-1) = 3, 6 — the reference's
-    Retry(backoff_factor=3) — and the page still arrives intact."""
+    """Two connection failures then success: sleeps must be urllib3's
+    EXACT schedule for backoff_factor=3 — the first retry immediate
+    (get_backoff_time returns 0 while consecutive errors <= 1), then
+    factor * 2^(n-1): [0, 6] — and the page still arrives intact."""
     fake = _FakeRest(
         {"/q": {"records": [{"id": 9}], "done": True}}, fail_first={"/q": 2}
     )
     slept: list[float] = []
     got = list(fetch_all(fake, "/q", "soql", sleep=slept.append))
     assert [r["id"] for r in got] == [9]
-    assert slept == [3.0, 6.0]
+    assert slept == [0.0, 6.0]
     assert len(fake.calls) == 3
 
 
@@ -100,7 +101,7 @@ def test_retry_ladder_exhausts_and_raises():
                 sleep=slept.append,
             )
         )
-    assert slept == [0.5, 1.0, 2.0]  # 3 sleeps between 4 tries
+    assert slept == [0.0, 1.0, 2.0]  # 3 sleeps between 4 tries, first immediate
     assert len(fake.calls) == 4
 
 
@@ -115,7 +116,7 @@ def test_mid_pagination_failure_retries_only_that_page():
     slept: list[float] = []
     got = list(fetch_all(fake, "/q", "soql", sleep=slept.append))
     assert [r["id"] for r in got] == [1, 2]
-    assert slept == [3.0]
+    assert slept == [0.0]
     # the first page was NOT re-fetched (no duplicate records)
     assert [u for u, _ in fake.calls] == ["/q", "/q-2", "/q-2"]
 
@@ -128,3 +129,36 @@ def test_urllib_transport_maps_failures_to_transport_error():
     t = UrllibTransport("http://127.0.0.1:1", token="x", timeout_s=0.2)
     with pytest.raises(TransportError):
         t("/services/data/v58.0/query", {"q": "SELECT Id FROM Case"})
+
+
+def test_http_status_errors_are_not_retried():
+    """4xx/5xx RESPONSES fail fast (reference Retry has no
+    status_forcelist): an expired token must not stall the job through
+    the full 10-try ladder."""
+    from pipeline311_spark.sources.rest_transport import HttpStatusError
+
+    calls = []
+
+    def transport(url, params):
+        calls.append(url)
+        raise HttpStatusError(401, "unauthorized")
+
+    slept: list[float] = []
+    with pytest.raises(HttpStatusError, match="401"):
+        list(fetch_all(transport, "/q", "soql", sleep=slept.append))
+    assert len(calls) == 1 and slept == []
+
+
+def test_truncated_page_stream_raises_not_silently_short():
+    fake = _FakeRest({"/q": {"records": [{"id": 1}], "done": False}})
+    with pytest.raises(TransportError, match="truncated"):
+        list(fetch_all(fake, "/q", "soql", sleep=lambda s: None))
+
+
+def test_soql_datetime_tz_converted_to_utc():
+    aware = dt.datetime(2024, 3, 1, 12, 0, tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    assert soql_where([GreaterThan(("ts",), aware)]) == "ts > 2024-03-01T07:00:00Z"
+
+
+def test_soql_nested_relationship_path_dotted():
+    assert soql_where([EqualTo(("Account", "Name"), "Acme")]) == "Account.Name = 'Acme'"
