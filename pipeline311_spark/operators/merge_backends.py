@@ -160,7 +160,7 @@ class DeltaMergeBackend:
 
 
 class SqlMergeBackend:
-    """ANSI ``MERGE INTO`` statement against a SQL-capable v2 catalog
+    r"""ANSI ``MERGE INTO`` statement against a SQL-capable v2 catalog
     table (Iceberg, Delta-SQL, Unity, …) — ``target_ref`` is a TABLE
     IDENTIFIER here, not a path.  Emits the same clause chain and
     tie-break semantics as :class:`DeltaMergeBackend` (updates win on
