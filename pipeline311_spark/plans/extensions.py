@@ -1251,6 +1251,51 @@ def q_png_resize_roundtrip(spark, sf_dir):
     )
 
 
+# Boilerplate line removal (the C4/RefinedWeb curation step): lines
+# whose normalized form appears in > max_df distinct docs are dropped,
+# survivors reassembled in order.  The md5 of the reassembled text is
+# the cross-engine fingerprint (driver canon never hashes long text).
+_BP_MAX_DF = 1
+_BP_MIN_CHARS = 5
+
+_BOILERPLATE_SQL = f"""
+WITH l AS (
+  SELECT doc_id, p.pos AS pos, p.line AS line, lower(trim(p.line)) AS norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        WHERE text IS NOT NULL) t,
+       unnest(list_transform(range(1, len(ls) + 1),
+                             i -> {{'pos': i, 'line': ls[i]}})) AS u(p)),
+drop_set AS (
+  SELECT norm FROM (SELECT DISTINCT doc_id, norm FROM l
+                    WHERE length(norm) >= {_BP_MIN_CHARS}) d
+  GROUP BY norm HAVING COUNT(*) > {_BP_MAX_DF}),
+kept AS (SELECT * FROM l WHERE norm NOT IN (SELECT norm FROM drop_set)),
+re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(string_split(b.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(re.clean_text, '')) AS clean_md5
+FROM documents b LEFT JOIN re ON re.doc_id = b.doc_id
+WHERE b.text IS NOT NULL
+"""
+
+
+@register("text_remove_boilerplate", _BOILERPLATE_SQL, covers=("ext:text", "ext:dedup"))
+def q_remove_boilerplate(spark, sf_dir):
+    from pipeline311_spark.ext.textstats import remove_boilerplate_lines
+
+    d = table(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(
+        d, "doc_id", "text", max_df=_BP_MAX_DF, min_chars=_BP_MIN_CHARS
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
 # Embedding norm stats (decimal-exact group means over rounded norms).
 _NORM_STATS_SQL = f"""
 WITH n AS (
