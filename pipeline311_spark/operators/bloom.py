@@ -113,27 +113,37 @@ def bloom_might_contain(
 
     view = f"__bloom_words_{uuid.uuid4().hex[:12]}"
     bloom.createOrReplaceTempView(view)
-    w = F.expr(f"(SELECT words FROM {view})")
-    h = portable_hash64(F.col(key).cast("string")) % MOD
-    conds = []
-    for a, b in hash_params(k, seed):
-        p = affine(h, a, b) % m_bits
-        conds.append(
-            (
-                F.element_at(w, (p / 64).cast("int") + 1)
-                .bitwiseAND(F.element_at(_bit_masks(), (p % 64).cast("int") + 1))
+    # everything from here through the forced analysis sits under the
+    # finally (ADVICE r6): `withColumn` itself analyzes eagerly, so a
+    # bad key column throws BEFORE any explicit .schema touch and
+    # would otherwise leak the uuid view into the session catalog.
+    # Downstream consumers MUST build on the returned DataFrame
+    # object: the scalar subquery is bound into its analyzed plan —
+    # re-deriving the query from SQL text after the drop would fail
+    # to resolve the view.
+    try:
+        w = F.expr(f"(SELECT words FROM {view})")
+        h = portable_hash64(F.col(key).cast("string")) % MOD
+        conds = []
+        for a, b in hash_params(k, seed):
+            p = affine(h, a, b) % m_bits
+            conds.append(
+                (
+                    F.element_at(w, (p / 64).cast("int") + 1)
+                    .bitwiseAND(F.element_at(_bit_masks(), (p % 64).cast("int") + 1))
+                )
+                != 0
             )
-            != 0
-        )
-    hit = reduce(lambda x, y: x & y, conds)
-    # NULL key → NULL hash; short-circuit to false (semantically a NULL
-    # key is never "in" the filter)
-    hit = F.when(F.col(key).isNull(), F.lit(False)).otherwise(hit)
-    out = df.withColumn("__maybe", hit)
-    # force analysis so the view's plan is bound into the DataFrame,
-    # then drop the registration — no catalog residue per call
-    out.schema
-    df.sparkSession.catalog.dropTempView(view)
+        hit = reduce(lambda x, y: x & y, conds)
+        # NULL key → NULL hash; short-circuit to false (semantically a
+        # NULL key is never "in" the filter)
+        hit = F.when(F.col(key).isNull(), F.lit(False)).otherwise(hit)
+        out = df.withColumn("__maybe", hit)
+        # force analysis so the view's plan is bound into the DataFrame
+        # before the registration disappears
+        out.schema
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
     return out
 
 

@@ -173,8 +173,18 @@ def merge_incremental_partitioned(
         ).distinct().collect()
         out = set()
         for r in rows:
-            key = r["__s"]  # None only for NULL value
-            render_orig[key] = r["__v"]
+            # '' folds into the NULL identity (ADVICE r6): Spark's
+            # writer maps the empty string to the SAME
+            # __HIVE_DEFAULT_PARTITION__ directory as NULL, and the
+            # read-back surfaces both as NULL — treating '' as a
+            # distinct rendering made the pruning predicate isin([''])
+            # skip the default partition's rows while the batch's
+            # dynamic overwrite replaced that directory, deleting every
+            # other key that lived there; the emptied-dir delete
+            # likewise targeted the nonexistent 'pc=' path.
+            key = r["__s"] or None  # None for NULL value AND for ''
+            if key is not None:
+                render_orig[key] = r["__v"]
             out.add(key)
         return out
 
@@ -210,8 +220,9 @@ def merge_incremental_partitioned(
     merged = upsert(target, updates.select(target.columns), key, version_col)
     merged = merged.localCheckpoint(eager=True)
     # written partitions by RENDERING too, same identity as `touched`
+    # ('' folds into None — both write __HIVE_DEFAULT_PARTITION__)
     written = {
-        r[0]
+        r[0] or None
         for r in merged.select(F.col(partition_col).cast("string")).distinct().collect()
     }
     (

@@ -62,7 +62,7 @@ class TransportError(Exception):
 class HttpStatusError(Exception):
     """An HTTP error RESPONSE (4xx/5xx).  Deliberately NOT retried: a
     401 (expired token) or 400 (malformed SOQL) fails the same way
-    ten times — retrying would stall the job ~25 minutes on the
+    eleven times — retrying would stall the job ~11 minutes on the
     reference ladder before surfacing the real error."""
 
     def __init__(self, status: int, msg: str):
@@ -137,15 +137,22 @@ class RetryPolicy:
     Sleep schedule is urllib3's EXACTLY: the first retry is immediate
     (``get_backoff_time`` returns 0 while the consecutive-error count
     is <= 1), then backoff_factor · 2^(n-1) — [0, 6, 12, 24, …] for
-    factor 3.  Per-request timeout lives on the TRANSPORT (the
-    reference's 540 s session timeout → :class:`UrllibTransport`)."""
+    factor 3.  ``max_tries`` counts TOTAL attempts; urllib3's
+    ``total=10`` permits 10 *retries* after the first attempt, so the
+    matching default here is 11 (ADVICE r6: 10 was one rung short).
+    Per-request timeout lives on the TRANSPORT (the reference's 540 s
+    session timeout → :class:`UrllibTransport`)."""
 
-    max_tries: int = 10
+    max_tries: int = 11
     backoff_factor: float = 3.0
+    # urllib3 Retry.DEFAULT_BACKOFF_MAX — without it the factor-3
+    # ladder's late rungs grow to 1536 s; urllib3 clamps every sleep
+    backoff_max: float = 120.0
 
     def sleeps(self) -> Iterator[float]:
         for attempt in range(1, self.max_tries):
-            yield 0.0 if attempt <= 1 else self.backoff_factor * (2 ** (attempt - 1))
+            raw = 0.0 if attempt <= 1 else self.backoff_factor * (2 ** (attempt - 1))
+            yield min(raw, self.backoff_max)
 
 
 def fetch_all(
@@ -177,8 +184,16 @@ def fetch_all(
 
     page = get_with_retry(query_url, {"q": soql})
     while True:
-        yield from page.get("records", [])
-        if page.get("done", True):
+        # a response missing `records` or `done` is a malformed page,
+        # not a short result set: treating absent `done` as True would
+        # silently truncate the stream — the exact failure mode the
+        # no-cursor guard below exists to prevent (ADVICE r6)
+        if "records" not in page or "done" not in page:
+            raise TransportError(
+                f"malformed query response (missing {'records' if 'records' not in page else 'done'}) — refusing a possibly-truncated extract"
+            )
+        yield from page["records"]
+        if page["done"]:
             return
         if not page.get("nextRecordsUrl"):
             # done=false without a cursor: a silently short extract is
@@ -214,5 +229,16 @@ class UrllibTransport:
             # an HTTP RESPONSE arrived: not a transport failure, not
             # retryable (reference Retry has no status_forcelist)
             raise HttpStatusError(e.code, e.reason) from e
-        except Exception as e:  # URLError, timeout, bad JSON: retryable
+        except (
+            urllib.error.URLError,  # refused / DNS / TLS (socket.timeout
+            TimeoutError,  #           arrives wrapped or as TimeoutError)
+            json.JSONDecodeError,  # 200 with a non-JSON body (proxy page)
+            UnicodeDecodeError,  #   mojibake body
+        ) as e:
+            # ONLY the transient classes map to the retry ladder
+            # (ADVICE r6): a bare `except Exception` sent programming
+            # errors (TypeError, AttributeError) through the full
+            # ~25-minute ladder before surfacing — everything else now
+            # propagates immediately, matching the fail-fast rationale
+            # used for HTTP statuses.
             raise TransportError(str(e)) from e

@@ -116,3 +116,19 @@ def test_anti_join_bloom_autosized_stays_exact_past_old_saturation(spark):
     source = spark.range(29_000, 31_000).select(F.col("id").alias("k"))
     got = sorted(r["k"] for r in anti_join_bloom(source, dest, "k").collect())
     assert got == list(range(30_000, 31_000))
+
+
+def test_bloom_probe_failure_does_not_leak_temp_view(spark):
+    """ADVICE r6: if analysis throws (bad key column), the uuid-named
+    temp view must still be dropped — no catalog residue."""
+    import pytest
+
+    from pipeline311_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    bloom = bloom_build(df, "k", m_bits=1 << 10)
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    with pytest.raises(Exception):
+        bloom_might_contain(df, "no_such_column", bloom, m_bits=1 << 10)
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert after == before, f"leaked temp views: {after - before}"

@@ -243,3 +243,58 @@ def test_nan_partition_value_not_deleted_after_rewrite(spark):
     }
     assert got2 == {1: (5.0, 0.5), 2: (2.0, 0.5)}
     assert not os.path.isdir(os.path.join(path2, "pc=NaN"))
+
+
+def test_empty_string_partition_value_folds_into_default_partition(spark):
+    """ADVICE r6 (medium): Spark's writer maps '' to the SAME
+    __HIVE_DEFAULT_PARTITION__ directory as NULL, but the identity layer
+    treated '' as a distinct rendering — the pruning predicate
+    isin(['']) never read the default partition's rows, so a batch
+    carrying pc='' dynamically overwrote __HIVE_DEFAULT_PARTITION__ and
+    deleted every other key that lived there; the emptied-dir delete
+    likewise targeted the nonexistent 'pc=' path.  '' now folds into
+    the NULL identity end to end."""
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"wh_es_{uuid.uuid4().hex[:10]}")
+    # keys 1 and 2 both live in the default partition: 1 via '', 2 via
+    # NULL (the writer puts them in the same dir)
+    base = spark.createDataFrame(
+        [(1, 1.0, 1, ""), (2, 2.0, 1, None), (3, 3.0, 1, "kept")],
+        "key long, val double, version int, pc string",
+    )
+    base.write.partitionBy("pc").parquet(path)
+    assert os.path.isdir(os.path.join(path, "pc=__HIVE_DEFAULT_PARTITION__"))
+    assert not os.path.isdir(os.path.join(path, "pc="))
+
+    # a batch carrying pc='' updates key 1 only — key 2 (same physical
+    # partition) must survive, and pc=kept must be untouched
+    u = spark.createDataFrame(
+        [(1, 10.0, 2, "")], "key long, val double, version int, pc string"
+    )
+    merge_incremental_partitioned(spark, path, u, "key", "version", "pc")
+    got = {
+        r["key"]: (r["val"], r["pc"])
+        for r in spark.read.schema(base.schema).parquet(path).collect()
+    }
+    # read-back canonicalizes both '' and NULL to NULL (Spark semantics)
+    assert got == {1: (10.0, None), 2: (2.0, None), 3: (3.0, "kept")}
+
+    # and a key MOVING OUT of '' empties + deletes the DEFAULT dir
+    # (not a bogus 'pc=' path) when no rows survive there
+    path2 = os.path.join(tempfile.gettempdir(), f"wh_es2_{uuid.uuid4().hex[:10]}")
+    spark.createDataFrame(
+        [(1, 1.0, 1, ""), (2, 2.0, 1, "kept")],
+        "key long, val double, version int, pc string",
+    ).write.partitionBy("pc").parquet(path2)
+    mv = spark.createDataFrame(
+        [(1, 5.0, 2, "kept")], "key long, val double, version int, pc string"
+    )
+    merge_incremental_partitioned(spark, path2, mv, "key", "version", "pc")
+    got2 = {
+        r["key"]: (r["val"], r["pc"])
+        for r in spark.read.schema(base.schema).parquet(path2).collect()
+    }
+    assert got2 == {1: (5.0, "kept"), 2: (2.0, "kept")}
+    assert not os.path.isdir(os.path.join(path2, "pc=__HIVE_DEFAULT_PARTITION__"))

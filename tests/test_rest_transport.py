@@ -162,3 +162,58 @@ def test_soql_datetime_tz_converted_to_utc():
 
 def test_soql_nested_relationship_path_dotted():
     assert soql_where([EqualTo(("Account", "Name"), "Acme")]) == "Account.Name = 'Acme'"
+
+
+def test_default_ladder_is_eleven_attempts_with_backoff_cap():
+    """ADVICE r6: urllib3 Retry(total=10) permits 10 retries = 11 total
+    attempts, and clamps every sleep at DEFAULT_BACKOFF_MAX=120 s — the
+    default policy must match both."""
+    fake = _FakeRest({"/q": {"records": []}}, fail_first={"/q": 99})
+    slept: list[float] = []
+    with pytest.raises(TransportError):
+        list(fetch_all(fake, "/q", "soql", sleep=slept.append))
+    assert len(fake.calls) == 11
+    assert slept == [0.0, 6.0, 12.0, 24.0, 48.0, 96.0, 120.0, 120.0, 120.0, 120.0]
+
+
+def test_malformed_page_missing_done_or_records_raises():
+    """ADVICE r6: a page missing `done` must NOT be read as done=True —
+    that silently truncates the extract; same for missing `records`."""
+    fake = _FakeRest({"/q": {"records": [{"id": 1}]}})  # no `done`
+    with pytest.raises(TransportError, match="missing done"):
+        list(fetch_all(fake, "/q", "soql", sleep=lambda s: None))
+    fake2 = _FakeRest({"/q": {"done": True}})  # no `records`
+    with pytest.raises(TransportError, match="missing records"):
+        list(fetch_all(fake2, "/q", "soql", sleep=lambda s: None))
+
+
+def test_urllib_transport_propagates_programming_errors(monkeypatch):
+    """ADVICE r6: only transient classes (URLError, timeout, bad JSON)
+    map to TransportError; a TypeError must surface immediately, not
+    ride the ~11-minute ladder."""
+    import urllib.request
+
+    from pipeline311_spark.sources.rest_transport import UrllibTransport
+
+    t = UrllibTransport("http://example.invalid", token="x")
+
+    def boom(req, timeout):
+        raise TypeError("programming error")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    with pytest.raises(TypeError):
+        t("/q", None)
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b"<html>gateway timeout</html>"  # 200 with non-JSON body
+
+    monkeypatch.setattr(urllib.request, "urlopen", lambda req, timeout: _Resp())
+    with pytest.raises(TransportError):
+        t("/q", None)
