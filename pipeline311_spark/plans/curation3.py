@@ -1,0 +1,261 @@
+"""Round-7 curation additions: classic BM25 retrieval scoring and the
+deterministic shuffle → balanced-shard export step of a training-data
+pipeline.
+
+* ``text_bm25_topk`` — Okapi BM25 (k1=1.2, b=0.75) top-k documents for
+  a fixed set of query term-sets, the lexical-retrieval complement to
+  the dense ``retrieval_end_to_end`` flow (reference analogue: the
+  engine's text operators feed curation the same way tf-idf does —
+  plans/analytics2.py; BM25 is the production lexical ranker).
+
+  Scale shape: the token explode is scan-side and is filtered to the
+  query vocabulary BEFORE the aggregation, so the only shuffle carries
+  matched tokens (|matches| ≈ docs × query terms hit rate, never the
+  corpus token stream); document length comes from a map-side
+  ``size(tokens())`` with one tiny corpus-stats aggregate broadcast
+  back, and the df/idf table is a handful of rows broadcast into the
+  scoring join.  Per-term contributions are folded in sorted term
+  order (both engines), so the floating sum is order-identical.
+
+* ``export_hash_shards`` — the terminal export of a curated corpus
+  into N balanced shards with a DETERMINISTIC pseudo-random order
+  (portable 60-bit hash of the doc id as both the shard assigner and
+  the within-shard sort key).  Re-running the export on the same
+  corpus yields byte-identical shard membership and order — the
+  property data-loader pipelines need for resumable/reproducible
+  training.  The query writes real parquet (partitionBy(shard), one
+  sorted file per shard), reads it back, and reports per-shard
+  stats; the oracle computes the same assignment declaratively, so
+  the write+read round trip is verified, not just executed
+  (pattern: k3_merge_partitioned / k5 roundtrip, plans/sinks_q.py).
+
+  Scale shape: ONE hash-partition exchange on the shard key with
+  in-task sort (sortWithinPartitions — no global ordering barrier),
+  then a file-per-shard write; at 100 TB shard count scales with the
+  corpus and every stage stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.hashing import portable_hash64, portable_hash64_sql
+from pipeline311_spark.ext.textstats import token_count, tokens
+from pipeline311_spark.plans.common import table
+from pipeline311_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+# (query_id, term) — fixed lexical queries over the synthetic vocab
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "spark"),
+    (0, "merge"),
+    (0, "vector"),
+    (1, "customer"),
+    (1, "join"),
+)
+
+
+def _bm25_sql() -> str:
+    from pipeline311_spark.plans.extensions import _ntok_sql, _tok_array_sql
+
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)
+    return f"""
+WITH q(query_id, term) AS (VALUES {qvals}),
+dl AS (
+  SELECT doc_id, CAST({_ntok_sql()} AS BIGINT) AS dl FROM documents
+  WHERE text IS NOT NULL),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+hits AS (
+  SELECT query_id, term, doc_id, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(list_transform({_tok_array_sql()}, t -> lower(t))) AS tok
+        FROM documents WHERE text IS NOT NULL) x
+  JOIN q ON x.tok = q.term
+  GROUP BY query_id, term, doc_id),
+df_t AS (
+  SELECT query_id, term, COUNT(*)::BIGINT AS df FROM hits GROUP BY query_id, term),
+contrib AS (
+  SELECT h.query_id, h.doc_id, h.term, h.tf, dl.dl,
+         ln(1.0 + ((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5))
+         * (h.tf * {_BM25_K1 + 1.0})
+         / (h.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / (SELECT avgdl FROM stats)))
+         AS c
+  FROM hits h JOIN df_t df ON h.query_id = df.query_id AND h.term = df.term
+  JOIN dl ON h.doc_id = dl.doc_id),
+scored AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list_transform(
+             list_sort(list({{'term': term, 'c': c}})), s -> s.c)), (a, x) -> a + x) AS score,
+         SUM(tf)::BIGINT AS tf_sum, MIN(dl)::BIGINT AS dl
+  FROM contrib GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+       doc_id, bm25, tf_sum, dl
+FROM (SELECT *, round(score, 6) AS bm25,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, doc_id) AS rn
+      FROM scored) t
+WHERE rn <= {_BM25_TOPK}
+"""
+
+
+@register("text_bm25_topk", _bm25_sql(), covers=("ext:text", "ext:similarity", "O4"))
+def q_bm25_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = F.broadcast(
+        spark.createDataFrame(list(_BM25_QUERIES), "query_id long, term string")
+    )
+    # map-side doc length; one tiny corpus-stats row broadcast back
+    dl = d.select("doc_id", token_count("text").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    # token explode filtered to the query vocabulary BEFORE the groupBy:
+    # the shuffle carries matched tokens only, never the corpus stream
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("tok")
+    )
+    hits = (
+        toks.join(q, toks["tok"] == q["term"])
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = hits.groupBy("query_id", "term").agg(F.count("*").cast("long").alias("df"))
+    contrib = (
+        hits.join(F.broadcast(df_t), ["query_id", "term"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(
+                F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+            * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    # per-term contributions folded in sorted term order — the floating
+    # sum is order-identical to the DuckDB twin (plans/common.py rules)
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda a, s: a + s["c"],
+        ).alias("score"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+        F.min("dl").cast("long").alias("dl"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bm25", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "bm25", "tf_sum", "dl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle → balanced shard export
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+_OKEY_MOD = 1_000_003  # checksum modulus: sum fits a long at any corpus size
+
+
+def _shards_sql() -> str:
+    h_shard = portable_hash64_sql("concat('shard:', CAST(doc_id AS VARCHAR))")
+    h_order = portable_hash64_sql("concat('order:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         ({h_shard}) % {_N_SHARDS} AS shard,
+         ({h_order}) AS okey,
+         CAST({{ntok}} AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL)
+SELECT shard, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS sum_tokens,
+       MIN(okey)::BIGINT AS min_okey, MAX(okey)::BIGINT AS max_okey,
+       SUM(okey % {_OKEY_MOD})::BIGINT AS okey_checksum
+FROM a GROUP BY shard ORDER BY shard
+"""
+
+
+def _shards_sql_filled() -> str:
+    from pipeline311_spark.plans.extensions import _ntok_sql
+
+    return _shards_sql().replace("{ntok}", _ntok_sql())
+
+
+def export_hash_shards_frame(spark, sf_dir):
+    """The pre-export frame: deterministic shard + order key per doc."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(_N_SHARDS),
+        ).alias("shard"),
+        portable_hash64(
+            F.concat(F.lit("order:"), F.col("doc_id").cast("string"))
+        ).alias("okey"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+
+
+def write_hash_shards(frame, out_dir: str) -> None:
+    """ONE exchange on the shard key, in-task sort by (shard, okey) —
+    no global ordering barrier — then a sorted file per shard dir."""
+    (
+        frame.repartition(_N_SHARDS, "shard")
+        .sortWithinPartitions("shard", "okey")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+@register(
+    "export_hash_shards", _shards_sql_filled(), covers=("ext:export", "K2", "T3")
+)
+def q_export_hash_shards(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), f"p311_shards_{uuid.uuid4().hex[:12]}")
+    try:
+        write_hash_shards(export_hash_shards_frame(spark, sf_dir), out)
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                F.min("okey").cast("long").alias("min_okey"),
+                F.max("okey").cast("long").alias("max_okey"),
+                F.sum(F.col("okey") % _OKEY_MOD).cast("long").alias("okey_checksum"),
+            )
+            .orderBy("shard")
+            .localCheckpoint(eager=True)  # materialize before the cleanup below
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

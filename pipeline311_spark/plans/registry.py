@@ -118,6 +118,7 @@ from pipeline311_spark.plans import analytics14  # noqa: E402,F401
 from pipeline311_spark.plans import sinks_q  # noqa: E402,F401
 from pipeline311_spark.plans import curation  # noqa: E402,F401
 from pipeline311_spark.plans import curation2  # noqa: E402,F401
+from pipeline311_spark.plans import curation3  # noqa: E402,F401
 from pipeline311_spark.plans import analytics15  # noqa: E402,F401
 from pipeline311_spark.plans import analytics16  # noqa: E402,F401
 from pipeline311_spark.plans import analytics17  # noqa: E402,F401

@@ -199,6 +199,10 @@ _SINGLE_PARTITION_OK = {
     # one-row rule-counter aggregate (a handful of longs) unpivoted to
     # the per-rule report — bytes, not data, cross the single partition
     "audit_expectations",
+    # corpus-stats scalar (N docs + avg doc length, one row) broadcast
+    # into the scoring join — the broadcast-watermark shape again; the
+    # matched-token aggregation itself stays hash-partitioned
+    "text_bm25_topk",
 }
 
 
