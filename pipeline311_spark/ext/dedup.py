@@ -257,6 +257,22 @@ def _gram_hash_table(
     return per.select("doc", *extra, F.explode(_gram_fold_expr(n, distinct)).alias("g"))
 
 
+def _row_gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, garr): the per-doc DISTINCT gram-hash set as a map-side
+    ARRAY — :func:`_gram_hash_table` without the explode, ZERO shuffles.
+
+    This is the verify-side twin of the gram table: exact-Jaccard needs
+    one gram SET per candidate doc, and building it here per row costs
+    a scan-side fold, where rebuilding it from exploded (doc, g) rows
+    costs a ``collect_set`` aggregation exchange (measured ~1 wave of
+    the bench verify tail, r7).  Persisted in array form it is also the
+    cheaper cache: one row per doc instead of one per gram."""
+    toks = tokens(normalize_text(text_col))
+    compact = ensure_parallelism(df.select(F.col(id_col).alias("doc"), toks.alias("tk")))
+    per = compact.withColumn("hs", _token_hash_expr()).filter(F.size("tk") >= n)
+    return per.select("doc", _gram_fold_expr(n, True).alias("garr"))
+
+
 @jvm_memo(maxsize=4)
 def _token_hash_expr() -> Column:
     """Memoized per-token hash array over the fixed ``tk`` intermediate
@@ -669,11 +685,14 @@ def minhash_dedup_pairs(
 
     ``reuse_grams`` picks between the two tokenize-once strategies:
 
-    * ``True`` (default): persist the (doc, g) gram table
-      (MEMORY_AND_DISK; ~8 B/token — the same order as the corpus scan
-      itself) and feed BOTH the signature aggregation and the verify
-      from it — one tokenize+hash pass total.  Right whenever the
-      cluster can cache ~1× the corpus across memory+local disk.
+    * ``True`` (default): persist the per-doc gram ARRAY table
+      (:func:`_row_gram_arrays`; MEMORY_AND_DISK, ~8 B/distinct gram —
+      the same order as the corpus scan itself, one row per doc) and
+      feed BOTH the signature aggregation (via a map-side explode) and
+      the verify (arrays semi-joined directly — no collect_set
+      exchange) from it — one tokenize+hash pass total.  Right
+      whenever the cluster can cache ~1× the corpus across
+      memory+local disk.
     * ``False``: recompute the candidate docs' grams from the source
       text, restricted by a broadcast semi-join BEFORE any hashing —
       zero cache footprint, two tokenize passes (the second only over
@@ -711,10 +730,16 @@ def minhash_dedup_pairs(
     materializing the gram table to storage once per corpus version
     (see SCALE.md) instead of executor cache."""
     if reuse_grams:
+        # Persist the ARRAY form (one row per doc): the signature
+        # aggregation reads it through a map-side explode, and the
+        # verify semi-joins the arrays directly — no collect_set
+        # exchange to rebuild sets the scan already produced (r7;
+        # measured ~0.5 s off the bench verify tail).
+        arrays = persist_tracked(_row_gram_arrays(df, id_col, text_col, n))
         return minhash_pairs_from_grams(
-            _gram_hash_table(df, id_col, text_col, n, distinct=True),
-            k=k, bands=bands, threshold=threshold, seed=seed, persist=True,
-            max_bucket=max_bucket, max_group=max_group,
+            arrays.select("doc", F.explode("garr").alias("g")),
+            k=k, bands=bands, threshold=threshold, seed=seed, persist=False,
+            max_bucket=max_bucket, max_group=max_group, gram_arrays=arrays,
         )
     gh = _gram_hash_table(df, id_col, text_col, n, distinct=True)
     sigg = persist_tracked(
@@ -730,14 +755,19 @@ def minhash_dedup_pairs(
         )
     )
     cand.count()
+    # no distinct on the probe-id set: it only feeds broadcast
+    # semi-joins, which tolerate duplicate build rows — a distinct here
+    # is a pure extra exchange wave (r7)
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
-    ).distinct()
+    )
     small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
-    cand_grams = _gram_hash_table(small, "__id", "__t", n)
-    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold)
+    doc_sets = _row_gram_arrays(small, "__id", "__t", n).select(
+        "doc", F.col("garr").alias("sset")
+    )
+    cross = _jaccard_verify(cand.distinct(), doc_sets, threshold)
     return _expand_cross(
         cross, sigg, ["jaccard"], gn_cols=("gn_a", "gn_b")
     ).unionByName(
@@ -756,6 +786,7 @@ def minhash_pairs_from_grams(
     persist: bool = True,
     max_bucket: int = 200,
     max_group: int = IDENT_MAX_GROUP,
+    gram_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs from a PREBUILT (doc, g) gram table —
     the stored-corpus-version path (SCALE.md): tokenize/hash once per
@@ -768,7 +799,14 @@ def minhash_pairs_from_grams(
     Contract: ``gh`` rows are per-doc DISTINCT (the
     ``_gram_hash_table(distinct=True)`` shape, and the stored-table
     format) — signature MINs are multiset-insensitive but the content
-    stats that ride the same aggregation are not."""
+    stats that ride the same aggregation are not.
+
+    ``gram_arrays``: optional (doc, garr) ARRAY-form twin of ``gh``
+    (:func:`_row_gram_arrays`).  When provided (the
+    ``minhash_dedup_pairs(reuse_grams=True)`` path persists exactly
+    this), the verify semi-joins the arrays directly instead of
+    rebuilding sets from exploded rows with a ``collect_set``
+    exchange."""
     if persist:
         gh = persist_tracked(gh)
     sigg = persist_tracked(
@@ -781,11 +819,19 @@ def minhash_pairs_from_grams(
         )
     )
     cand.count()
+    # distinct-free probe-id set: feeds broadcast semi-joins only (r7)
     cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
         cand.select(F.col("doc_b").alias("doc"))
-    ).distinct()
-    cand_grams = gh.join(F.broadcast(cand_docs), "doc", "left_semi")
-    cross = _jaccard_verify(cand.distinct(), cand_grams, threshold)
+    )
+    if gram_arrays is not None:
+        doc_sets = gram_arrays.join(F.broadcast(cand_docs), "doc", "left_semi").select(
+            "doc", F.col("garr").alias("sset")
+        )
+    else:
+        doc_sets = _sets_from_grams(
+            gh.join(F.broadcast(cand_docs), "doc", "left_semi")
+        )
+    cross = _jaccard_verify(cand.distinct(), doc_sets, threshold)
     return _expand_cross(
         cross, sigg, ["jaccard"], gn_cols=("gn_a", "gn_b")
     ).unionByName(
@@ -795,16 +841,27 @@ def minhash_pairs_from_grams(
     )
 
 
+def _sets_from_grams(cand_grams: DataFrame) -> DataFrame:
+    """(doc, sset) from EXPLODED (doc, g) gram rows — one ``collect_set``
+    aggregation.  Only for gram tables whose array form is not
+    available (the stored-corpus paths, where (doc, g) parquet is the
+    on-disk contract); callers with source text build the sets map-side
+    via :func:`_row_gram_arrays` instead and skip this exchange."""
+    return cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
+
+
 def _jaccard_verify(
     cand: DataFrame,
-    cand_grams: DataFrame,
+    doc_sets: DataFrame,
     threshold: float,
 ) -> DataFrame:
     """Exact-Jaccard check of candidate (doc_a, doc_b) pairs against a
-    (doc, g) gram table already restricted to candidate docs: one
-    ``collect_set`` per doc, then each pair checked row-wise with
-    ``array_intersect`` — two joins total, no per-(pair × shared
-    shingle) row explosion and no per-pair aggregation shuffle.
+    (doc, sset) gram-SET table already restricted to candidate docs:
+    each pair checked row-wise with ``array_intersect`` — two joins
+    total, no per-(pair × shared shingle) row explosion and no per-pair
+    aggregation shuffle.  ``doc_sets`` comes map-side from
+    :func:`_row_gram_arrays` when source text is at hand, or from
+    :func:`_sets_from_grams` over a stored exploded gram table.
 
     Size-ratio pre-gate (r5): Jaccard is bounded above by
     min(|A|,|B|) / max(|A|,|B|), so pairs failing that ratio against
@@ -822,7 +879,6 @@ def _jaccard_verify(
 
     ``size(sset)`` over the distinct-gram set IS the distinct-gram
     count the signature aggregation provides."""
-    doc_sets = cand_grams.groupBy("doc").agg(F.collect_set("g").alias("sset"))
     a = doc_sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("set_a"))
     b = doc_sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("set_b"))
     extra = [c for c in cand.columns if c not in ("doc_a", "doc_b")]
@@ -913,12 +969,14 @@ def minhash_incremental_pairs(
         ),
         k, bands, max_bucket,
     )
-    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
+    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
     small = tagged.join(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
     )
-    cand_grams = _gram_hash_table(small, "__id", "__t", n)
-    cross = _jaccard_verify(cand, cand_grams, threshold)
+    doc_sets = _row_gram_arrays(small, "__id", "__t", n).select(
+        "doc", F.col("garr").alias("sset")
+    )
+    cross = _jaccard_verify(cand, doc_sets, threshold)
     return _flag_expand_ident(cross, sigg, max_group)
 
 
@@ -1135,11 +1193,15 @@ def minhash_incremental_from_store(
         ),
         k, bands, max_bucket,
     )
-    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc")).distinct()
+    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+    # corpus side: sets rebuilt from the STORED exploded gram rows (the
+    # on-disk contract — no array form exists); batch side: map-side
+    # arrays would save the collect_set only for the (tiny) new docs,
+    # so both ride one union + one aggregation instead of two plans
     cand_grams = existing_grams.select("doc", "g").join(
         F.broadcast(cand_docs), "doc", "left_semi"
     ).unionByName(new_gh.join(F.broadcast(cand_docs), "doc", "left_semi"))
-    cross = _jaccard_verify(cand, cand_grams, threshold)
+    cross = _jaccard_verify(cand, _sets_from_grams(cand_grams), threshold)
     return _flag_expand_ident(cross, sigg, max_group)
 
 
