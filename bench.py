@@ -122,6 +122,10 @@ def main() -> None:
         "sample_budget_fill_scalable",
         "sketch_hll_distinct",
         "sketch_countmin_heavy",
+        # round-7 additions: lexical retrieval, shard export, flagship
+        "text_bm25_topk",
+        "export_hash_shards",
+        "curation_full_pipeline",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

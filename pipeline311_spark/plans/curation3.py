@@ -259,3 +259,148 @@ def q_export_hash_shards(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the full RefinedWeb-style curation pipeline as
+# ONE declarative plan — language filter → quality gate → exact dedup →
+# 13-gram benchmark decontamination → deterministic 80% sample →
+# token-budget sequence packing → balanced shard assignment.  Every
+# stage is an operator that is ALSO verified standalone
+# (text_quality_scores, dedup_exact_groups, text_contamination_13gram,
+# sample_deterministic_20pct, text_pack_sequences, export_hash_shards);
+# this query proves they COMPOSE into the production flow under the
+# same oracle gate.
+#
+# Scale shape: filters and gram generation are scan-side; the plan's
+# exchanges are (1) the dedup fingerprint window, (2) the tiny
+# contaminated-doc-id broadcast (eval grams broadcast into a map-side
+# join, hit ids broadcast back into an anti join), and (3) the per-
+# source packing window (the two-phase bucket decomposition in
+# plans/curation2.py is the documented alternative when one source
+# outgrows a partition).  Sampling and shard assignment are pure row
+# math.  A 100 TB corpus flows scan → filter → one hash window → anti
+# join → one range-ish window → map-side shard tag.
+# ---------------------------------------------------------------------------
+
+_FP_LANGS = ("en", "de", "fr")
+_FP_MIN_QS = 0.5
+_FP_EVAL_SRC = "src0"
+_FP_GRAM_N = 13
+_FP_SAMPLE_PCT = 80
+_FP_BUDGET = 1000
+_FP_SHARDS = 8
+
+
+def _full_pipeline_sql() -> str:
+    from pipeline311_spark.ext.sampling import hash_bucket_sql
+    from pipeline311_spark.plans.extensions import (
+        PUNCT_CLASS,
+        _lang_hits_sql,
+        _norm_sql,
+        _ntok_sql,
+        _tok_array_sql,
+    )
+
+    langs = ", ".join(f"'{lg}'" for lg in _FP_LANGS)
+    n1 = _FP_GRAM_N - 1
+    h_shard = portable_hash64_sql("concat('shard:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text FROM documents
+  WHERE lang IN ({langs}) AND source <> '{_FP_EVAL_SRC}'),
+feat AS (
+  SELECT doc_id, source, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
+         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+  FROM base),
+scored AS (
+  SELECT doc_id, source, text,
+         0.4 * least(n_tokens / 64.0, 1.0)
+         + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
+         + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
+         + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))
+         AS qs
+  FROM feat),
+kept AS (SELECT doc_id, source, text FROM scored WHERE qs >= {_FP_MIN_QS}),
+dedup AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5({_norm_sql('text')}) ORDER BY doc_id) AS rn
+    FROM kept) t
+  WHERE rn = 1),
+eval_grams AS (
+  SELECT DISTINCT array_to_string(t[i:i+{n1}], ' ') AS g
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE source = '{_FP_EVAL_SRC}' AND text IS NOT NULL) x,
+       unnest(generate_series(1, len(t) - {n1})) AS u(i)),
+train_grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{n1}], ' ') AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dedup) x,
+       unnest(generate_series(1, len(t) - {n1})) AS u(i)),
+contaminated AS (SELECT DISTINCT doc_id FROM train_grams JOIN eval_grams USING (g)),
+clean AS (
+  SELECT d.* FROM dedup d
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
+sampled AS (SELECT * FROM clean WHERE {hash_bucket_sql('doc_id')} < {_FP_SAMPLE_PCT}),
+tok AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM sampled),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tok) / {_FP_BUDGET}) AS BIGINT) AS pack_id
+  FROM tok)
+SELECT doc_id, source, n_tok, pack_id,
+       CAST(({h_shard}) % {_FP_SHARDS} AS BIGINT) AS shard
+FROM packed
+"""
+
+
+@register(
+    "curation_full_pipeline",
+    _full_pipeline_sql(),
+    covers=("ext:text", "ext:dedup", "ext:sampling", "ext:export", "F1", "O5", "J4"),
+)
+def q_curation_full_pipeline(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from pipeline311_spark.ext.dedup import exact_dedup
+    from pipeline311_spark.ext.sampling import hash_bucket
+    from pipeline311_spark.ext.textstats import quality_score
+    from pipeline311_spark.plans.analytics12 import _grams
+
+    d = table(spark, sf_dir, "documents")
+    base = d.filter(
+        F.col("lang").isin(*_FP_LANGS) & (F.col("source") != _FP_EVAL_SRC)
+    )
+    kept = base.filter(quality_score("text") >= _FP_MIN_QS)
+    deduped = exact_dedup(kept, "doc_id", "text")
+    # decontamination: eval grams broadcast into a map-side join over
+    # the (scan-side) training gram stream; hit ids broadcast back into
+    # an anti join — the training text itself never shuffles
+    eval_grams = F.broadcast(
+        _grams(d.filter(F.col("source") == _FP_EVAL_SRC)).select("g").distinct()
+    )
+    hits = _grams(deduped).join(eval_grams, "g").select("doc_id")
+    clean = deduped.join(F.broadcast(hits), "doc_id", "left_anti")
+    sampled = clean.filter(hash_bucket("doc_id", 100) < _FP_SAMPLE_PCT)
+    tok = sampled.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _FP_BUDGET).cast("bigint"),
+    )
+    return packed.withColumn(
+        "shard",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(_FP_SHARDS),
+        ).cast("bigint"),
+    )
