@@ -166,6 +166,19 @@ def merge_incremental_partitioned(
     # true, so isin() with the NaN literal still matches).
     render_orig: dict = {}  # rendering -> native value
 
+    def _canon_render(s):
+        """Renderings that share the NULL sentinel DIRECTORY fold into
+        the NULL identity (ADVICE r6 + review r7): Spark's writer maps
+        the empty string AND the literal '__HIVE_DEFAULT_PARTITION__'
+        value to the same __HIVE_DEFAULT_PARTITION__ directory as
+        NULL, and the read-back surfaces all three as NULL — treating
+        them as distinct renderings made the pruning predicate skip
+        the default partition's rows while the batch's dynamic
+        overwrite replaced that directory, deleting every other key
+        that lived there; the emptied-dir delete likewise targeted a
+        nonexistent path."""
+        return None if s in (None, "", "__HIVE_DEFAULT_PARTITION__") else s
+
     def _vals_with_render(df: DataFrame) -> set:
         rows = df.select(
             F.col(partition_col).alias("__v"),
@@ -173,16 +186,7 @@ def merge_incremental_partitioned(
         ).distinct().collect()
         out = set()
         for r in rows:
-            # '' folds into the NULL identity (ADVICE r6): Spark's
-            # writer maps the empty string to the SAME
-            # __HIVE_DEFAULT_PARTITION__ directory as NULL, and the
-            # read-back surfaces both as NULL — treating '' as a
-            # distinct rendering made the pruning predicate isin([''])
-            # skip the default partition's rows while the batch's
-            # dynamic overwrite replaced that directory, deleting every
-            # other key that lived there; the emptied-dir delete
-            # likewise targeted the nonexistent 'pc=' path.
-            key = r["__s"] or None  # None for NULL value AND for ''
+            key = _canon_render(r["__s"])
             if key is not None:
                 render_orig[key] = r["__v"]
             out.add(key)
@@ -218,11 +222,27 @@ def merge_incremental_partitioned(
     # columns by name anyway
     target = spark.read.schema(updates.schema).parquet(target_path).filter(pred)
     merged = upsert(target, updates.select(target.columns), key, version_col)
+    # canonicalize default-partition-identity VALUES to NULL before the
+    # write (review r7): a frame mixing NULL with ''/the literal
+    # sentinel string makes Spark's dynamic-partition writer collide
+    # with ITSELF — two distinct values escape to the same
+    # pc=__HIVE_DEFAULT_PARTITION__ directory inside one task and the
+    # second open raises FileAlreadyExistsException.  Post-roundtrip
+    # semantics are unchanged: Spark's own read-back already surfaces
+    # all three as NULL; this just applies the collapse eagerly.
+    pc_str = F.col(partition_col).cast("string")
+    merged = merged.withColumn(
+        partition_col,
+        F.when(
+            pc_str.isin("", "__HIVE_DEFAULT_PARTITION__"),
+            F.lit(None).cast(merged.schema[partition_col].dataType),
+        ).otherwise(F.col(partition_col)),
+    )
     merged = merged.localCheckpoint(eager=True)
     # written partitions by RENDERING too, same identity as `touched`
-    # ('' folds into None — both write __HIVE_DEFAULT_PARTITION__)
+    # (''/sentinel fold into None — all write __HIVE_DEFAULT_PARTITION__)
     written = {
-        r[0] or None
+        _canon_render(r[0])
         for r in merged.select(F.col(partition_col).cast("string")).distinct().collect()
     }
     (

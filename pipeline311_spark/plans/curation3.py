@@ -243,8 +243,13 @@ def write_hash_shards(frame, out_dir: str) -> None:
 def q_export_hash_shards(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), f"p311_shards_{uuid.uuid4().hex[:12]}")
     try:
-        write_hash_shards(export_hash_shards_frame(spark, sf_dir), out)
-        back = spark.read.parquet(out)
+        frame = export_hash_shards_frame(spark, sf_dir)
+        write_hash_shards(frame, out)
+        # explicit schema on read-back (review r7): an EMPTY corpus
+        # writes only _SUCCESS, and schema inference over zero part
+        # files raises UNABLE_TO_INFER_SCHEMA — the registry-wide
+        # empty-table gate exercises exactly that
+        back = spark.read.schema(frame.schema).parquet(out)
         return (
             back.groupBy(F.col("shard").cast("bigint").alias("shard"))
             .agg(

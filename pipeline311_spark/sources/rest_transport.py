@@ -33,6 +33,7 @@ streaming offsets are transport-independent.
 
 from __future__ import annotations
 
+import http.client
 import json
 import time
 import urllib.error
@@ -230,8 +231,15 @@ class UrllibTransport:
             # retryable (reference Retry has no status_forcelist)
             raise HttpStatusError(e.code, e.reason) from e
         except (
-            urllib.error.URLError,  # refused / DNS / TLS (socket.timeout
-            TimeoutError,  #           arrives wrapped or as TimeoutError)
+            # OSError covers URLError (its subclass) plus the raw
+            # socket errors resp.read() raises MID-BODY, which urllib
+            # does NOT wrap: ConnectionResetError, BrokenPipeError,
+            # socket.timeout/TimeoutError (review r7 — the first
+            # narrowing missed these and a mid-body reset after the
+            # 540 s window would have escaped the ladder entirely)
+            OSError,
+            # IncompleteRead / RemoteDisconnected etc. — also read-phase
+            http.client.HTTPException,
             json.JSONDecodeError,  # 200 with a non-JSON body (proxy page)
             UnicodeDecodeError,  #   mojibake body
         ) as e:

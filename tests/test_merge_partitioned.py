@@ -298,3 +298,30 @@ def test_empty_string_partition_value_folds_into_default_partition(spark):
     }
     assert got2 == {1: (5.0, "kept"), 2: (2.0, "kept")}
     assert not os.path.isdir(os.path.join(path2, "pc=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_hive_sentinel_literal_partition_value_folds_into_default(spark):
+    """Review r7: the literal string '__HIVE_DEFAULT_PARTITION__' ALSO
+    writes into the NULL sentinel directory (and reads back as NULL) —
+    it must fold into the same identity as NULL/'' or a batch carrying
+    it overwrites the default partition and deletes its other keys."""
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"wh_sen_{uuid.uuid4().hex[:10]}")
+    base = spark.createDataFrame(
+        [(1, 1.0, 1, "__HIVE_DEFAULT_PARTITION__"), (2, 2.0, 1, None), (3, 3.0, 1, "kept")],
+        "key long, val double, version int, pc string",
+    )
+    base.write.partitionBy("pc").parquet(path)
+
+    u = spark.createDataFrame(
+        [(1, 10.0, 2, "__HIVE_DEFAULT_PARTITION__")],
+        "key long, val double, version int, pc string",
+    )
+    merge_incremental_partitioned(spark, path, u, "key", "version", "pc")
+    got = {
+        r["key"]: (r["val"], r["pc"])
+        for r in spark.read.schema(base.schema).parquet(path).collect()
+    }
+    assert got == {1: (10.0, None), 2: (2.0, None), 3: (3.0, "kept")}

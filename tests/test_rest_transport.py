@@ -217,3 +217,42 @@ def test_urllib_transport_propagates_programming_errors(monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", lambda req, timeout: _Resp())
     with pytest.raises(TransportError):
         t("/q", None)
+
+
+def test_urllib_transport_retries_mid_body_network_failures(monkeypatch):
+    """Review r7: read-phase failures (connection reset / truncated
+    chunked body) are raised RAW by resp.read() — urllib only wraps
+    connection-phase errors in URLError — and must still map to
+    TransportError so the ladder owns them."""
+    import http.client
+    import urllib.request
+
+    from pipeline311_spark.sources.rest_transport import UrllibTransport
+
+    t = UrllibTransport("http://example.invalid", token="x")
+
+    class _Resp:
+        def __init__(self, exc):
+            self.exc = exc
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            raise self.exc
+
+    for exc in (
+        ConnectionResetError("reset by peer"),
+        BrokenPipeError("broken pipe"),
+        http.client.IncompleteRead(b"partial"),
+        http.client.RemoteDisconnected("closed"),
+        TimeoutError("timed out"),
+    ):
+        monkeypatch.setattr(
+            urllib.request, "urlopen", lambda req, timeout, e=exc: _Resp(e)
+        )
+        with pytest.raises(TransportError):
+            t("/q", None)
