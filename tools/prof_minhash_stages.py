@@ -50,4 +50,50 @@ def cand():
 
 t("signatures+candidates", cand)
 t("full", lambda: minhash_dedup_pairs(d, "doc_id", "text", k=16, bands=4, n=5, threshold=0.2).count())
+
+# tail attribution (r7): where the full-pipeline time past the
+# candidates goes — sigg (gram arrays + signature agg + group window),
+# cand materialization, verify, expansion/ident/union.  Single pass,
+# cumulative milestones.
+from pipeline311_spark.ext.cache import persist_tracked
+from pipeline311_spark.ext.dedup import (
+    IDENT_MAX_GROUP,
+    _expand_cross,
+    _ident_member_pairs,
+    _jaccard_verify,
+    _minhash_aggs,
+    _row_gram_arrays,
+    _stat_aggs,
+    _with_groups,
+)
+
+spark.catalog.clearCache()
+k, bands, n, threshold = 16, 4, 5, 0.2
+t0 = time.time()
+arrays = persist_tracked(_row_gram_arrays(d, "doc_id", "text", n))
+gh = arrays.select("doc", F.explode("garr").alias("g"))
+sigg = persist_tracked(
+    _with_groups(gh.groupBy("doc").agg(*_minhash_aggs(k, 42), *_stat_aggs()))
+)
+sigg.count(); t1 = time.time()
+reps = sigg.filter(F.col("doc") == F.col("rep"))
+cand = persist_tracked(
+    lsh_candidate_pairs(reps, k, bands, max_bucket=200, distinct_pairs=False, carry=("gn",))
+)
+cand.count(); t2 = time.time()
+cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
+    cand.select(F.col("doc_b").alias("doc"))
+)
+doc_sets = arrays.join(F.broadcast(cand_docs), "doc", "left_semi").select(
+    "doc", F.col("garr").alias("sset")
+)
+cross = _jaccard_verify(cand.distinct(), doc_sets, threshold).localCheckpoint(eager=True)
+t3 = time.time()
+final = _expand_cross(cross, sigg, ["jaccard"], gn_cols=("gn_a", "gn_b")).unionByName(
+    _ident_member_pairs(sigg, IDENT_MAX_GROUP, group_key=("sz", "fp1", "fp2")).withColumn(
+        "jaccard", F.lit(1.0)
+    )
+)
+final.count(); t4 = time.time()
+print(f"tail: sigg={t1-t0:5.2f}s cand={t2-t1:5.2f}s verify={t3-t2:5.2f}s expand+ident={t4-t3:5.2f}s")
 spark.stop()
