@@ -122,10 +122,12 @@ def main() -> None:
         "sample_budget_fill_scalable",
         "sketch_hll_distinct",
         "sketch_countmin_heavy",
-        # round-7 additions: lexical retrieval, shard export, flagship
+        # round-7 additions: lexical retrieval, shard export, flagship,
+        # array-form gram store
         "text_bm25_topk",
         "export_hash_shards",
         "curation_full_pipeline",
+        "dedup_minhash_from_array_store",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

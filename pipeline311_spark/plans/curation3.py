@@ -409,3 +409,55 @@ def q_curation_full_pipeline(spark, sf_dir):
             F.lit(_FP_SHARDS),
         ).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored gram table, ARRAY form — the r7-preferred per-corpus-version
+# artifact: one row per doc (doc, garr) instead of one row per gram.
+# Smaller on disk, and a reload feeds BOTH the signature aggregation
+# (map-side explode) and the exact-Jaccard verify (arrays semi-joined
+# directly) with ZERO set-rebuild aggregation — the exploded (doc, g)
+# store (dedup_minhash_from_store) must pay a collect_set exchange to
+# get its verify sets back.  Same oracle as dedup_minhash_lsh: the
+# storage hop must be invisible in the result.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_from_array_store_sql() -> str:
+    from pipeline311_spark.plans.extensions import _minhash_pairs_sql
+
+    return _minhash_pairs_sql()
+
+
+@register(
+    "dedup_minhash_from_array_store",
+    _minhash_from_array_store_sql(),
+    covers=("ext:dedup", "ext:export", "K2"),
+)
+def q_minhash_from_array_store(spark, sf_dir):
+    from pipeline311_spark.ext.dedup import _row_gram_arrays, minhash_pairs_from_grams
+    from pipeline311_spark.plans.extensions import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_N,
+        _MH_SEED,
+        _MH_THRESHOLD,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"p311_garr_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
+    )
+    frame = _row_gram_arrays(d, "doc_id", "text", _MH_N)
+    frame.write.mode("overwrite").parquet(out)
+    stored = spark.read.schema(frame.schema).parquet(out)
+    return minhash_pairs_from_grams(
+        stored.select("doc", F.explode("garr").alias("g")),
+        k=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+        seed=_MH_SEED,
+        persist=False,
+        gram_arrays=stored,
+    )
