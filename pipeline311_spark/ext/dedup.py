@@ -962,20 +962,17 @@ def minhash_incremental_pairs(
     sig = gh.groupBy("doc", "is_new").agg(*_minhash_aggs(k, seed), *_stat_aggs())
     sigg = persist_tracked(_with_groups_flagged(sig))
     reps = sigg.filter(F.col("doc") == F.col("rep"))
-    # materialized like the full run's candidate set (r7): the probe-id
-    # broadcast below is a SEPARATE job, so an unpersisted cand would
-    # re-execute the banding pipeline once for the broadcast and once
-    # inside the verify join
-    cand = persist_tracked(
-        _incremental_candidates(
-            reps.select(
-                "doc", F.col("g_new").alias("is_new"), "rep_new", "gn",
-                *[f"mh{i}" for i in range(k)],
-            ),
-            k, bands, max_bucket,
-        )
+    # _incremental_candidates persists + counts its result internally —
+    # the probe-id broadcast below and the verify join both reuse that
+    # materialization (no caller-side persist: doubling it re-registers
+    # the same handle and pays an extra count job, review r7)
+    cand = _incremental_candidates(
+        reps.select(
+            "doc", F.col("g_new").alias("is_new"), "rep_new", "gn",
+            *[f"mh{i}" for i in range(k)],
+        ),
+        k, bands, max_bucket,
     )
-    cand.count()
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
     small = tagged.join(
         F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
@@ -1193,18 +1190,15 @@ def minhash_incremental_from_store(
     )
     sigg = persist_tracked(_with_groups_flagged(old_sig.unionByName(new_sig)))
     reps = sigg.filter(F.col("doc") == F.col("rep"))
-    # materialized (r7): the TWO probe-id broadcasts below are separate
-    # jobs — unpersisted, each would re-run the banding pipeline
-    cand = persist_tracked(
-        _incremental_candidates(
-            reps.select(
-                "doc", F.col("g_new").alias("is_new"), "rep_new", "gn",
-                *[f"mh{i}" for i in range(k)],
-            ),
-            k, bands, max_bucket,
-        )
+    # _incremental_candidates persists + counts internally (see
+    # minhash_incremental_pairs) — both probe-id broadcasts reuse it
+    cand = _incremental_candidates(
+        reps.select(
+            "doc", F.col("g_new").alias("is_new"), "rep_new", "gn",
+            *[f"mh{i}" for i in range(k)],
+        ),
+        k, bands, max_bucket,
     )
-    cand.count()
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
     # corpus side: sets rebuilt from the STORED exploded gram rows (the
     # on-disk contract — no array form exists); batch side: map-side

@@ -449,15 +449,18 @@ def q_minhash_from_array_store(spark, sf_dir):
         tempfile.gettempdir(),
         f"p311_garr_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
     )
-    frame = _row_gram_arrays(d, "doc_id", "text", _MH_N)
-    frame.write.mode("overwrite").parquet(out)
-    stored = spark.read.schema(frame.schema).parquet(out)
-    return minhash_pairs_from_grams(
-        stored.select("doc", F.explode("garr").alias("g")),
-        k=_MH_K,
-        bands=_MH_BANDS,
-        threshold=_MH_THRESHOLD,
-        seed=_MH_SEED,
-        persist=False,
-        gram_arrays=stored,
-    )
+    try:
+        frame = _row_gram_arrays(d, "doc_id", "text", _MH_N)
+        frame.write.mode("overwrite").parquet(out)
+        stored = spark.read.schema(frame.schema).parquet(out)
+        return minhash_pairs_from_grams(
+            stored.select("doc", F.explode("garr").alias("g")),
+            k=_MH_K,
+            bands=_MH_BANDS,
+            threshold=_MH_THRESHOLD,
+            seed=_MH_SEED,
+            persist=False,
+            gram_arrays=stored,
+        ).localCheckpoint(eager=True)  # materialize before the cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

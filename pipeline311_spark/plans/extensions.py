@@ -300,6 +300,7 @@ def q_minhash_from_store(spark, sf_dir):
     re-tokenization.  Same oracle as dedup_minhash_lsh: the storage
     hop must be invisible in the result."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -310,11 +311,18 @@ def q_minhash_from_store(spark, sf_dir):
         tempfile.gettempdir(),
         f"p311_grams_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
     )
-    _gram_hash_table(d, "doc_id", "text", _MH_N, distinct=True).write.mode("overwrite").parquet(out)
-    stored = spark.read.parquet(out)
-    return minhash_pairs_from_grams(
-        stored, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED, persist=False
-    )
+    # try/finally + eager checkpoint (review r7): each invocation
+    # otherwise leaves a corpus-sized gram parquet dir in /tmp forever
+    # (oracle sweeps × 3 SFs and bench reps each minted a fresh uuid)
+    try:
+        frame = _gram_hash_table(d, "doc_id", "text", _MH_N, distinct=True)
+        frame.write.mode("overwrite").parquet(out)
+        stored = spark.read.schema(frame.schema).parquet(out)
+        return minhash_pairs_from_grams(
+            stored, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED, persist=False
+        ).localCheckpoint(eager=True)  # materialize before the cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 @register(
