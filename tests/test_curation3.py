@@ -83,3 +83,22 @@ def test_bm25_ranks_term_frequency_over_length(spark):
         scores = [r["bm25"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(r["tf_sum"] >= 1 for r in rs)
+
+
+def test_from_store_queries_do_not_leak_tmp_dirs(spark):
+    """Review r7: every invocation of the stored-gram queries minted a
+    fresh uuid parquet dir under /tmp and never removed it — oracle
+    sweeps and bench reps accumulated corpus-sized dirs forever.  Both
+    now checkpoint eagerly and rmtree in a finally."""
+    import glob
+    import tempfile
+
+    from pipeline311_spark.plans import REGISTRY
+
+    pat = os.path.join(tempfile.gettempdir(), "p311_g*")
+    before = set(glob.glob(pat))
+    for name in ("dedup_minhash_from_store", "dedup_minhash_from_array_store"):
+        rows = REGISTRY[name].fn(spark, SF).collect()
+        assert rows, name
+    after = set(glob.glob(pat))
+    assert after == before, f"leaked temp dirs: {sorted(after - before)}"
