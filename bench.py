@@ -128,6 +128,7 @@ def main() -> None:
         "export_hash_shards",
         "curation_full_pipeline",
         "dedup_minhash_from_array_store",
+        "retrieval_hybrid_rrf",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

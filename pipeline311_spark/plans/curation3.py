@@ -464,3 +464,115 @@ def q_minhash_from_array_store(spark, sf_dir):
         ).localCheckpoint(eager=True)  # materialize before the cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (cosine top-k) rankers — the standard production pattern for
+# combining keyword and embedding search.  RRF(d) = Σ 1/(C + rank_s(d))
+# over the rankers that returned d (C = 60, the conventional constant).
+# The fusion math is RATIONAL (integer ranks, one double division per
+# term, one fixed-order addition) — no transcendentals, so the score
+# itself is bit-identical across engines and rides the oracle hash,
+# unlike BM25's ln-based score which is rank-compared via rounding.
+#
+# Scale shape: both rankers are already bounded top-k per query, so the
+# fusion operates on ≤ 2·k·|queries| rows — a full-outer join of two
+# tiny frames plus a per-query window.  At 100 TB the cost lives in the
+# rankers (each already scale-shaped); fusion is free.
+#
+# Query-id alignment: BM25 term-set ids {0, 1} pair with query vectors
+# vec_id {0, 1} (the testdata convention retrieval_end_to_end
+# established: embedding vec_id aligns with documents doc_id).
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_QUERIES = 2  # fuses BM25 query ids {0,1} with query vectors {0,1}
+
+
+def _hybrid_rrf_sql() -> str:
+    from pipeline311_spark.plans.extensions import _cos_sql
+
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank FROM ({_bm25_sql()}) b
+  WHERE query_id < {_RRF_QUERIES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_RRF_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM q JOIN e ON e.vec_id != query_id),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, CAST(rn AS BIGINT) AS dense_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) t
+  WHERE rn <= {_BM25_TOPK}),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+rrf AS (
+  SELECT query_id, doc_id,
+         -- absent-ranker rank renders as 0, not NULL: a NULL in an
+         -- integer output column floats the whole column on the
+         -- pandas/oracle side ('1.0' vs '1' — driver-strict canon)
+         CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(dense_rank, 0) AS BIGINT) AS dense_rank,
+         COALESCE((1.0::DOUBLE) / ({_RRF_C} + lex_rank), 0.0::DOUBLE)
+         + COALESCE((1.0::DOUBLE) / ({_RRF_C} + dense_rank), 0.0::DOUBLE) AS rrf
+  FROM fused)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, rrf, lex_rank, dense_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rn
+      FROM rrf) t
+WHERE rn <= {_BM25_TOPK}
+"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    _hybrid_rrf_sql(),
+    covers=("ext:similarity", "ext:text", "O4", "J-class"),
+)
+def q_retrieval_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from pipeline311_spark.ext.similarity import brute_force_topk
+    from pipeline311_spark.plans.common import emb_table
+
+    lex = (
+        q_bm25_topk(spark, sf_dir)
+        .filter(F.col("query_id") < _RRF_QUERIES)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    e = emb_table(spark, sf_dir)
+    dense = brute_force_topk(
+        e, e.filter(F.col("vec_id") < _RRF_QUERIES), k=_BM25_TOPK
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("dense_rank")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "rrf",
+            # absent-ranker rank = 0 (see oracle twin: NULLs float
+            # integer columns on the pandas side)
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
+        )
+    )

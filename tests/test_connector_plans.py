@@ -203,6 +203,9 @@ _SINGLE_PARTITION_OK = {
     # into the scoring join — the broadcast-watermark shape again; the
     # matched-token aggregation itself stays hash-partitioned
     "text_bm25_topk",
+    # inherits text_bm25_topk's corpus-stats scalar (it fuses that
+    # ranker's output); the fusion itself is bounded-top-k per query
+    "retrieval_hybrid_rrf",
 }
 
 
