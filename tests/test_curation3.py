@@ -102,3 +102,27 @@ def test_from_store_queries_do_not_leak_tmp_dirs(spark):
         assert rows, name
     after = set(glob.glob(pat))
     assert after == before, f"leaked temp dirs: {sorted(after - before)}"
+
+
+def test_rrf_fusion_semantics(spark):
+    """Fusion sanity (the oracle checks cross-engine parity): every row
+    came from at least one ranker, rrf equals the closed form over the
+    reported ranks, and dual-ranker docs outrank single-ranker docs
+    whose single rank is no better."""
+    from pipeline311_spark.plans.curation3 import _RRF_C, q_retrieval_hybrid_rrf
+
+    rows = q_retrieval_hybrid_rrf(spark, SF).collect()
+    assert rows, "RRF returned nothing"
+    for r in rows:
+        assert r["lex_rank"] > 0 or r["dense_rank"] > 0
+        expect = (1.0 / (_RRF_C + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (_RRF_C + r["dense_rank"]) if r["dense_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-12, r
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        scores = [r["rrf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
