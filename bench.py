@@ -70,7 +70,8 @@ def main() -> None:
     # queries, not session startup.  dedup_minhash_lsh exercises the
     # higher-order-function + codegen paths whose first compilation
     # otherwise adds a 5-8 s one-time JIT cost to whichever query hits
-    # them first (see .claude/skills/verify notes on bench variance).
+    # them first — a per-query bench without this warm-up charges that
+    # one-time compilation to an arbitrary query and swamps the signal.
     for warm in ("q05_nation_revenue", "dedup_minhash_lsh"):
         try:
             plans.REGISTRY[warm].fn(spark, sf_dir).count()

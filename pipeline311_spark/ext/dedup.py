@@ -50,6 +50,28 @@ CROSS_MAX_PAIRS = IDENT_MAX_GROUP * IDENT_MAX_GROUP
 # Two affine keys for the XOR content fingerprints (independent of the
 # MinHash permutation family, which uses seed=42).
 FP_PARAMS = hash_params(2, seed=97)
+# Endpoint-row bound above which the candidate-doc probe set pays one
+# small distinct exchange before being broadcast.  Below it, duplicate
+# build rows are cheaper than the exchange — broadcast semi-joins
+# tolerate them (r7).  Above it (duplicate-heavy corpus with raised
+# bucket caps — ADVICE r7), 2·|pairs| endpoints can exceed the
+# |distinct candidate docs| bound by orders of magnitude and push the
+# driver-collected broadcast past its memory envelope, so the distinct
+# restores the bound.  1M longs ≈ 8 MB pre-dedup — comfortably inside
+# the default broadcast threshold either way; the gate only matters
+# when pair counts explode.
+PROBE_DISTINCT_ENDPOINTS = 1_000_000
+
+
+def _probe_doc_ids(cand: DataFrame, n_pairs: int, alias: str = "doc") -> DataFrame:
+    """Candidate-pair endpoint ids destined for a broadcast semi-join:
+    exchange-free when small, distinct'd past PROBE_DISTINCT_ENDPOINTS
+    (``n_pairs`` is the already-materialized candidate count, so the
+    gate costs nothing)."""
+    docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias(alias))
+    if 2 * n_pairs > PROBE_DISTINCT_ENDPOINTS:
+        docs = docs.distinct()
+    return docs
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -754,15 +776,10 @@ def minhash_dedup_pairs(
             reps, k, bands, max_bucket=max_bucket, distinct_pairs=False, carry=("gn",)
         )
     )
-    cand.count()
-    # no distinct on the probe-id set: it only feeds broadcast
-    # semi-joins, which tolerate duplicate build rows — a distinct here
-    # is a pure extra exchange wave (r7)
-    cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
-        cand.select(F.col("doc_b").alias("doc"))
-    )
+    n_pairs = cand.count()
+    cand_docs = _probe_doc_ids(cand, n_pairs, alias="__id")
     small = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).join(
-        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
+        F.broadcast(cand_docs), "__id", "left_semi"
     )
     doc_sets = _row_gram_arrays(small, "__id", "__t", n).select(
         "doc", F.col("garr").alias("sset")
@@ -818,11 +835,8 @@ def minhash_pairs_from_grams(
             reps, k, bands, max_bucket=max_bucket, distinct_pairs=False, carry=("gn",)
         )
     )
-    cand.count()
-    # distinct-free probe-id set: feeds broadcast semi-joins only (r7)
-    cand_docs = cand.select(F.col("doc_a").alias("doc")).union(
-        cand.select(F.col("doc_b").alias("doc"))
-    )
+    n_pairs = cand.count()
+    cand_docs = _probe_doc_ids(cand, n_pairs)
     if gram_arrays is not None:
         doc_sets = gram_arrays.join(F.broadcast(cand_docs), "doc", "left_semi").select(
             "doc", F.col("garr").alias("sset")
@@ -973,10 +987,10 @@ def minhash_incremental_pairs(
         ),
         k, bands, max_bucket,
     )
-    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
-    small = tagged.join(
-        F.broadcast(cand_docs.withColumnRenamed("doc", "__id")), "__id", "left_semi"
-    )
+    # cand is persisted+counted inside _incremental_candidates, so the
+    # recount for the probe-set distinct gate reads cached blocks
+    cand_docs = _probe_doc_ids(cand, cand.count(), alias="__id")
+    small = tagged.join(F.broadcast(cand_docs), "__id", "left_semi")
     doc_sets = _row_gram_arrays(small, "__id", "__t", n).select(
         "doc", F.col("garr").alias("sset")
     )
@@ -1199,7 +1213,8 @@ def minhash_incremental_from_store(
         ),
         k, bands, max_bucket,
     )
-    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+    # recount reads _incremental_candidates' cached blocks (see above)
+    cand_docs = _probe_doc_ids(cand, cand.count())
     # corpus side: sets rebuilt from the STORED exploded gram rows (the
     # on-disk contract — no array form exists); batch side: map-side
     # arrays would save the collect_set only for the (tiny) new docs,

@@ -38,8 +38,9 @@ def apply_per_key_sorted(
     # AQE-coalescible, and a small shuffle ahead of an EXPENSIVE
     # per-row stage (the Arrow/pandas pipe here) gets coalesced to ~1
     # partition, serializing the Python work.  A fixed count pins the
-    # parallelism (same trap as the MinHash gram explode — see
-    # .claude/skills/verify notes on coalesce-before-explode).
+    # parallelism — AQE coalesces on the SHUFFLE's byte size, which is
+    # tiny here, not on the cost of the stage that reads it (the same
+    # trap as coalescing ahead of the MinHash gram explode).
     n = df.sparkSession.sparkContext.defaultParallelism
     # NULLS LAST within each sort column — the kernel's documented
     # contract.  Spark's bare ascending sort is NULLS FIRST, but both

@@ -8,14 +8,20 @@ pipeline.
   engine's text operators feed curation the same way tf-idf does —
   plans/analytics2.py; BM25 is the production lexical ranker).
 
-  Scale shape: the token explode is scan-side and is filtered to the
-  query vocabulary BEFORE the aggregation, so the only shuffle carries
-  matched tokens (|matches| ≈ docs × query terms hit rate, never the
-  corpus token stream); document length comes from a map-side
-  ``size(tokens())`` with one tiny corpus-stats aggregate broadcast
-  back, and the df/idf table is a handful of rows broadcast into the
-  scoring join.  Per-term contributions are folded in sorted term
-  order (both engines), so the floating sum is order-identical.
+  Scale shape (r8): exactly TWO corpus passes — one map-side aggregate
+  for the corpus stats (n_docs, avgdl) and one token explode that is
+  filtered to the query vocabulary BEFORE the aggregation, so the only
+  shuffle carries matched tokens (|matches| ≈ docs × query terms hit
+  rate, never the corpus token stream).  Per-doc length rides the
+  exploded rows, so scoring needs no third corpus scan, and the tiny
+  ``hits`` table is persisted so the df/idf derivation and the scoring
+  join read it once instead of re-executing the explode subtree
+  (VERDICT r7).  Per-term contributions are folded in sorted term
+  order (both engines), so the floating sum is order-identical; the
+  emitted columns are the RANKS and integer stats only — the ln-based
+  score itself stays engine-internal, because DuckDB's ``ln`` and the
+  JVM's ``Math.log`` may differ by 1 ulp and a value landing on a
+  rounding boundary would flip the hashed value (ADVICE r7).
 
 * ``export_hash_shards`` — the terminal export of a curated corpus
   into N balanced shards with a DETERMINISTIC pseudo-random order
@@ -100,43 +106,54 @@ scored AS (
          SUM(tf)::BIGINT AS tf_sum, MIN(dl)::BIGINT AS dl
   FROM contrib GROUP BY query_id, doc_id)
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
-       doc_id, bm25, tf_sum, dl
-FROM (SELECT *, round(score, 6) AS bm25,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY round(score, 6) DESC, doc_id) AS rn
+       doc_id, tf_sum, dl
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY round(score, 6) DESC, doc_id) AS rn
       FROM scored) t
 WHERE rn <= {_BM25_TOPK}
 """
 
 
-@register("text_bm25_topk", _bm25_sql(), covers=("ext:text", "ext:similarity", "O4"))
-def q_bm25_topk(spark, sf_dir):
+def bm25_scored_frame(spark, sf_dir):
+    """BM25 top-k WITH the double score column (engine-internal form —
+    the registry query drops the score before hashing, ADVICE r7)."""
     from pyspark.sql.window import Window
+
+    from pipeline311_spark.ext.cache import persist_tracked
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     q = F.broadcast(
         spark.createDataFrame(list(_BM25_QUERIES), "query_id long, term string")
     )
-    # map-side doc length; one tiny corpus-stats row broadcast back
-    dl = d.select("doc_id", token_count("text").cast("long").alias("dl"))
-    stats = dl.agg(
+    # corpus pass 1: map-side partial aggregate, one stats row back
+    stats = d.select(token_count("text").cast("long").alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    # token explode filtered to the query vocabulary BEFORE the groupBy:
-    # the shuffle carries matched tokens only, never the corpus stream
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok")).select(
-        "doc_id", F.lower("tok").alias("tok")
+    # corpus pass 2 (the last): token explode with the per-doc length
+    # riding each row, filtered to the query vocabulary BEFORE the
+    # groupBy — the shuffle carries matched tokens only, never the
+    # corpus stream, and scoring needs no separate doc-length join
+    toks = (
+        d.select("doc_id", tokens("text").alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("dl"),
+            F.explode("tk").alias("tok"),
+        )
+        .select("doc_id", "dl", F.lower("tok").alias("tok"))
     )
-    hits = (
+    # persist the tiny matched-token table: df/idf AND scoring read it,
+    # and without the persist the scan→explode→vocab-join→groupBy
+    # subtree executes once per consumer (VERDICT r7)
+    hits = persist_tracked(
         toks.join(q, toks["tok"] == q["term"])
-        .groupBy("query_id", "term", "doc_id")
+        .groupBy("query_id", "term", "doc_id", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
     )
     df_t = hits.groupBy("query_id", "term").agg(F.count("*").cast("long").alias("df"))
     contrib = (
         hits.join(F.broadcast(df_t), ["query_id", "term"])
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "c",
@@ -174,6 +191,16 @@ def q_bm25_topk(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "rank", "doc_id", "bm25", "tf_sum", "dl")
+    )
+
+
+@register("text_bm25_topk", _bm25_sql(), covers=("ext:text", "ext:similarity", "O4"))
+def q_bm25_topk(spark, sf_dir):
+    # ranks + integer stats only: the ln-based double score is dropped
+    # before the oracle hash (DuckDB ln vs JVM Math.log can differ by
+    # 1 ulp at a rounding boundary — ADVICE r7); ordering still uses it
+    return bm25_scored_frame(spark, sf_dir).select(
+        "query_id", "rank", "doc_id", "tf_sum", "dl"
     )
 
 
@@ -278,9 +305,10 @@ def q_export_hash_shards(spark, sf_dir):
 # same oracle gate.
 #
 # Scale shape: filters and gram generation are scan-side; the plan's
-# exchanges are (1) the dedup fingerprint window, (2) the tiny
-# contaminated-doc-id broadcast (eval grams broadcast into a map-side
-# join, hit ids broadcast back into an anti join), and (3) the per-
+# exchanges are (1) the dedup fingerprint window, (2) the
+# decontamination anti join (eval grams broadcast into a map-side
+# join; the hit-id side is AQE-sized, not force-broadcast — its
+# cardinality is the corpus's contamination density), and (3) the per-
 # source packing window (the two-phase bucket decomposition in
 # plans/curation2.py is the documented alternative when one source
 # outgrows a partition).  Sampling and shard assignment are pure row
@@ -382,13 +410,17 @@ def q_curation_full_pipeline(spark, sf_dir):
     kept = base.filter(quality_score("text") >= _FP_MIN_QS)
     deduped = exact_dedup(kept, "doc_id", "text")
     # decontamination: eval grams broadcast into a map-side join over
-    # the (scan-side) training gram stream; hit ids broadcast back into
-    # an anti join — the training text itself never shuffles
+    # the (scan-side) training gram stream — that side is bounded by
+    # the eval set.  The contaminated-id side is NOT bounded (its size
+    # is the contamination density of the corpus), so the anti join
+    # carries no broadcast hint: AQE sizes it at runtime instead of a
+    # forced driver-collect that a pathologically contaminated corpus
+    # could OOM (VERDICT r7)
     eval_grams = F.broadcast(
         _grams(d.filter(F.col("source") == _FP_EVAL_SRC)).select("g").distinct()
     )
     hits = _grams(deduped).join(eval_grams, "g").select("doc_id")
-    clean = deduped.join(F.broadcast(hits), "doc_id", "left_anti")
+    clean = deduped.join(hits, "doc_id", "left_anti")
     sampled = clean.filter(hash_bucket("doc_id", 100) < _FP_SAMPLE_PCT)
     tok = sampled.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
@@ -515,15 +547,18 @@ fused AS (
   FROM lex l FULL OUTER JOIN dense d
     ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
 rrf AS (
-  SELECT query_id, doc_id,
+  SELECT f.query_id, f.doc_id,
          -- absent-ranker rank renders as 0, not NULL: a NULL in an
          -- integer output column floats the whole column on the
-         -- pandas/oracle side ('1.0' vs '1' — driver-strict canon)
-         CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
-         CAST(COALESCE(dense_rank, 0) AS BIGINT) AS dense_rank,
-         COALESCE((1.0::DOUBLE) / ({_RRF_C} + lex_rank), 0.0::DOUBLE)
-         + COALESCE((1.0::DOUBLE) / ({_RRF_C} + dense_rank), 0.0::DOUBLE) AS rrf
-  FROM fused)
+         -- pandas/oracle side ('1.0' vs '1' — driver-strict canon).
+         -- Source columns are qualified (f.) so the rrf expression can
+         -- never bind to the COALESCE'd aliases of this same SELECT —
+         -- an absent ranker must contribute 0, not 1/(C+0) (ADVICE r7)
+         CAST(COALESCE(f.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(f.dense_rank, 0) AS BIGINT) AS dense_rank,
+         COALESCE((1.0::DOUBLE) / ({_RRF_C} + f.lex_rank), 0.0::DOUBLE)
+         + COALESCE((1.0::DOUBLE) / ({_RRF_C} + f.dense_rank), 0.0::DOUBLE) AS rrf
+  FROM fused f)
 SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, rrf, lex_rank, dense_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY rrf DESC, doc_id) AS rn

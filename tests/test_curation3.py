@@ -69,9 +69,17 @@ def test_bm25_ranks_term_frequency_over_length(spark):
     """Sanity on semantics (the oracle checks cross-engine parity, not
     IR sense): every returned doc contains at least one query term,
     ranks are dense from 1, and scores are non-increasing."""
-    from pipeline311_spark.plans.curation3 import _BM25_TOPK, q_bm25_topk
+    from pipeline311_spark.plans.curation3 import (
+        _BM25_TOPK,
+        bm25_scored_frame,
+        q_bm25_topk,
+    )
 
-    rows = q_bm25_topk(spark, SF).collect()
+    # the hashed registry output drops the ln-based double score
+    # (ADVICE r7: DuckDB ln vs JVM Math.log is a 1-ulp hazard) — the
+    # monotonicity check runs on the engine-internal scored frame
+    assert "bm25" not in q_bm25_topk(spark, SF).columns
+    rows = bm25_scored_frame(spark, SF).collect()
     assert rows, "BM25 returned nothing"
     by_q: dict = {}
     for r in rows:

@@ -144,6 +144,28 @@ def main():
     new = re.sub(r"\b\d+ registry queries\b", f"{n_total} registry queries", txt)
     new = re.sub(r"\b\d+ queries in `pipeline311_spark/plans/`", f"{n_total} queries in `pipeline311_spark/plans/`", new)
     new = re.sub(r"\b\d+/\d+ at sf0\.001", f"{n_oracle}/{n_total} at sf0.001", new)
+    # test count: stamped from a live pytest collection (r7 verdict:
+    # README said 178 cases while the suite had grown to 261)
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        cwd=repo, capture_output=True, text=True,
+    )
+    m = re.search(r"(\d+) tests? collected", res.stdout)
+    if m:
+        new = re.sub(
+            r"\*\*Tests\*\*: \d+ pytest cases \(plus[^)]*\)",
+            f"**Tests**: {m.group(1)} collected pytest cases (two env-skipped: "
+            "live Delta adapter, live transformWithState)",
+            new,
+            flags=re.S,
+        )
+        new = re.sub(
+            r"\*\*Tests\*\*: \d+ collected pytest cases",
+            f"**Tests**: {m.group(1)} collected pytest cases",
+            new,
+        )
     if new != txt:
         with open(readme, "w") as f:
             f.write(new)
