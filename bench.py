@@ -130,6 +130,13 @@ def main() -> None:
         "curation_full_pipeline",
         "dedup_minhash_from_array_store",
         "retrieval_hybrid_rrf",
+        # round-8 additions: LSH survivor corpus, snapshot diff,
+        # vocab coverage, DSIR weighting, PQ encoding
+        "dedup_minhash_surviving",
+        "corpus_version_diff",
+        "text_vocab_coverage",
+        "sample_importance_dsir",
+        "sim_pq_encode",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

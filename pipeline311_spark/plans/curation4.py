@@ -1,0 +1,455 @@
+"""Round-8 curation additions — the remaining production steps of a
+large-scale training-data pipeline:
+
+* ``dedup_minhash_surviving`` — the MinHash-LSH dedup DELIVERABLE: the
+  corpus with non-canonical near-dup cluster members removed
+  (LSH pairs → connected components → keep each cluster's min id).
+  The n-gram twin (``dedup_surviving_corpus``) covers small corpora;
+  this is the path that scales — LSH banding bounds candidate
+  generation, CC rounds are bounded by dup-cluster diameter, and the
+  drop-set anti join is AQE-sized (drop-set cardinality is the
+  corpus's dup density, unbounded by design).
+
+* ``corpus_version_diff`` — snapshot reconciliation between two corpus
+  versions: per-doc added / removed / changed / unchanged via content
+  fingerprints.  The versions are derived deterministically from the
+  one documents table (residue-class membership + a text revision for
+  one residue class) so the oracle reproduces them exactly.  Scale:
+  fingerprints are map-side; the diff is ONE co-partitioned full-outer
+  join on doc_id — with bucketed snapshot storage even that exchange
+  disappears.
+
+* ``text_vocab_coverage`` — the tokenizer-design probe: top-V vocab by
+  frequency with CUMULATIVE corpus coverage per rank (what fraction of
+  all token occurrences the first r vocab entries explain).  Scale:
+  one map-side-combined wordcount shuffle, then TakeOrdered top-V (no
+  global sort), then a window over the V surviving rows — bytes, not
+  data, cross the single partition.
+
+* ``sample_importance_dsir`` — DSIR-style importance weighting
+  (Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): hashed unigram features (portable hash → 8192
+  buckets), add-one-smoothed feature distributions for a TARGET
+  sub-corpus vs the SOURCE rest, per-doc mean log-likelihood ratio,
+  and a selection flag (above the corpus-mean score — "more
+  target-like than the average doc").  Hashed features bound the model at 8192
+  rows regardless of corpus size — the whole scoring join is a
+  broadcast.  ln() is rounded to 9 decimals per feature before the
+  exact decimal mean (the established cross-engine ln discipline,
+  plans/analytics9.py).
+
+* ``sim_pq_encode`` — product-quantization encoding, the storage/ANN
+  compression step (Jégou et al. 2011): split each 64-dim embedding
+  into 4 sub-vectors of 16 dims, assign each to the nearest of 4
+  per-subspace centroids (deterministic seed centroids = the 4 lowest
+  vec_ids), emit the 4-byte code per vector.  Scale: centroids are
+  metadata-scale (collected once, injected as literals), so encoding
+  is a PURE map-side projection — zero exchanges at any corpus size.
+  Distances are compared, never emitted (float-compare is
+  deterministic on bit-identical inputs; emitting the double would be
+  a cross-engine hash hazard).
+
+Reference scope note: the reference pipeline (sync-db2.py and
+siblings) has no corpus/vector layer; these extend the engine the same
+way the rest of ext/ does — see SURVEY.md §2.10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.hashing import portable_hash, portable_hash_sql
+from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
+from pipeline311_spark.plans.common import emb_table, table
+from pipeline311_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH surviving corpus (pairs -> connected components -> keep
+# min id per cluster)
+# ---------------------------------------------------------------------------
+
+
+def _mh_surviving_sql() -> str:
+    from pipeline311_spark.plans.extensions import _minhash_pairs_sql
+
+    # the full MinHash pair pipeline as the WITH-prefix (same extraction
+    # as analytics3's n-gram reach oracle), then symmetric edges and the
+    # recursive min-reachability CTE
+    prefix = (
+        _minhash_pairs_sql()
+        .strip()
+        .removeprefix("WITH")
+        .rsplit("SELECT", 1)[0]
+        .rstrip()
+        .rstrip(",")
+    )
+    return f"""
+WITH RECURSIVE
+{prefix},
+-- MATERIALIZED: msym references the pair table twice, and DuckDB
+-- would otherwise inline (re-execute) the whole LSH pipeline per
+-- reference — measured 30s -> 9s at sf0.001
+mpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM allpairs),
+msym AS (SELECT doc_a AS s, doc_b AS d FROM mpairs
+         UNION SELECT doc_b, doc_a FROM mpairs),
+mreach(node, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM msym) t
+  UNION
+  SELECT msym.d, mreach.r FROM mreach JOIN msym ON msym.s = mreach.node),
+dropped AS (SELECT node FROM mreach GROUP BY node HAVING node <> MIN(r))
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+
+@register("dedup_minhash_surviving", _mh_surviving_sql(), covers=("ext:dedup", "J3"))
+def q_minhash_surviving(spark, sf_dir):
+    from pipeline311_spark.ext.dedup import minhash_dedup_pairs
+    from pipeline311_spark.ext.graph import dup_clusters
+    from pipeline311_spark.plans.extensions import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_N,
+        _MH_SEED,
+        _MH_THRESHOLD,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    ).select("doc_a", "doc_b")
+    dropped = (
+        dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster"))
+        .select("doc_id")
+    )
+    # no broadcast hint: the drop-set is the corpus's dup density —
+    # unbounded by design — so AQE sizes the anti join at runtime
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+# v_old = docs outside residue 3 (mod 17): residue 3 docs are "added"
+# in the new version.  v_new = docs outside residue 5 (mod 19):
+# residue 5 docs were "removed".  Residue 2 (mod 13) docs carry a text
+# revision in v_new, so their fingerprints differ -> "changed".
+_VD_ADD_MOD, _VD_ADD_RES = 17, 3
+_VD_REM_MOD, _VD_REM_RES = 19, 5
+_VD_CHG_MOD, _VD_CHG_RES = 13, 2
+_VD_REV = " (rev2)"
+
+
+def _version_diff_sql() -> str:
+    from pipeline311_spark.plans.extensions import _norm_sql
+
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+v_old AS (
+  SELECT doc_id, md5({_norm_sql('text')}) AS fp FROM base
+  WHERE doc_id % {_VD_ADD_MOD} <> {_VD_ADD_RES}),
+v_new AS (
+  SELECT doc_id,
+         md5({_norm_sql(f"(text || '{_VD_REV}')")}) AS fp_rev,
+         md5({_norm_sql('text')}) AS fp_same,
+         doc_id % {_VD_CHG_MOD} = {_VD_CHG_RES} AS revised
+  FROM base WHERE doc_id % {_VD_REM_MOD} <> {_VD_REM_RES})
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN (CASE WHEN n.revised THEN n.fp_rev ELSE n.fp_same END) <> o.fp
+                 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+"""
+
+
+@register("corpus_version_diff", _version_diff_sql(), covers=("J3", "O3", "ext:export"))
+def q_version_diff(spark, sf_dir):
+    base = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    v_old = base.filter(F.col("doc_id") % _VD_ADD_MOD != _VD_ADD_RES).select(
+        "doc_id", fingerprint("text").alias("fp_old")
+    )
+    revised = F.col("doc_id") % _VD_CHG_MOD == _VD_CHG_RES
+    v_new = base.filter(F.col("doc_id") % _VD_REM_MOD != _VD_REM_RES).select(
+        "doc_id",
+        fingerprint(
+            F.when(revised, F.concat(F.col("text"), F.lit(_VD_REV))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp_new"),
+    )
+    # ONE co-partitioned full-outer join on doc_id; fingerprints are
+    # map-side.  At scale both snapshots hash-partition once — with
+    # bucketed snapshot storage even that exchange disappears.
+    j = v_old.join(v_new, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 50
+
+
+def _vocab_coverage_sql() -> str:
+    from pipeline311_spark.plans.extensions import _norm_sql
+
+    return f"""
+WITH norm AS (SELECT {_norm_sql('text')} AS nt FROM documents),
+tok AS (SELECT unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS term
+        FROM norm),
+counts AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY term),
+total AS (SELECT SUM(cnt)::BIGINT AS n_tok FROM counts),
+top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT {_VOCAB_TOP})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+       term, cnt,
+       CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       / (SELECT n_tok FROM total) AS coverage
+FROM top
+"""
+
+
+@register("text_vocab_coverage", _vocab_coverage_sql(), covers=("ext:text", "O1", "O4"))
+def q_vocab_coverage(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(normalize_text("text"))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_tok"))
+    # orderBy+limit compiles to TakeOrdered — per-partition top-V then
+    # one V-row merge, never a global sort
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(_VOCAB_TOP)
+    # the window runs over the V surviving rows only (allowlisted
+    # SinglePartition: bytes, not data); coverage = exact cumulative
+    # bigint / exact total bigint — ONE double division of identical
+    # integer operands, deterministic cross-engine
+    w = Window.orderBy(F.col("cnt").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term")).cast("long"))
+        .withColumn(
+            "coverage", F.sum("cnt").over(w).cast("double") / F.col("n_tok")
+        )
+        .select("rank", "term", "cnt", "coverage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting over hashed unigram features
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 8192
+_DSIR_TARGET = "src0"  # the "I want more like this" sub-corpus
+
+
+def _dsir_sql() -> str:
+    from pipeline311_spark.plans.extensions import _norm_sql
+
+    h = portable_hash_sql("term")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source, {_norm_sql('text')} AS nt FROM documents),
+tok AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN nt = '' THEN [] ELSE string_split(nt, ' ') END) AS term
+  FROM norm),
+feat AS (SELECT doc_id, source, ({h}) % {_DSIR_BUCKETS} AS f FROM tok),
+fs AS (
+  SELECT f,
+         SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END)::BIGINT AS t_cnt,
+         SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END)::BIGINT AS s_cnt
+  FROM feat GROUP BY f),
+tot AS (SELECT SUM(t_cnt)::BIGINT AS t_tot, SUM(s_cnt)::BIGINT AS s_tot FROM fs),
+scored AS (
+  SELECT feat.doc_id,
+         round(ln(((fs.t_cnt + 1.0) / ((SELECT t_tot FROM tot) + {_DSIR_BUCKETS}))
+                  / ((fs.s_cnt + 1.0) / ((SELECT s_tot FROM tot) + {_DSIR_BUCKETS}))), 9) AS lr
+  FROM feat JOIN fs USING (f)
+  WHERE feat.source <> '{_DSIR_TARGET}'),
+agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         round(CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio
+  FROM scored GROUP BY doc_id),
+-- selection threshold = corpus mean of the (rounded) per-doc scores:
+-- "more target-like than the average doc".  Exact decimal sum of the
+-- pre-rounded doubles -> order-independent, cross-engine identical.
+thr AS (
+  SELECT round(CAST(SUM(CAST(avg_log_ratio AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_lr
+  FROM agg)
+SELECT doc_id, n_tokens, avg_log_ratio,
+       avg_log_ratio > (SELECT mean_lr FROM thr) AS selected
+FROM agg
+"""
+
+
+@register(
+    "sample_importance_dsir", _dsir_sql(), covers=("ext:sampling", "ext:text")
+)
+def q_dsir(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    feat = tok.select(
+        "doc_id",
+        "source",
+        (portable_hash("term") % _DSIR_BUCKETS).alias("f"),
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    # ONE token shuffle with map-side combine; the feature model is
+    # bounded at _DSIR_BUCKETS rows regardless of corpus size
+    fs = feat.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("t_cnt"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("s_cnt"),
+    )
+    tot = fs.agg(
+        F.sum("t_cnt").cast("long").alias("t_tot"),
+        F.sum("s_cnt").cast("long").alias("s_tot"),
+    )
+    # per-feature log ratio: ONE ln of a double built from exact
+    # integers, rounded 9 before the exact decimal mean (the
+    # cross-engine ln discipline, plans/analytics9.py)
+    lr = F.round(
+        F.log(
+            ((F.col("t_cnt") + 1.0) / (F.col("t_tot") + _DSIR_BUCKETS))
+            / ((F.col("s_cnt") + 1.0) / (F.col("s_tot") + _DSIR_BUCKETS))
+        ),
+        9,
+    )
+    scored = (
+        feat.filter(~is_t)
+        .join(F.broadcast(fs), "f")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lr.alias("lr"))
+    )
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    # persisted: the threshold aggregate AND the returned frame both
+    # read it — without the persist the explode→join→groupBy subtree
+    # executes once per consumer (the BM25 lesson, VERDICT r7)
+    agg = persist_tracked(
+        scored.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(28,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_log_ratio"),
+        )
+    )
+    # selection threshold = corpus mean of the per-doc scores (one
+    # scalar aggregate broadcast back — map-side, scale-free)
+    thr = agg.agg(
+        F.round(
+            F.sum(F.col("avg_log_ratio").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_lr")
+    )
+    return agg.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_log_ratio",
+        (F.col("avg_log_ratio") > F.col("mean_lr")).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization encoding
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # sub-vector count
+_PQ_SUBDIM = 16    # dims per sub-vector (4 x 16 = 64)
+_PQ_K = 4          # centroids per subspace
+# seed centroids = the _PQ_K lowest vec_ids (deterministic, mirrors the
+# q_kmeans_assign convention of data-derived seeds)
+
+
+def _pq_sql() -> str:
+    def sq(j: int) -> str:
+        lo, hi = j * _PQ_SUBDIM + 1, (j + 1) * _PQ_SUBDIM
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip(e.v[{lo}:{hi}], c.cv[{lo}:{hi}]), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+        )
+
+    dists = ",\n         ".join(f"{sq(j)} AS d{j}" for j in range(_PQ_M))
+    argmins = ",\n".join(
+        f"a{j} AS (SELECT vec_id, cid AS code{j} FROM ("
+        f"SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        f"ORDER BY d{j}, cid) AS rn FROM scored) t WHERE rn = 1)"
+        for j in range(_PQ_M)
+    )
+    joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, _PQ_M))
+    cols = ", ".join(f"code{j}" for j in range(_PQ_M))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_K}),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {dists}
+  FROM e CROSS JOIN cent c),
+{argmins}
+SELECT vec_id, {cols} FROM a0 {joins}
+"""
+
+
+@register("sim_pq_encode", _pq_sql(), covers=("ext:similarity", "ext:layout"))
+def q_pq_encode(spark, sf_dir):
+    e = emb_table(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # centroids are metadata-scale: collect the _PQ_K seed vectors once
+    # and inject them as literals, so encoding is a PURE map-side
+    # projection — zero exchanges at any corpus size (the same
+    # driver-side-scalar pattern as watermarks, operators/merge.py)
+    cents = {
+        r["vec_id"]: r["v"]
+        for r in e.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    cids = sorted(cents)
+    if not cids:
+        # empty corpus: no centroids to assign against — stable schema,
+        # zero rows (the registry-wide empty-table gate hits this)
+        return e.select(
+            "vec_id",
+            *[F.lit(None).cast("long").alias(f"code{j}") for j in range(_PQ_M)],
+        )
+
+    def code(j: int):
+        lo = j * _PQ_SUBDIM + 1
+        sub = F.slice("v", lo, _PQ_SUBDIM)
+        cands = []
+        for c in cids:
+            cv = F.array(*[F.lit(float(x)) for x in cents[c][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]])
+            d = F.aggregate(
+                F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(int(c)).alias("c")))
+        # argmin by (distance, centroid id): struct sort is field-order
+        # lexicographic — distances are compared, never emitted
+        return F.array_sort(F.array(*cands))[0]["c"].cast("long")
+
+    return e.select(
+        "vec_id", *[code(j).alias(f"code{j}") for j in range(_PQ_M)]
+    )

@@ -206,6 +206,13 @@ _SINGLE_PARTITION_OK = {
     # inherits text_bm25_topk's corpus-stats scalar (it fuses that
     # ranker's output); the fusion itself is bounded-top-k per query
     "retrieval_hybrid_rrf",
+    # rank/cumulative-coverage window over the V=50 rows that survive
+    # the TakeOrdered top-V, plus the one-row token-total scalar —
+    # bytes, not data, cross the single partition
+    "text_vocab_coverage",
+    # feature-model totals: one aggregate over the 8192-row hashed
+    # feature table (fixed-size by construction, like the sketches)
+    "sample_importance_dsir",
 }
 
 

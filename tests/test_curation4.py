@@ -1,0 +1,139 @@
+"""Round-8 additions (plans/curation4.py) — properties the oracle twin
+can't see: survivor/cluster consistency, diff-status partitioning, PQ
+assignment optimality, coverage monotonicity, and DSIR sign semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_surviving_agrees_with_clusters(spark):
+    """Survivors = corpus minus non-keeper cluster members, and every
+    dropped doc's cluster keeper IS a survivor (no orphan clusters)."""
+    from pipeline311_spark.ext.dedup import minhash_dedup_pairs
+    from pipeline311_spark.ext.graph import dup_clusters
+    from pipeline311_spark.plans.common import table
+    from pipeline311_spark.plans.extensions import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_N,
+        _MH_SEED,
+        _MH_THRESHOLD,
+    )
+
+    d = table(spark, SF, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+    ).select("doc_a", "doc_b")
+    clusters = {r["doc_id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    survivors = {
+        r["doc_id"] for r in REGISTRY["dedup_minhash_surviving"].fn(spark, SF).collect()
+    }
+    all_docs = {r["doc_id"] for r in d.select("doc_id").collect()}
+    dropped = {doc for doc, c in clusters.items() if doc != c}
+    assert survivors == all_docs - dropped
+    for doc in dropped:
+        assert clusters[doc] in survivors, f"keeper of {doc} was dropped"
+
+
+def test_version_diff_statuses_partition_the_union(spark):
+    """Statuses follow the residue-class construction exactly: added =
+    in-new-only, removed = in-old-only, changed = revised text, and the
+    four classes partition the id union."""
+    from pipeline311_spark.plans.curation4 import (
+        _VD_ADD_MOD,
+        _VD_ADD_RES,
+        _VD_CHG_MOD,
+        _VD_CHG_RES,
+        _VD_REM_MOD,
+        _VD_REM_RES,
+    )
+
+    rows = REGISTRY["corpus_version_diff"].fn(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        i = r["doc_id"]
+        assert i not in seen, "duplicate doc_id in diff"
+        seen.add(i)
+        in_old = i % _VD_ADD_MOD != _VD_ADD_RES
+        in_new = i % _VD_REM_MOD != _VD_REM_RES
+        assert in_old or in_new
+        if not in_old:
+            expect = "added"
+        elif not in_new:
+            expect = "removed"
+        elif i % _VD_CHG_MOD == _VD_CHG_RES:
+            expect = "changed"
+        else:
+            expect = "unchanged"
+        assert r["status"] == expect, (i, r["status"], expect)
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    rows = sorted(
+        REGISTRY["text_vocab_coverage"].fn(spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows and rows[0]["rank"] == 1
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True), "counts not non-increasing"
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs), "coverage not cumulative"
+    assert 0.0 < covs[0] <= covs[-1] <= 1.0
+
+
+def test_dsir_sign_tracks_target_likeness(spark):
+    """Docs whose tokens are relatively more frequent in the target
+    sub-corpus score higher; the selected flag is exactly the
+    above-corpus-mean set, and target docs are never scored."""
+    from pipeline311_spark.plans.common import table
+    from pipeline311_spark.plans.curation4 import _DSIR_TARGET
+
+    rows = REGISTRY["sample_importance_dsir"].fn(spark, SF).collect()
+    assert rows
+    d = table(spark, SF, "documents")
+    target_ids = {
+        r["doc_id"]
+        for r in d.filter(F.col("source") == _DSIR_TARGET).select("doc_id").collect()
+    }
+    mean_lr = round(sum(r["avg_log_ratio"] for r in rows) / len(rows), 6)
+    for r in rows:
+        assert r["doc_id"] not in target_ids
+        assert r["selected"] == (r["avg_log_ratio"] > mean_lr), r
+        assert r["n_tokens"] >= 1
+    assert any(r["selected"] for r in rows) and any(not r["selected"] for r in rows)
+
+
+def test_pq_codes_are_nearest_centroids(spark):
+    """Brute-force re-check in Python: every emitted code is the argmin
+    squared-L2 centroid for its sub-vector (ties to the lower id)."""
+    from pipeline311_spark.plans.common import emb_table
+    from pipeline311_spark.plans.curation4 import _PQ_K, _PQ_M, _PQ_SUBDIM
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb_table(spark, SF).collect()
+    }
+    cents = {i: vecs[i] for i in sorted(vecs) if i < _PQ_K}
+    rows = REGISTRY["sim_pq_encode"].fn(spark, SF).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        for j in range(_PQ_M):
+            sub = v[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]
+            best = min(
+                (
+                    (
+                        sum((x - y) * (x - y) for x, y in zip(sub, cv[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM])),
+                        cid,
+                    )
+                    for cid, cv in cents.items()
+                )
+            )[1]
+            assert r[f"code{j}"] == best, (r["vec_id"], j)
