@@ -137,6 +137,7 @@ def main() -> None:
         "text_vocab_coverage",
         "sample_importance_dsir",
         "sim_pq_encode",
+        "retrieval_mmr_diversified",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

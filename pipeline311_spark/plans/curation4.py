@@ -453,3 +453,181 @@ def q_pq_encode(spark, sf_dir):
     return e.select(
         "vec_id", *[code(j).alias(f"code{j}") for j in range(_PQ_M)]
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval (maximal marginal relevance, Carbonell &
+# Goldstein 1998): greedy top-k that trades relevance against
+# redundancy — score(d) = L*rel(d) - (1-L)*max sim(d, selected).  The
+# standard rerank between dense retrieval and a context window / a
+# dedup-aware sampler.
+#
+# Split of labor: ALL float arithmetic that feeds comparisons is
+# computed JVM-side (query relevance from brute_force_topk, pairwise
+# candidate similarity from the same dot fold as the _cos_sql twin);
+# the greedy SELECTION runs per query group in an Arrow-batched
+# applyInPandas (T7 — comparisons + one L*rel-(1-L)*maxsim expression
+# over engine-provided doubles, bit-identical in DuckDB).  The oracle
+# unrolls the k greedy steps as a generated CTE chain — no recursion,
+# every step is argmax-via-ROW_NUMBER with doc-id tiebreak.
+#
+# Scale shape: the candidate pool is bounded (k_pool per query), so
+# the pairwise matrix is |queries| * k_pool^2 rows and the pandas
+# stage sees k_pool^2-row groups — the expensive part remains the
+# dense ranker, which is already scale-shaped (broadcast queries, one
+# window).
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = 3
+_MMR_POOL = 12
+_MMR_K = 5
+_MMR_LAMBDA = 0.7  # written literally into BOTH plans
+
+
+def _mmr_sql() -> str:
+    from pipeline311_spark.plans.extensions import _cos_sql
+
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prev = i - 1
+        steps.append(f"""
+m{i} AS (
+  SELECT r.query_id, r.did, r.rel, MAX(p.sim) AS maxsim
+  FROM pool r
+  JOIN pairsim p ON p.query_id = r.query_id AND p.a_id = r.did
+  JOIN set{prev} t ON t.query_id = p.query_id AND t.did = p.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM set{prev} z
+                    WHERE z.query_id = r.query_id AND z.did = r.did)
+  GROUP BY r.query_id, r.did, r.rel),
+s{i} AS (
+  SELECT query_id, did FROM (
+    SELECT query_id, did, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY ({_MMR_LAMBDA} * rel - {round(1.0 - _MMR_LAMBDA, 10)} * maxsim) DESC, did) AS rn
+    FROM m{i}) t WHERE rn = 1),
+set{i} AS (SELECT query_id, did FROM set{prev} UNION ALL SELECT query_id, did FROM s{i})""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({i} AS BIGINT) AS rank, did AS doc_id FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_MMR_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
+  FROM q JOIN e ON e.vec_id != query_id),
+pool AS (
+  SELECT query_id, neighbor_id AS did, cos_sim AS rel
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored) t
+  WHERE rn <= {_MMR_POOL}),
+pairsim AS (
+  SELECT x.query_id, x.did AS a_id, y.did AS b_id,
+         {_cos_sql('ea.v', 'eb.v')} AS sim
+  FROM pool x JOIN pool y ON x.query_id = y.query_id AND x.did <> y.did
+  JOIN e ea ON ea.vec_id = x.did
+  JOIN e eb ON eb.vec_id = y.did),
+s1 AS (
+  SELECT query_id, did FROM (
+    SELECT query_id, did, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY rel DESC, did) AS rn
+    FROM pool) t WHERE rn = 1),
+set1 AS (SELECT query_id, did FROM s1),{",".join(steps)}
+{finals}
+"""
+
+
+@register(
+    "retrieval_mmr_diversified",
+    _mmr_sql(),
+    covers=("ext:similarity", "T7", "O4"),
+)
+def q_mmr_diversified(spark, sf_dir):
+    import pandas as pd
+
+    from pipeline311_spark.ext.similarity import (
+        as_double,
+        brute_force_topk,
+        cosine_pre,
+        l2_norm,
+    )
+
+    e = emb_table(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < _MMR_QUERIES)
+    cand = brute_force_topk(e, qs, k=_MMR_POOL).select(
+        "query_id", F.col("neighbor_id").alias("did"), F.col("cos_sim").alias("rel")
+    )
+    en = e.select("vec_id", as_double("embedding").alias("cv")).withColumn(
+        "cn", l2_norm(F.col("cv"))
+    )
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    # candidate pool is bounded top-k per query -> broadcast it into
+    # the vector-attach join; the corpus never shuffles.  Persisted:
+    # three consumers (both self-join sides + the lone-candidate rows)
+    # would otherwise re-run the ranker subtree each (the BM25 lesson)
+    pool = persist_tracked(
+        F.broadcast(cand)
+        .join(en, cand["did"] == en["vec_id"])
+        .select("query_id", "did", "rel", "cv", "cn")
+    )
+    x, y = pool.alias("x"), pool.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.query_id") == F.col("y.query_id"))
+        & (F.col("x.did") != F.col("y.did")),
+    ).select(
+        F.col("x.query_id").alias("query_id"),
+        F.col("x.did").alias("a_id"),
+        F.col("x.rel").alias("rel_a"),
+        F.col("y.did").alias("b_id"),
+        cosine_pre(
+            F.col("x.cv"), F.col("y.cv"), F.col("x.cn"), F.col("y.cn")
+        ).alias("sim"),
+    )
+    # lone-candidate rows ride along with NULL b_id so a 1-candidate
+    # query still reaches the selector
+    lone = pool.select(
+        "query_id",
+        F.col("did").alias("a_id"),
+        F.col("rel").alias("rel_a"),
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("double").alias("sim"),
+    )
+    mmr_in = pairs.unionByName(lone)
+
+    lam, lam1 = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 10)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {int(a): float(r) for a, r in zip(pdf["a_id"], pdf["rel_a"])}
+        sims: dict[tuple[int, int], float] = {}
+        for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim"]):
+            if pd.notna(b):
+                sims[(int(a), int(b))] = float(s)
+        remaining = sorted(rel)
+        selected: list[int] = []
+        while remaining and len(selected) < _MMR_K:
+            best_id, best_score = None, None
+            for d in remaining:  # ascending id -> strict > keeps low-id ties
+                if not selected:
+                    score = rel[d]
+                else:
+                    score = lam * rel[d] - lam1 * max(sims[(d, s)] for s in selected)
+                if best_score is None or score > best_score:
+                    best_id, best_score = d, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "rank": list(range(1, len(selected) + 1)),
+                "doc_id": selected,
+            }
+        )
+
+    return mmr_in.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, rank long, doc_id long"
+    )

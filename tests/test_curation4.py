@@ -137,3 +137,70 @@ def test_pq_codes_are_nearest_centroids(spark):
                 )
             )[1]
             assert r[f"code{j}"] == best, (r["vec_id"], j)
+
+
+def test_mmr_selection_properties(spark):
+    """Rank 1 is the pure-relevance winner, ranks are dense, selections
+    are distinct members of the candidate pool, and every later pick
+    maximizes the MMR score against the already-selected set (verified
+    with an independent Python greedy over engine-computed sims)."""
+    from pipeline311_spark.ext.similarity import brute_force_topk
+    from pipeline311_spark.plans.common import emb_table
+    from pipeline311_spark.plans.curation4 import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _MMR_QUERIES,
+    )
+
+    rows = REGISTRY["retrieval_mmr_diversified"].fn(spark, SF).collect()
+    assert rows
+    e = emb_table(spark, SF)
+    cand = brute_force_topk(
+        e, e.filter(F.col("vec_id") < _MMR_QUERIES), k=_MMR_POOL
+    ).collect()
+    rel = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in cand}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        na = nb = 0.0
+        for x in va:
+            na += x * x
+        for y in vb:
+            nb += y * y
+        return dot / ((na**0.5) * (nb**0.5))
+
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(_MMR_QUERIES))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == min(_MMR_K, _MMR_POOL)
+        picked = [r["doc_id"] for r in rs]
+        assert len(set(picked)) == len(picked)
+        pool = sorted(d for (q, d) in rel if q == qid)
+        assert set(picked) <= set(pool)
+        # independent greedy replay (python cosine differs from the
+        # engine fold only in never-observed last-ulp ties)
+        sel: list = []
+        remaining = list(pool)
+        while remaining and len(sel) < _MMR_K:
+            best, best_s = None, None
+            for d in remaining:
+                if not sel:
+                    s = rel[(qid, d)]
+                else:
+                    s = _MMR_LAMBDA * rel[(qid, d)] - (1 - _MMR_LAMBDA) * max(
+                        cos(d, x) for x in sel
+                    )
+                if best_s is None or s > best_s:
+                    best, best_s = d, s
+            sel.append(best)
+            remaining.remove(best)
+        assert picked == sel, (qid, picked, sel)
