@@ -312,20 +312,38 @@ def q_dsir(spark, sf_dir):
         "source",
         (portable_hash("term") % _DSIR_BUCKETS).alias("f"),
     )
+    from pyspark.sql.window import Window
+
+    from pipeline311_spark.ext.cache import persist_tracked
+
     is_t = F.col("source") == _DSIR_TARGET
-    # ONE token shuffle with map-side combine; the feature model is
-    # bounded at _DSIR_BUCKETS rows regardless of corpus size
-    fs = feat.groupBy("f").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("t_cnt"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("s_cnt"),
+    # ONE pass over the token stream: pre-aggregate per (doc, source,
+    # feature) counts — map-side combined, bounded by docs × features —
+    # and persist THAT (the explode subtree would otherwise run once
+    # per consumer: the feature model, the totals, and the scoring all
+    # derive from it).  Per-feature model counts come from a window
+    # over the pre-aggregate, not a groupBy joined back (the BM25
+    # window-df shape).
+    dfc = persist_tracked(
+        feat.groupBy("doc_id", "source", "f").agg(
+            F.count("*").cast("long").alias("c")
+        )
     )
-    tot = fs.agg(
-        F.sum("t_cnt").cast("long").alias("t_tot"),
-        F.sum("s_cnt").cast("long").alias("s_tot"),
+    wf = Window.partitionBy("f")
+    enr = dfc.withColumn(
+        "t_cnt", F.sum(F.when(is_t, F.col("c")).otherwise(0)).over(wf).cast("long")
+    ).withColumn(
+        "s_cnt", F.sum(F.when(~is_t, F.col("c")).otherwise(0)).over(wf).cast("long")
+    )
+    tot = dfc.agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).cast("long").alias("t_tot"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).cast("long").alias("s_tot"),
     )
     # per-feature log ratio: ONE ln of a double built from exact
     # integers, rounded 9 before the exact decimal mean (the
-    # cross-engine ln discipline, plans/analytics9.py)
+    # cross-engine ln discipline, plans/analytics9.py).  The per-token
+    # decimal sum of the oracle equals decimal(lr) * c exactly — all
+    # tokens of one (doc, feature) share one lr.
     lr = F.round(
         F.log(
             ((F.col("t_cnt") + 1.0) / (F.col("t_tot") + _DSIR_BUCKETS))
@@ -334,23 +352,26 @@ def q_dsir(spark, sf_dir):
         9,
     )
     scored = (
-        feat.filter(~is_t)
-        .join(F.broadcast(fs), "f")
+        enr.filter(~is_t)
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", lr.alias("lr"))
+        .select("doc_id", F.col("c"), lr.alias("lr"))
     )
-    from pipeline311_spark.ext.cache import persist_tracked
-
     # persisted: the threshold aggregate AND the returned frame both
-    # read it — without the persist the explode→join→groupBy subtree
-    # executes once per consumer (the BM25 lesson, VERDICT r7)
+    # read it (the window subtree above it would otherwise run twice
+    # even with dfc cached)
+    # decimal(20,12) * decimal(10,0) -> decimal(31,12): stays UNDER the
+    # 38-digit cap, so the scale-12 product is exact.  A wider operand
+    # (e.g. decimal(28,12) * bigint -> precision 49) trips Spark's
+    # allowPrecisionLoss rule, which TRUNCATES THE SCALE to fit — the
+    # sum silently loses low digits and drifts off the oracle's exact
+    # per-token decimal sum (caught by the oracle gate at sf0.01)
+    prod = F.col("lr").cast("decimal(20,12)") * F.col("c").cast("decimal(10,0)")
     agg = persist_tracked(
         scored.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("lr").cast("decimal(28,12)")).cast("double") / F.count("*"),
-                6,
-            ).alias("avg_log_ratio"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(prod).cast("double") / F.sum("c"), 6).alias(
+                "avg_log_ratio"
+            ),
         )
     )
     # selection threshold = corpus mean of the per-doc scores (one
