@@ -138,6 +138,7 @@ def main() -> None:
         "sample_importance_dsir",
         "sim_pq_encode",
         "retrieval_mmr_diversified",
+        "sim_pq_adc_topk",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -402,16 +402,23 @@ _PQ_K = 4          # centroids per subspace
 # q_kmeans_assign convention of data-derived seeds)
 
 
-def _pq_sql() -> str:
-    def sq(j: int) -> str:
-        lo, hi = j * _PQ_SUBDIM + 1, (j + 1) * _PQ_SUBDIM
-        return (
-            f"list_reduce(list_prepend(0.0::DOUBLE, "
-            f"list_transform(list_zip(e.v[{lo}:{hi}], c.cv[{lo}:{hi}]), "
-            f"p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
-        )
+def _pq_sqdist_sql(a: str, b: str, j: int) -> str:
+    """Per-subspace squared L2 between 1-based list slices — the same
+    prepend-0.0 left fold as the Spark F.aggregate twin."""
+    lo, hi = j * _PQ_SUBDIM + 1, (j + 1) * _PQ_SUBDIM
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}[{lo}:{hi}], {b}[{lo}:{hi}]), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+    )
 
-    dists = ",\n         ".join(f"{sq(j)} AS d{j}" for j in range(_PQ_M))
+
+def _pq_prefix_sql() -> str:
+    """Shared CTE chain ending in ``codes`` (vec_id, code0..3) — the
+    encode query selects from it; the ADC query builds on it."""
+    dists = ",\n         ".join(
+        f"{_pq_sqdist_sql('e.v', 'c.cv', j)} AS d{j}" for j in range(_PQ_M)
+    )
     argmins = ",\n".join(
         f"a{j} AS (SELECT vec_id, cid AS code{j} FROM ("
         f"SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
@@ -420,32 +427,43 @@ def _pq_sql() -> str:
     )
     joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, _PQ_M))
     cols = ", ".join(f"code{j}" for j in range(_PQ_M))
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_K}),
 scored AS (
   SELECT e.vec_id, c.cid,
          {dists}
   FROM e CROSS JOIN cent c),
-{argmins}
-SELECT vec_id, {cols} FROM a0 {joins}
+{argmins},
+codes AS (SELECT vec_id, {cols} FROM a0 {joins})"""
+
+
+def _pq_sql() -> str:
+    cols = ", ".join(f"code{j}" for j in range(_PQ_M))
+    return f"""
+WITH {_pq_prefix_sql()}
+SELECT vec_id, {cols} FROM codes
 """
 
 
-@register("sim_pq_encode", _pq_sql(), covers=("ext:similarity", "ext:layout"))
-def q_pq_encode(spark, sf_dir):
+def _pq_centroids(e):
+    """Driver-collected seed centroids {cid: 64-dim double list} —
+    metadata-scale (the same driver-side-scalar pattern as watermarks,
+    operators/merge.py)."""
+    return {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in e.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+
+
+def pq_code_frame(spark, sf_dir):
+    """(vec_id, code0..code{m-1}): PQ codes as a PURE map-side
+    projection — centroids are injected as literals, zero exchanges at
+    any corpus size."""
     e = emb_table(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # centroids are metadata-scale: collect the _PQ_K seed vectors once
-    # and inject them as literals, so encoding is a PURE map-side
-    # projection — zero exchanges at any corpus size (the same
-    # driver-side-scalar pattern as watermarks, operators/merge.py)
-    cents = {
-        r["vec_id"]: r["v"]
-        for r in e.filter(F.col("vec_id") < _PQ_K).collect()
-    }
+    cents = _pq_centroids(e)
     cids = sorted(cents)
     if not cids:
         # empty corpus: no centroids to assign against — stable schema,
@@ -460,7 +478,7 @@ def q_pq_encode(spark, sf_dir):
         sub = F.slice("v", lo, _PQ_SUBDIM)
         cands = []
         for c in cids:
-            cv = F.array(*[F.lit(float(x)) for x in cents[c][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]])
+            cv = F.array(*[F.lit(x) for x in cents[c][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]])
             d = F.aggregate(
                 F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
@@ -473,6 +491,126 @@ def q_pq_encode(spark, sf_dir):
 
     return e.select(
         "vec_id", *[code(j).alias(f"code{j}") for j in range(_PQ_M)]
+    )
+
+
+@register("sim_pq_encode", _pq_sql(), covers=("ext:similarity", "ext:layout"))
+def q_pq_encode(spark, sf_dir):
+    return pq_code_frame(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC): top-k by approximate L2 using
+# only the 4-byte codes — the query side stays full-precision, each
+# subspace contributes a LUT entry dist(q_sub, centroid[code_j]).
+# This is the search half of the PQ story (encode above): at scale the
+# corpus is scanned as codes only (4 bytes/vector instead of 256), the
+# per-query LUT is m*k doubles computed once on the driver and injected
+# as literals, and ranking is the standard bounded per-query window.
+# The LUT fold order matches the oracle's list_reduce exactly (plain
+# left-to-right accumulation), so the compared distances are
+# bit-identical; distances are compared, never emitted.
+# ---------------------------------------------------------------------------
+
+_PQ_ADC_QUERIES = 2
+_PQ_ADC_K = 5
+
+
+def _pq_adc_sql() -> str:
+    luts = ",\n         ".join(
+        f"{_pq_sqdist_sql('q.qv', 'c.cv', j)} AS l{j}" for j in range(_PQ_M)
+    )
+    t_joins = "\n  ".join(
+        f"JOIN lut t{j} ON t{j}.query_id = qq.query_id AND t{j}.cid = s.code{j}"
+        for j in range(_PQ_M)
+    )
+    dist = ""
+    for j in range(_PQ_M):
+        dist = f"({dist} + t{j}.l{j})" if dist else f"t{j}.l{j}"
+    return f"""
+WITH {_pq_prefix_sql()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_PQ_ADC_QUERIES}),
+lut AS (
+  SELECT q.query_id, c.cid,
+         {luts}
+  FROM q CROSS JOIN cent c),
+adc AS (
+  SELECT qq.query_id, s.vec_id, {dist} AS dist
+  FROM codes s
+  CROSS JOIN (SELECT DISTINCT query_id FROM lut) qq
+  {t_joins}
+  WHERE s.vec_id <> qq.query_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist, vec_id) AS rn
+      FROM adc) t
+WHERE rn <= {_PQ_ADC_K}
+"""
+
+
+@register("sim_pq_adc_topk", _pq_adc_sql(), covers=("ext:similarity", "O4"))
+def q_pq_adc_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = emb_table(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _pq_centroids(e)
+    cids = sorted(cents)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in e.filter(F.col("vec_id") < _PQ_ADC_QUERIES).collect()
+    }
+    codes = pq_code_frame(spark, sf_dir)
+    if not cids or not qvecs:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long"
+        )
+
+    def lut_entry(qv, cid, j):
+        # plain left-to-right accumulation from 0.0 — the exact fold
+        # order of the oracle's list_reduce(list_prepend(0.0, ...))
+        acc = 0.0
+        for x, y in zip(
+            qv[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM],
+            cents[cid][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM],
+        ):
+            acc += (x - y) * (x - y)
+        return acc
+
+    branches = []
+    for qid in sorted(qvecs):
+        # per-subspace LUT as a k-entry array literal indexed by the
+        # code column: the scan projects codes -> distance, no joins
+        dist = None
+        for j in range(_PQ_M):
+            # array slot i holds the LUT entry for centroid id i (ids
+            # may in principle be sparse; codes only ever hold real ids)
+            lut = F.array(
+                *[
+                    F.lit(lut_entry(qvecs[qid], i, j) if i in cents else None).cast(
+                        "double"
+                    )
+                    for i in range(max(cids) + 1)
+                ]
+            )
+            term = F.element_at(lut, F.col(f"code{j}").cast("int") + 1)
+            dist = term if dist is None else dist + term
+        branches.append(
+            codes.filter(F.col("vec_id") != qid).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                dist.alias("dist"),
+            )
+        )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionByName(b)
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_ADC_K)
+        .select("query_id", "rank", "neighbor_id")
     )
 
 

@@ -204,3 +204,60 @@ def test_mmr_selection_properties(spark):
             sel.append(best)
             remaining.remove(best)
         assert picked == sel, (qid, picked, sel)
+
+
+def test_pq_adc_matches_python_replay(spark):
+    """Independent replay: encode + LUT + ADC ranking recomputed in
+    plain Python from the raw vectors must reproduce the engine's
+    top-k exactly (same fold order, same tiebreaks)."""
+    from pipeline311_spark.plans.common import emb_table
+    from pipeline311_spark.plans.curation4 import (
+        _PQ_ADC_K,
+        _PQ_ADC_QUERIES,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBDIM,
+    )
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb_table(spark, SF).collect()
+    }
+    cents = {i: vecs[i] for i in sorted(vecs) if i < _PQ_K}
+
+    def sq(a, b, j):
+        acc = 0.0
+        for x, y in zip(
+            a[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM],
+            b[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM],
+        ):
+            acc += (x - y) * (x - y)
+        return acc
+
+    codes = {
+        vid: [
+            min((sq(v, cv, j), cid) for cid, cv in cents.items())[1]
+            for j in range(_PQ_M)
+        ]
+        for vid, v in vecs.items()
+    }
+    expect = []
+    for qid in sorted(v for v in vecs if v < _PQ_ADC_QUERIES):
+        dists = []
+        for vid, cd in codes.items():
+            if vid == qid:
+                continue
+            d = None
+            for j in range(_PQ_M):
+                t = sq(vecs[qid], cents[cd[j]], j)
+                d = t if d is None else d + t
+            dists.append((d, vid))
+        dists.sort()
+        expect += [
+            (qid, r + 1, vid) for r, (_, vid) in enumerate(dists[:_PQ_ADC_K])
+        ]
+    rows = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in REGISTRY["sim_pq_adc_topk"].fn(spark, SF).collect()
+    )
+    assert rows == sorted(expect)
