@@ -57,6 +57,7 @@ def connected_components(
         sym.select(F.col("s").alias("node")).distinct().withColumn("component", F.col("node"))
     )
 
+    changed = 0
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.d == labels.node).select(
             F.col("s").alias("node"), "component"
@@ -76,6 +77,18 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # Fail LOUDLY: min-label propagation needs up to
+        # component-diameter rounds, and a silently unconverged label
+        # table means wrong (non-minimal) components — downstream
+        # survivor sets would silently diverge from the exact
+        # transitive closure (review r8).  Diameter > max_iter means a
+        # pathological near-dup chain; raise max_iter explicitly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); a dup-cluster chain has "
+            f"diameter > {max_iter} — pass a larger max_iter"
+        )
     return labels
 
 

@@ -70,22 +70,14 @@ from pipeline311_spark.plans.registry import register
 
 
 def _mh_surviving_sql() -> str:
-    from pipeline311_spark.plans.extensions import _minhash_pairs_sql
+    from pipeline311_spark.plans.extensions import _minhash_pairs_cte
 
-    # the full MinHash pair pipeline as the WITH-prefix (same extraction
-    # as analytics3's n-gram reach oracle), then symmetric edges and the
-    # recursive min-reachability CTE
-    prefix = (
-        _minhash_pairs_sql()
-        .strip()
-        .removeprefix("WITH")
-        .rsplit("SELECT", 1)[0]
-        .rstrip()
-        .rstrip(",")
-    )
+    # the full MinHash pair pipeline as the WITH-prefix (exposed as a
+    # bare CTE chain by extensions — no string surgery), then symmetric
+    # edges and the recursive min-reachability CTE
     return f"""
 WITH RECURSIVE
-{prefix},
+{_minhash_pairs_cte()},
 -- MATERIALIZED: msym references the pair table twice, and DuckDB
 -- would otherwise inline (re-execute) the whole LSH pipeline per
 -- reference — measured 30s -> 9s at sf0.001
@@ -456,19 +448,16 @@ def _pq_centroids(e):
     }
 
 
-def pq_code_frame(spark, sf_dir):
-    """(vec_id, code0..code{m-1}): PQ codes as a PURE map-side
-    projection — centroids are injected as literals, zero exchanges at
-    any corpus size."""
-    e = emb_table(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    cents = _pq_centroids(e)
+def _pq_codes_projection(e, cents):
+    """The zero-exchange encode projection over a prepared (vec_id, v)
+    frame, given driver-known centroids."""
     cids = sorted(cents)
     if not cids:
-        # empty corpus: no centroids to assign against — stable schema,
-        # zero rows (the registry-wide empty-table gate hits this)
-        return e.select(
+        # no centroids to assign against (empty corpus, or no seed ids
+        # below _PQ_K): stable schema, ZERO rows — the oracle's codes
+        # CTE inner-joins the per-subspace argmins, which are empty, so
+        # emitting NULL-coded rows here would hash-mismatch (review r8)
+        return e.filter(F.lit(False)).select(
             "vec_id",
             *[F.lit(None).cast("long").alias(f"code{j}") for j in range(_PQ_M)],
         )
@@ -492,6 +481,16 @@ def pq_code_frame(spark, sf_dir):
     return e.select(
         "vec_id", *[code(j).alias(f"code{j}") for j in range(_PQ_M)]
     )
+
+
+def pq_code_frame(spark, sf_dir):
+    """(vec_id, code0..code{m-1}): PQ codes as a PURE map-side
+    projection — centroids are injected as literals, zero exchanges at
+    any corpus size."""
+    e = emb_table(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _pq_codes_projection(e, _pq_centroids(e))
 
 
 @register("sim_pq_encode", _pq_sql(), covers=("ext:similarity", "ext:layout"))
@@ -555,17 +554,22 @@ def q_pq_adc_topk(spark, sf_dir):
     e = emb_table(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = _pq_centroids(e)
-    cids = sorted(cents)
-    qvecs = {
+    # ONE driver collect covers seed centroids AND query vectors
+    # (review r8: three separate collects before)
+    head = {
         r["vec_id"]: [float(x) for x in r["v"]]
-        for r in e.filter(F.col("vec_id") < _PQ_ADC_QUERIES).collect()
+        for r in e.filter(
+            F.col("vec_id") < max(_PQ_K, _PQ_ADC_QUERIES)
+        ).collect()
     }
-    codes = pq_code_frame(spark, sf_dir)
+    cents = {i: v for i, v in head.items() if i < _PQ_K}
+    qvecs = {i: v for i, v in head.items() if i < _PQ_ADC_QUERIES}
+    cids = sorted(cents)
     if not cids or not qvecs:
         return spark.createDataFrame(
             [], "query_id long, rank long, neighbor_id long"
         )
+    codes = _pq_codes_projection(e, cents)
 
     def lut_entry(qv, cid, j):
         # plain left-to-right accumulation from 0.0 — the exact fold
@@ -578,7 +582,7 @@ def q_pq_adc_topk(spark, sf_dir):
             acc += (x - y) * (x - y)
         return acc
 
-    branches = []
+    entries = []
     for qid in sorted(qvecs):
         # per-subspace LUT as a k-entry array literal indexed by the
         # code column: the scan projects codes -> distance, no joins
@@ -596,16 +600,22 @@ def q_pq_adc_topk(spark, sf_dir):
             )
             term = F.element_at(lut, F.col(f"code{j}").cast("int") + 1)
             dist = term if dist is None else dist + term
-        branches.append(
-            codes.filter(F.col("vec_id") != qid).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                dist.alias("dist"),
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"), dist.alias("dist")
             )
         )
-    scored = branches[0]
-    for b in branches[1:]:
-        scored = scored.unionByName(b)
+    # ONE corpus scan: explode the per-query (query_id, dist) structs
+    # map-side instead of one encode pass per query branch (review r8)
+    scored = (
+        codes.select("vec_id", F.explode(F.array(*entries)).alias("qd"))
+        .select(
+            F.col("qd.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qd.dist").alias("dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -760,22 +770,40 @@ def q_mmr_diversified(spark, sf_dir):
     lam, lam1 = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 10)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         rel = {int(a): float(r) for a, r in zip(pdf["a_id"], pdf["rel_a"])}
         sims: dict[tuple[int, int], float] = {}
         for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim"]):
             if pd.notna(b):
                 sims[(int(a), int(b))] = float(s)
+
+        def key(score):
+            # SQL NULL semantics (review r8): a NULL sim (zero-norm
+            # vector -> try_divide NULL -> NaN here) is SKIPPED by the
+            # oracle's MAX, and a NULL score orders LAST under DuckDB's
+            # NULLS LAST — mirror both, never let NaN poison a compare
+            if score is None or math.isnan(score):
+                return (0, 0.0)
+            return (1, score)
+
         remaining = sorted(rel)
         selected: list[int] = []
         while remaining and len(selected) < _MMR_K:
-            best_id, best_score = None, None
+            best_id, best_key = None, None
             for d in remaining:  # ascending id -> strict > keeps low-id ties
                 if not selected:
                     score = rel[d]
                 else:
-                    score = lam * rel[d] - lam1 * max(sims[(d, s)] for s in selected)
-                if best_score is None or score > best_score:
-                    best_id, best_score = d, score
+                    vals = [
+                        v
+                        for v in (sims.get((d, s)) for s in selected)
+                        if v is not None and not math.isnan(v)
+                    ]
+                    score = lam * rel[d] - lam1 * max(vals) if vals else None
+                k = key(score)
+                if best_key is None or k > best_key:
+                    best_id, best_key = d, k
             selected.append(best_id)
             remaining.remove(best_id)
         qid = int(pdf["query_id"].iloc[0])

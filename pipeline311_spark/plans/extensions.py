@@ -203,6 +203,19 @@ _MH_ROWS = _MH_K // _MH_BANDS
 # LSH pipeline over representatives, expand + emit identical-group
 # pairs (see the note above _NGRAM_JACCARD_SQL).
 def _minhash_pairs_sql(extra_pred: str = "") -> str:
+    where_pred = f"WHERE TRUE{extra_pred}" if extra_pred else ""
+    return f"""
+WITH {_minhash_pairs_cte()}
+SELECT doc_a, doc_b, jaccard FROM allpairs {where_pred}
+"""
+
+
+def _minhash_pairs_cte() -> str:
+    """The MinHash pair pipeline as a bare CTE chain ending in
+    ``allpairs`` (doc_a, doc_b, jaccard) — consumers append their own
+    final SELECT (or further CTEs, e.g. the connected-components reach
+    oracle in plans/curation4.py, which would otherwise have to
+    extract this by string surgery on the full query)."""
     from pipeline311_spark.ext.dedup import GRAM_BASE
 
     params = hash_params(_MH_K, _MH_SEED)
@@ -219,9 +232,7 @@ def _minhash_pairs_sql(extra_pred: str = "") -> str:
     gram = "th[i]"
     for j in range(1, _MH_N):
         gram = f"(({gram}) * {GRAM_BASE} + th[i+{j}]) % {MOD}"
-    where_pred = f"WHERE TRUE{extra_pred}" if extra_pred else ""
-    return f"""
-WITH {_shingle_cte(_MH_N)},
+    return f"""{_shingle_cte(_MH_N)},
 tokh AS (SELECT doc_id,
     list_transform(string_split(nt, ' '), t -> {portable_hash_sql('t')}) AS th
   FROM norm),
@@ -277,9 +288,7 @@ ident AS (
   UNION ALL
   SELECT rep AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
   FROM grp WHERE gn > {_IDENT_MAX_GROUP} AND doc_id <> rep),
-allpairs AS (SELECT * FROM expanded UNION ALL SELECT * FROM ident)
-SELECT doc_a, doc_b, jaccard FROM allpairs {where_pred}
-"""
+allpairs AS (SELECT * FROM expanded UNION ALL SELECT * FROM ident)"""
 
 
 @register("dedup_minhash_lsh", _minhash_pairs_sql(), covers=("ext:dedup",))

@@ -102,7 +102,14 @@ def test_dsir_sign_tracks_target_likeness(spark):
         r["doc_id"]
         for r in d.filter(F.col("source") == _DSIR_TARGET).select("doc_id").collect()
     }
-    mean_lr = round(sum(r["avg_log_ratio"] for r in rows) / len(rows), 6)
+    # exact decimal SUM mirroring the plan's order-independent decimal
+    # aggregation (then the same double division) — a float
+    # accumulation could round the other way at a boundary
+    from decimal import Decimal
+
+    mean_lr = round(
+        float(sum(Decimal(str(r["avg_log_ratio"])) for r in rows)) / len(rows), 6
+    )
     for r in rows:
         assert r["doc_id"] not in target_ids
         assert r["selected"] == (r["avg_log_ratio"] > mean_lr), r

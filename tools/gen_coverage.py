@@ -152,7 +152,17 @@ def main():
         [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
         cwd=repo, capture_output=True, text=True,
     )
+    # a collection ERROR still prints a (partial) count — stamping the
+    # undercount would re-create the very drift this guard fixes, so
+    # refuse to touch the README unless collection was fully clean
     m = re.search(r"(\d+) tests? collected", res.stdout)
+    if res.returncode != 0 or "error" in res.stdout.lower():
+        print(
+            f"WARNING: pytest collection not clean (rc={res.returncode}); "
+            "README test count NOT updated",
+            file=sys.stderr,
+        )
+        m = None
     if m:
         new = re.sub(
             r"\*\*Tests\*\*: \d+ pytest cases \(plus[^)]*\)",
