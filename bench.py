@@ -139,6 +139,7 @@ def main() -> None:
         "sim_pq_encode",
         "retrieval_mmr_diversified",
         "sim_pq_adc_topk",
+        "sim_pq_recall_audit",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -818,3 +818,84 @@ def q_mmr_diversified(spark, sf_dir):
     return mmr_in.groupBy("query_id").applyInPandas(
         greedy, "query_id long, rank long, doc_id long"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: ADC top-k vs EXACT full-precision L2 top-k, per
+# query — the acceptance check every approximate index needs before a
+# pipeline trusts it (same role as lsh_dropped_buckets for the LSH
+# caps: make the approximation's loss OBSERVABLE, not assumed).
+# Recall = |ADC∩exact| / k, an exact integer ratio that rides the
+# oracle hash.  Scale: both rankers are bounded per-query top-k; the
+# audit joins two k-row-per-query frames.
+# ---------------------------------------------------------------------------
+
+
+def _pq_recall_sql() -> str:
+    full_sq = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip(q.qv, e.v), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+    )
+    return f"""
+WITH adc AS (SELECT query_id, neighbor_id FROM ({_pq_adc_sql()}) a),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE embedding IS NOT NULL),
+q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < {_PQ_ADC_QUERIES}),
+exact AS (
+  SELECT query_id, vec_id AS neighbor_id
+  FROM (SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {full_sq}, e.vec_id) AS rn
+        FROM q2 q JOIN e2 e ON e.vec_id <> q.query_id) t
+  WHERE rn <= {_PQ_ADC_K})
+SELECT x.query_id, COUNT(a.neighbor_id)::BIGINT AS n_overlap,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_PQ_ADC_K} AS recall
+FROM exact x LEFT JOIN adc a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@register("sim_pq_recall_audit", _pq_recall_sql(), covers=("ext:similarity", "A-class"))
+def q_pq_recall_audit(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    adc = q_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    e = emb_table(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _PQ_ADC_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("sqdist", "vec_id")
+    exact = (
+        q.join(e, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sq.alias("sqdist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_ADC_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hits = adc.select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("hit")
+    )
+    return (
+        exact.join(
+            hits,
+            (exact["query_id"] == hits["aq"])
+            & (exact["neighbor_id"] == hits["hit"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_overlap"),
+            (F.count("hit").cast("double") / _PQ_ADC_K).alias("recall"),
+        )
+    )

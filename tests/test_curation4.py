@@ -268,3 +268,21 @@ def test_pq_adc_matches_python_replay(spark):
         for r in REGISTRY["sim_pq_adc_topk"].fn(spark, SF).collect()
     )
     assert rows == sorted(expect)
+
+
+def test_pq_recall_audit_consistent_with_members(spark):
+    """One row per query; recall is exactly n_overlap/k; n_overlap
+    equals the true intersection of the two top-k frames."""
+    from pipeline311_spark.plans.curation4 import _PQ_ADC_K, _PQ_ADC_QUERIES
+
+    rows = {r["query_id"]: r for r in REGISTRY["sim_pq_recall_audit"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(_PQ_ADC_QUERIES))
+    adc = REGISTRY["sim_pq_adc_topk"].fn(spark, SF).collect()
+    adc_sets: dict = {}
+    for r in adc:
+        adc_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, r in rows.items():
+        assert 0 <= r["n_overlap"] <= _PQ_ADC_K
+        assert r["recall"] == r["n_overlap"] / _PQ_ADC_K
+        # the overlap can't exceed what ADC returned at all
+        assert r["n_overlap"] <= len(adc_sets.get(qid, set()))

@@ -156,7 +156,10 @@ def main():
     # undercount would re-create the very drift this guard fixes, so
     # refuse to touch the README unless collection was fully clean
     m = re.search(r"(\d+) tests? collected", res.stdout)
-    if res.returncode != 0 or "error" in res.stdout.lower():
+    # the summary line reads "N tests collected[, M errors] in Xs" —
+    # match the error COUNT, not the substring (test node ids contain
+    # the word "error")
+    if res.returncode != 0 or re.search(r"\d+ errors?\b", res.stdout):
         print(
             f"WARNING: pytest collection not clean (rc={res.returncode}); "
             "README test count NOT updated",
