@@ -140,6 +140,7 @@ def main() -> None:
         "retrieval_mmr_diversified",
         "sim_pq_adc_topk",
         "sim_pq_recall_audit",
+        "export_incremental_shards",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -58,7 +58,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pipeline311_spark.ext.hashing import portable_hash, portable_hash_sql
+from pipeline311_spark.ext.hashing import (
+    portable_hash,
+    portable_hash64_sql,
+    portable_hash_sql,
+)
 from pipeline311_spark.ext.textstats import fingerprint, normalize_text, tokens
 from pipeline311_spark.plans.common import emb_table, table
 from pipeline311_spark.plans.registry import register
@@ -898,4 +902,70 @@ def q_pq_recall_audit(spark, sf_dir):
             F.count("hit").cast("long").alias("n_overlap"),
             (F.count("hit").cast("double") / _PQ_ADC_K).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental shard maintenance: compose the snapshot diff with the
+# deterministic shard assignment to report which export shards are
+# DIRTY (contain any added/changed/removed doc) and which can be kept
+# as-is.  This is the economics of incremental export at 100 TB: a
+# version bump touching V docs dirties O(V) shards — the other
+# shards' files are byte-identical (deterministic membership + order,
+# see export_hash_shards) and are NOT rewritten.
+# Scale: the diff is one co-partitioned full-outer join; the shard
+# rollup is one groupBy producing N_SHARDS rows.
+# ---------------------------------------------------------------------------
+
+_EIS_SHARDS = 8
+
+
+def _incremental_shards_sql() -> str:
+    h_shard = portable_hash64_sql("concat('shard:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH diff AS ({_version_diff_sql()}),
+tagged AS (
+  SELECT doc_id, status, ({h_shard}) % {_EIS_SHARDS} AS shard FROM diff)
+SELECT shard,
+       SUM(CASE WHEN status <> 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) > 0 AS dirty
+FROM tagged GROUP BY shard
+"""
+
+
+@register(
+    "export_incremental_shards",
+    _incremental_shards_sql(),
+    covers=("ext:export", "K2", "O3"),
+)
+def q_incremental_shards(spark, sf_dir):
+    from pipeline311_spark.ext.hashing import portable_hash64
+
+    diff = q_version_diff(spark, sf_dir)
+    tagged = diff.withColumn(
+        "shard",
+        F.pmod(
+            portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            F.lit(_EIS_SHARDS),
+        ),
+    )
+    return tagged.groupBy("shard").agg(
+        F.sum(F.when(F.col("status") != "removed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        (
+            F.sum(F.when(F.col("status") != "unchanged", 1).otherwise(0)) > 0
+        ).alias("dirty"),
     )

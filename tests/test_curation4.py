@@ -286,3 +286,32 @@ def test_pq_recall_audit_consistent_with_members(spark):
         assert r["recall"] == r["n_overlap"] / _PQ_ADC_K
         # the overlap can't exceed what ADC returned at all
         assert r["n_overlap"] <= len(adc_sets.get(qid, set()))
+
+
+def test_incremental_shards_consistent_with_diff(spark):
+    """Shard rollup equals a Python rollup of the per-doc diff with the
+    same hash assignment; dirty is exactly 'any non-unchanged member'."""
+    from pipeline311_spark.plans.curation4 import _EIS_SHARDS
+
+    diff = {r["doc_id"]: r["status"] for r in REGISTRY["corpus_version_diff"].fn(spark, SF).collect()}
+    shards = {r["shard"]: r for r in REGISTRY["export_incremental_shards"].fn(spark, SF).collect()}
+    import hashlib
+
+    def shard_of(doc_id):
+        h = hashlib.md5(f"shard:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % _EIS_SHARDS
+
+    expect: dict = {}
+    for d, s in diff.items():
+        e = expect.setdefault(shard_of(d), {"n_docs": 0, "n_added": 0, "n_changed": 0, "n_removed": 0, "dirty": False})
+        if s != "removed":
+            e["n_docs"] += 1
+        if s in ("added", "changed", "removed"):
+            e[f"n_{s}"] += 1
+            e["dirty"] = True
+    assert set(shards) == set(expect)
+    for sh, e in expect.items():
+        r = shards[sh]
+        for k, v in e.items():
+            assert r[k] == v, (sh, k, r[k], v)
+    assert any(r["dirty"] for r in shards.values())
