@@ -49,6 +49,18 @@ large-scale training-data pipeline:
   deterministic on bit-identical inputs; emitting the double would be
   a cross-engine hash hazard).
 
+Later round-8 additions (see their section comments below):
+
+* ``retrieval_mmr_diversified`` — MMR rerank: JVM-side similarity
+  arithmetic, Arrow-batched greedy selection, k-step unrolled CTE
+  oracle.
+* ``sim_pq_adc_topk`` — codes-only asymmetric-distance search with a
+  driver-literal per-query LUT.
+* ``sim_pq_recall_audit`` — ADC vs exact-L2 recall, the acceptance
+  check for the approximate index.
+* ``export_incremental_shards`` — snapshot diff × shard assignment:
+  the dirty-shard report that makes incremental export O(changes).
+
 Reference scope note: the reference pipeline (sync-db2.py and
 siblings) has no corpus/vector layer; these extend the engine the same
 way the rest of ext/ does — see SURVEY.md §2.10.
@@ -308,8 +320,6 @@ def q_dsir(spark, sf_dir):
         "source",
         (portable_hash("term") % _DSIR_BUCKETS).alias("f"),
     )
-    from pyspark.sql.window import Window
-
     from pipeline311_spark.ext.cache import persist_tracked
 
     is_t = F.col("source") == _DSIR_TARGET
@@ -317,20 +327,22 @@ def q_dsir(spark, sf_dir):
     # feature) counts — map-side combined, bounded by docs × features —
     # and persist THAT (the explode subtree would otherwise run once
     # per consumer: the feature model, the totals, and the scoring all
-    # derive from it).  Per-feature model counts come from a window
-    # over the pre-aggregate, not a groupBy joined back (the BM25
-    # window-df shape).
+    # derive from it).  The per-feature model is a groupBy over the
+    # cached pre-aggregate broadcast back in, NOT a window over f: a
+    # hot feature (a stopword bucket) would drag corpus-scale rows into
+    # one window partition, while the groupBy partial-aggregates
+    # map-side to ≤ |features| rows per task and the 8192-row model
+    # broadcasts.
     dfc = persist_tracked(
         feat.groupBy("doc_id", "source", "f").agg(
             F.count("*").cast("long").alias("c")
         )
     )
-    wf = Window.partitionBy("f")
-    enr = dfc.withColumn(
-        "t_cnt", F.sum(F.when(is_t, F.col("c")).otherwise(0)).over(wf).cast("long")
-    ).withColumn(
-        "s_cnt", F.sum(F.when(~is_t, F.col("c")).otherwise(0)).over(wf).cast("long")
+    fs = dfc.groupBy("f").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).cast("long").alias("t_cnt"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(0)).cast("long").alias("s_cnt"),
     )
+    enr = dfc.join(F.broadcast(fs), "f")
     tot = dfc.agg(
         F.sum(F.when(is_t, F.col("c")).otherwise(0)).cast("long").alias("t_tot"),
         F.sum(F.when(~is_t, F.col("c")).otherwise(0)).cast("long").alias("s_tot"),
