@@ -13,10 +13,12 @@ pipeline.
   filtered to the query vocabulary BEFORE the aggregation, so the only
   shuffle carries matched tokens (|matches| ≈ docs × query terms hit
   rate, never the corpus token stream).  Per-doc length rides the
-  exploded rows, so scoring needs no third corpus scan, and df/idf is
-  a WINDOW over the aggregated hits rather than a groupBy joined back,
-  so the explode subtree executes once, unpersisted (VERDICT r7; a
-  persist was measurably slower than the window at sf0.1).  Per-term
+  exploded rows, so scoring needs no third corpus scan, and the
+  aggregated ``hits`` table is persisted so the df/idf derivation and
+  the scoring join read it once (VERDICT r7 — Spark did not reuse the
+  exchange, so the explode subtree genuinely ran per consumer; a
+  window over (query_id, term) would avoid the persist but stragglers
+  on high-df terms).  Per-term
   contributions are folded in sorted term
   order (both engines), so the floating sum is order-identical; the
   emitted columns are the RANKS and integer stats only — the ln-based
@@ -142,19 +144,27 @@ def bm25_scored_frame(spark, sf_dir):
         )
         .select("doc_id", "dl", F.lower("tok").alias("tok"))
     )
-    hits = (
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    # persisted: df/idf AND scoring read hits, and without the persist
+    # the scan→explode→vocab-join→groupBy subtree executes once per
+    # consumer (VERDICT r7; Spark did NOT reuse the exchange — r7
+    # PLANS.md showed reused=0 here).  A window over (query_id, term)
+    # would avoid the persist but is a straggler by construction: the
+    # partition for a high-df query term holds one row per MATCHING
+    # DOC, corpus-scale for a stopword-like term.  The persist costs a
+    # constant extra stage wave locally (~0.5 s at sf0.1) and saves a
+    # corpus scan at any scale.
+    hits = persist_tracked(
         toks.join(q, toks["tok"] == q["term"])
         .groupBy("query_id", "term", "doc_id", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    # df (docs containing the term) as a window over hits, NOT a
-    # groupBy+join back: one pass over the explode subtree instead of
-    # one per consumer (VERDICT r7), and cheaper than a persist — the
-    # window exchange moves only the aggregated matched-token rows
-    # (measured at sf0.1: 1.5 s vs 1.6 s recompute vs 2.1 s persist)
-    wdf = Window.partitionBy("query_id", "term")
+    # the df table is ≤ |queries × terms| rows: map-side-combined
+    # groupBy (no skew — partials are per-task tiny), broadcast back
+    df_t = hits.groupBy("query_id", "term").agg(F.count("*").cast("long").alias("df"))
     contrib = (
-        hits.withColumn("df", F.count("*").over(wdf).cast("long"))
+        hits.join(F.broadcast(df_t), ["query_id", "term"])
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "c",
