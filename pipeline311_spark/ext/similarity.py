@@ -58,14 +58,26 @@ def as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 — the same prepend-0.0 left fold as the DuckDB twins
+    (one shared definition; the PQ/ADC oracles mirror it slice-wise)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k neighbors per query by cosine.
+    """Exact top-k neighbors per query — cosine (descending, the
+    default) or squared-L2 (``metric="sqdist"``, ascending).
 
     ``broadcast(queries)`` → the corpus is scanned once, no shuffle for
     the join; the only shuffle is the per-query top-k (window on
@@ -78,12 +90,18 @@ def brute_force_topk(
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     ).withColumn("cn", l2_norm(F.col("cv")))
+    if metric == "sqdist":
+        score = sqdist(F.col("qv"), F.col("cv")).alias("sq_dist")
+        order = F.col("sq_dist").asc()
+    else:
+        score = cosine_pre(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+        ).alias("cos_sim")
+        order = F.col("cos_sim").desc()
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id",
-        "neighbor_id",
-        cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos_sim"),
+        "query_id", "neighbor_id", score
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 

@@ -365,8 +365,8 @@ def q_dsir(spark, sf_dir):
         .select("doc_id", F.col("c"), lr.alias("lr"))
     )
     # persisted: the threshold aggregate AND the returned frame both
-    # read it (the window subtree above it would otherwise run twice
-    # even with dfc cached)
+    # read it (the join+scoring subtree above would otherwise run
+    # twice even with dfc cached)
     # decimal(20,12) * decimal(10,0) -> decimal(31,12): stays UNDER the
     # 38-digit cap, so the scale-12 product is exact.  A wider operand
     # (e.g. decimal(28,12) * bigint -> precision 49) trips Spark's
@@ -875,30 +875,18 @@ GROUP BY x.query_id
 
 @register("sim_pq_recall_audit", _pq_recall_sql(), covers=("ext:similarity", "A-class"))
 def q_pq_recall_audit(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from pipeline311_spark.ext.similarity import brute_force_topk
 
     adc = q_pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    e = emb_table(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = F.broadcast(
-        e.filter(F.col("vec_id") < _PQ_ADC_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        )
-    )
-    sq = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy("sqdist", "vec_id")
-    exact = (
-        q.join(e, F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", sq.alias("sqdist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _PQ_ADC_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
+    e = emb_table(spark, sf_dir)
+    # the exact side is the shared brute-force ranker (L2 metric) —
+    # one fold definition, plus its ensure_parallelism wrap (review r8)
+    exact = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < _PQ_ADC_QUERIES),
+        k=_PQ_ADC_K,
+        metric="sqdist",
+    ).select("query_id", "neighbor_id")
     hits = adc.select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("hit")
     )
@@ -951,7 +939,9 @@ FROM tagged GROUP BY shard
 @register(
     "export_incremental_shards",
     _incremental_shards_sql(),
-    covers=("ext:export", "K2", "O3"),
+    # read-side maintenance report: no write path in its lineage, so no
+    # K2 claim (review r8 — COVERAGE rows must reflect exercised code)
+    covers=("ext:export", "A-class"),
 )
 def q_incremental_shards(spark, sf_dir):
     from pipeline311_spark.ext.hashing import portable_hash64

@@ -272,7 +272,10 @@ def test_pq_adc_matches_python_replay(spark):
 
 def test_pq_recall_audit_consistent_with_members(spark):
     """One row per query; recall is exactly n_overlap/k; n_overlap
-    equals the true intersection of the two top-k frames."""
+    equals the TRUE intersection |ADC ∩ exact| with the exact-L2 top-k
+    recomputed independently in Python (the mirrored-wrong-together
+    bug class the ground-truth layer exists for)."""
+    from pipeline311_spark.plans.common import emb_table
     from pipeline311_spark.plans.curation4 import _PQ_ADC_K, _PQ_ADC_QUERIES
 
     rows = {r["query_id"]: r for r in REGISTRY["sim_pq_recall_audit"].fn(spark, SF).collect()}
@@ -281,11 +284,25 @@ def test_pq_recall_audit_consistent_with_members(spark):
     adc_sets: dict = {}
     for r in adc:
         adc_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb_table(spark, SF).collect()
+    }
+
+    def exact_topk(qid):
+        qv = vecs[qid]
+        dists = sorted(
+            (sum((x - y) * (x - y) for x, y in zip(qv, v)), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        return {vid for _, vid in dists[:_PQ_ADC_K]}
+
     for qid, r in rows.items():
         assert 0 <= r["n_overlap"] <= _PQ_ADC_K
         assert r["recall"] == r["n_overlap"] / _PQ_ADC_K
-        # the overlap can't exceed what ADC returned at all
-        assert r["n_overlap"] <= len(adc_sets.get(qid, set()))
+        truth = len(adc_sets.get(qid, set()) & exact_topk(qid))
+        assert r["n_overlap"] == truth, (qid, r["n_overlap"], truth)
 
 
 def test_incremental_shards_consistent_with_diff(spark):
