@@ -53,8 +53,16 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
     )
+    # Initial label = min(self, neighbors): exactly what one
+    # propagation round over a self-initialized table would produce,
+    # computed inside the node-dedup aggregation that was needed
+    # anyway — saves one full join+aggregate+checkpoint round (r8; a
+    # star cluster whose center is the min id converges at init, so
+    # the flat dedup-graph case pays 1 round instead of 2)
     labels = local_checkpoint_tracked(
-        sym.select(F.col("s").alias("node")).distinct().withColumn("component", F.col("node"))
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.min("d").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("component"))
     )
 
     changed = 0
