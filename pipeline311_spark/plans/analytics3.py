@@ -166,7 +166,7 @@ FROM reach GROUP BY node
 """
 
 
-@register("dedup_dup_clusters", _CLUSTERS_SQL, covers=("ext:dedup",))
+@register("dedup_dup_clusters", _CLUSTERS_SQL, covers=("ext:dedup", "ext:graph"))
 def q_dup_clusters(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
@@ -189,7 +189,7 @@ FROM documents d WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
-@register("dedup_surviving_corpus", _SURVIVORS_SQL, covers=("ext:dedup", "J3"))
+@register("dedup_surviving_corpus", _SURVIVORS_SQL, covers=("ext:dedup", "ext:graph", "J3"))
 def q_surviving_corpus(spark, sf_dir):
     """The fuzzy-dedup deliverable users actually ship: the corpus with
     non-canonical near-dup cluster members removed (n-gram Jaccard

@@ -98,7 +98,8 @@ FROM d
 """
 
 
-@register("emb_quantize_int8", _QUANT_SQL, covers=("ext:similarity", "ext:multimodal"))
+@register("emb_quantize_int8", _QUANT_SQL,
+          covers=("ext:similarity", "ext:quantize", "ext:multimodal"))
 def q_quantize(spark, sf_dir):
     e = emb_table(spark, sf_dir)
     return quantized_cosine_error(e, "vec_id", "embedding")

@@ -106,7 +106,8 @@ FROM topk JOIN documents d ON d.doc_id = neighbor_id
 """
 
 
-@register("retrieval_end_to_end", _retrieval_sql(), covers=("ext:similarity", "S5", "F6"))
+@register("retrieval_end_to_end", _retrieval_sql(),
+          covers=("ext:similarity", "ext:retrieval", "S5", "F6"))
 def q_retrieval_end_to_end(spark, sf_dir):
     from pipeline311_spark.ext.similarity import brute_force_topk
 

@@ -205,7 +205,8 @@ def bm25_scored_frame(spark, sf_dir):
     )
 
 
-@register("text_bm25_topk", _bm25_sql(), covers=("ext:text", "ext:similarity", "O4"))
+@register("text_bm25_topk", _bm25_sql(),
+          covers=("ext:text", "ext:similarity", "ext:retrieval", "O4"))
 def q_bm25_topk(spark, sf_dir):
     # ranks + integer stats only: the ln-based double score is dropped
     # before the oracle hash (DuckDB ln vs JVM Math.log can differ by
@@ -581,7 +582,7 @@ WHERE rn <= {_BM25_TOPK}
 @register(
     "retrieval_hybrid_rrf",
     _hybrid_rrf_sql(),
-    covers=("ext:similarity", "ext:text", "O4", "J-class"),
+    covers=("ext:similarity", "ext:text", "ext:retrieval", "O4", "J-class"),
 )
 def q_retrieval_hybrid_rrf(spark, sf_dir):
     from pyspark.sql.window import Window

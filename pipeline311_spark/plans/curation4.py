@@ -110,7 +110,8 @@ WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 """
 
 
-@register("dedup_minhash_surviving", _mh_surviving_sql(), covers=("ext:dedup", "J3"))
+@register("dedup_minhash_surviving", _mh_surviving_sql(),
+          covers=("ext:dedup", "ext:graph", "J3"))
 def q_minhash_surviving(spark, sf_dir):
     from pipeline311_spark.ext.dedup import minhash_dedup_pairs
     from pipeline311_spark.ext.graph import dup_clusters
@@ -175,7 +176,8 @@ FROM v_old o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
 """
 
 
-@register("corpus_version_diff", _version_diff_sql(), covers=("J3", "O3", "ext:export"))
+@register("corpus_version_diff", _version_diff_sql(),
+          covers=("J3", "O3", "ext:export", "ext:versioning"))
 def q_version_diff(spark, sf_dir):
     base = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     v_old = base.filter(F.col("doc_id") % _VD_ADD_MOD != _VD_ADD_RES).select(
@@ -509,7 +511,8 @@ def pq_code_frame(spark, sf_dir):
     return _pq_codes_projection(e, _pq_centroids(e))
 
 
-@register("sim_pq_encode", _pq_sql(), covers=("ext:similarity", "ext:layout"))
+@register("sim_pq_encode", _pq_sql(),
+          covers=("ext:similarity", "ext:quantize", "ext:layout"))
 def q_pq_encode(spark, sf_dir):
     return pq_code_frame(spark, sf_dir)
 
@@ -563,7 +566,8 @@ WHERE rn <= {_PQ_ADC_K}
 """
 
 
-@register("sim_pq_adc_topk", _pq_adc_sql(), covers=("ext:similarity", "O4"))
+@register("sim_pq_adc_topk", _pq_adc_sql(),
+          covers=("ext:similarity", "ext:quantize", "O4"))
 def q_pq_adc_topk(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -727,7 +731,7 @@ set1 AS (SELECT query_id, did FROM s1),{",".join(steps)}
 @register(
     "retrieval_mmr_diversified",
     _mmr_sql(),
-    covers=("ext:similarity", "T7", "O4"),
+    covers=("ext:similarity", "ext:retrieval", "T7", "O4"),
 )
 def q_mmr_diversified(spark, sf_dir):
     import pandas as pd
@@ -873,7 +877,8 @@ GROUP BY x.query_id
 """
 
 
-@register("sim_pq_recall_audit", _pq_recall_sql(), covers=("ext:similarity", "A-class"))
+@register("sim_pq_recall_audit", _pq_recall_sql(),
+          covers=("ext:similarity", "ext:quantize", "A-class"))
 def q_pq_recall_audit(spark, sf_dir):
     from pipeline311_spark.ext.similarity import brute_force_topk
 
@@ -941,7 +946,7 @@ FROM tagged GROUP BY shard
     _incremental_shards_sql(),
     # read-side maintenance report: no write path in its lineage, so no
     # K2 claim (review r8 — COVERAGE rows must reflect exercised code)
-    covers=("ext:export", "A-class"),
+    covers=("ext:export", "ext:versioning", "A-class"),
 )
 def q_incremental_shards(spark, sf_dir):
     from pipeline311_spark.ext.hashing import portable_hash64

@@ -89,6 +89,10 @@ STATIC = {
     "ext:text": ("ext/textstats.py (lang-id, quality, tokens, fingerprint)", "tests/test_ext.py"),
     "ext:multimodal": ("ext/multimodal.py (binary payloads, stubbed codecs)", "tests/test_ext.py"),
     "ext:layout": ("operators/layout.py (Z-order clustered writes for 2-D scan pruning)", "tests/test_layout.py"),
+    "ext:graph": ("ext/graph.py (iterative min-label connected components; dup clusters)", "tests/test_properties.py (vs union-find)"),
+    "ext:versioning": ("plans/curation4.py (snapshot diff; dirty-shard incremental export report)", "tests/test_curation4.py"),
+    "ext:quantize": ("ext/quantize.py int8 + plans/curation4.py PQ encode/ADC/recall", "tests/test_curation4.py (python replays)"),
+    "ext:retrieval": ("BM25 / dense top-k / RRF fusion / MMR rerank (plans/curation*.py)", "tests/test_curation3.py, tests/test_curation4.py"),
     "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
     "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
 }
