@@ -661,3 +661,24 @@ def test_zero_vectors_never_crash_similarity(spark):
     assert {r["vec_id"] for r in kept} >= {1, 2}  # no crash; zero vec survives
 
     quantized_cosine_error(df, "vec_id", "embedding").collect()  # must not raise
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """r8: a component whose diameter exceeds max_iter must FAIL
+    loudly, not silently return non-minimal labels (which would make
+    downstream survivor sets silently diverge from the exact
+    transitive closure)."""
+    import pytest
+
+    from pipeline311_spark.ext.graph import connected_components
+
+    # a path graph 0-1-2-...-12: min-label needs ~diameter rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
+    # and with enough rounds the same graph converges to one component
+    labels = connected_components(edges, max_iter=15).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == 13
