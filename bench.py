@@ -141,6 +141,7 @@ def main() -> None:
         "sim_pq_adc_topk",
         "sim_pq_recall_audit",
         "export_incremental_shards",
+        "sample_per_source_quality_gate",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -976,3 +976,109 @@ def q_incremental_shards(spark, sf_dir):
             F.sum(F.when(F.col("status") != "unchanged", 1).otherwise(0)) > 0
         ).alias("dirty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality gate: keep (approximately) the top q% of each
+# SOURCE by quality score — the stratified form of the global quality
+# filter (a web-crawl source and a curated-books source should not
+# share one absolute threshold).  Threshold selection runs on a
+# 1000-bucket quality histogram per source, so the cutoff is
+# bucket-granular by design: every doc in a bucket that reaches the
+# top-q mass is kept (deterministic; no intra-bucket tiebreaking).
+#
+# Scale shape: two corpus SCANS (histogram pass + gate pass), both
+# pure map-side projections — no corpus-scale shuffle or window
+# anywhere.  The histogram is ≤ |sources| x 1001 rows (persisted —
+# totals and cumulative both read it), the cumulative window runs over
+# ≤ 1001 rows per source, and the per-source thresholds broadcast into
+# the gate.  floor(score * 1000) on bit-identical doubles is
+# bit-identical — no round() boundary hazard (the r4 lesson).
+# ---------------------------------------------------------------------------
+
+_PSQ_PCT = 60        # keep ~top 60% per source
+_PSQ_BUCKETS = 1000  # quality in [0,1] -> integer buckets 0..1000
+
+
+def _per_source_gate_sql() -> str:
+    qs = """0.4 * least(n_tokens / 64.0, 1.0)
+       + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
+       + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
+       + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))"""
+    from pipeline311_spark.plans.extensions import (
+        PUNCT_CLASS,
+        _lang_hits_sql,
+        _ntok_sql,
+        _tok_array_sql,
+    )
+
+    return f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
+         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+  FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT doc_id, source,
+         CAST(floor(({qs}) * {_PSQ_BUCKETS}) AS BIGINT) AS qb
+  FROM f),
+hist AS (SELECT source, qb, COUNT(*)::BIGINT AS n FROM scored GROUP BY source, qb),
+tgt AS (SELECT source, ({_PSQ_PCT} * SUM(n) + 99) // 100 AS target
+        FROM hist GROUP BY source),
+cum AS (
+  SELECT source, qb,
+         SUM(n) OVER (PARTITION BY source ORDER BY qb DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist),
+thr AS (
+  SELECT c.source, MAX(c.qb) AS thr_qb
+  FROM cum c JOIN tgt t ON t.source = c.source
+  WHERE c.cum >= t.target GROUP BY c.source)
+SELECT s.doc_id, s.source, s.qb
+FROM scored s JOIN thr t ON s.source = t.source AND s.qb >= t.thr_qb
+"""
+
+
+@register(
+    "sample_per_source_quality_gate",
+    _per_source_gate_sql(),
+    covers=("ext:sampling", "ext:text", "F1"),
+)
+def q_per_source_quality_gate(spark, sf_dir):
+    from pipeline311_spark.ext.cache import persist_tracked
+    from pipeline311_spark.ext.textstats import quality_score
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.floor(quality_score("text") * _PSQ_BUCKETS).cast("long").alias("qb"),
+    )
+    # bounded: |sources| x 1001 rows; persisted — totals AND the
+    # cumulative both read it
+    hist = persist_tracked(
+        scored.groupBy("source", "qb").agg(F.count("*").cast("long").alias("n"))
+    )
+    tgt = hist.groupBy("source").agg(
+        F.expr(f"({_PSQ_PCT} * sum(n) + 99) div 100").alias("target")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    thr = (
+        cum.join(tgt, "source")
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("source")
+        .agg(F.max("qb").alias("thr_qb"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("qb") >= F.col("thr_qb"))
+        .select("doc_id", "source", "qb")
+    )

@@ -332,3 +332,35 @@ def test_incremental_shards_consistent_with_diff(spark):
         for k, v in e.items():
             assert r[k] == v, (sh, k, r[k], v)
     assert any(r["dirty"] for r in shards.values())
+
+
+def test_per_source_gate_keeps_top_mass(spark):
+    """Per source: everything kept scores >= everything dropped, the
+    kept mass reaches the ceil(q%) target, and removing the threshold
+    bucket would drop below target (threshold minimality)."""
+    from pipeline311_spark.ext.textstats import quality_score
+    from pipeline311_spark.plans.common import table
+    from pipeline311_spark.plans.curation4 import _PSQ_BUCKETS, _PSQ_PCT
+
+    d = table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    scored = d.select(
+        "doc_id", "source",
+        F.floor(quality_score("text") * _PSQ_BUCKETS).cast("long").alias("qb"),
+    ).collect()
+    kept = REGISTRY["sample_per_source_quality_gate"].fn(spark, SF).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    by_src: dict = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append(r)
+    assert kept_ids and kept_ids < {r["doc_id"] for r in scored}
+    for src, rows in by_src.items():
+        k = [r for r in rows if r["doc_id"] in kept_ids]
+        dmin = min((r["qb"] for r in rows if r["doc_id"] not in kept_ids), default=None)
+        assert k, f"source {src} kept nothing"
+        thr = min(r["qb"] for r in k)
+        if dmin is not None:
+            assert thr > dmin  # kept strictly above every dropped bucket
+        target = (_PSQ_PCT * len(rows) + 99) // 100
+        assert len(k) >= target
+        # minimality: without the threshold bucket the mass is < target
+        assert len([r for r in k if r["qb"] > thr]) < target
