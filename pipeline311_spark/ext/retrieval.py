@@ -1,0 +1,316 @@
+"""Lexical retrieval as a STORED index (BM25) plus rank fusion.
+
+The r7 BM25 query recomputed tf/df/avgdl from raw text on every run —
+fine for a one-shot query, wrong at corpus scale where retrieval is a
+serving workload: the index must be a per-corpus-version ARTIFACT,
+built once, stored, and incrementally maintained, exactly like the
+stored gram table the MinHash family uses (ext/dedup.py,
+``minhash_pairs_from_grams`` / ``minhash_incremental_from_store``).
+
+Index contract (three tables, all parquet-friendly):
+
+* **postings** ``(term, doc_id, tf, dl)`` — one row per (doc, distinct
+  term); ``tf`` is the occurrence count, ``dl`` the doc's token length
+  DENORMALIZED onto every posting (the classic posting-with-doclen
+  layout) so scoring never joins a doc-length table.  At 100 TB the
+  postings are written partitioned/bucketed by ``term`` — a query
+  touches only its vocabulary's partitions (partition-pruned read),
+  never the corpus.
+* **term_stats** ``(term, df)`` — document frequency per term;
+  |vocabulary| rows.
+* **corpus_stats** ``(n_docs, sum_dl)`` — ONE row.  ``sum_dl`` (not
+  avgdl) is stored because sums are combinable: an incremental batch
+  merges by addition, no re-scan.
+
+Incremental maintenance (:func:`bm25_index_update`): batch postings
+are built from the batch alone; ``term_stats`` merges by per-term
+``df`` addition and ``corpus_stats`` by element addition — valid
+because batch doc ids are disjoint from the indexed corpus (the same
+disjointness contract as ``minhash_incremental_from_store``).  The
+merged index is REQUIRED to be row-identical to a fresh build over
+corpus ∪ batch; the registry query ``text_bm25_incr_store`` proves it
+under the oracle gate (same DuckDB twin as the from-scratch query).
+
+Scoring (:func:`bm25_score_topk`) keeps the r7 cross-engine
+discipline: per-term contributions are folded in SORTED TERM ORDER so
+the floating sum is order-identical everywhere, ranks are compared on
+``round(score, 6)`` with a doc-id tiebreak, and callers drop the
+ln-based double before any oracle hash (DuckDB ``ln`` vs JVM
+``Math.log`` can differ by 1 ulp — plans/curation3.py).
+
+Rank fusion (:func:`rrf_fuse`): reciprocal-rank fusion over a VARIABLE
+set of rankers (r7 shipped the lexical+dense pair hardcoded; production
+fusion takes N lists — lexical, dense, recency, click models...).  The
+fused score is Σ 1/(C + rank_i) summed in FIXED RANKER ORDER (one
+pivoted column per ranker, an expression-tree sum — not an aggregation
+over rows, whose order Spark does not define), so the double is
+bit-identical across engines and safely rides the oracle hash.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pipeline311_spark.ext.textstats import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+class Bm25Index(NamedTuple):
+    """The stored-index triple.  Each member is a DataFrame view of the
+    artifact — storage-backed (parquet read) in production, in-memory
+    in the build-then-score convenience paths."""
+
+    postings: DataFrame  # term, doc_id, tf, dl
+    term_stats: DataFrame  # term, df
+    corpus_stats: DataFrame  # n_docs, sum_dl
+
+
+def build_bm25_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf, dl) from raw text — ONE corpus pass: tokenize
+    scan-side, explode, and a map-side-combined groupBy whose shuffle
+    carries (doc, term) partials, not the raw token stream.  NULL text
+    is absent from the index (the engine-wide failed-decode
+    convention)."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("dl"),
+            F.explode("tk").alias("tok"),
+        )
+        .select("doc_id", "dl", F.lower("tok").alias("term"))
+    )
+    return toks.groupBy("term", "doc_id", "dl").agg(
+        F.count("*").cast("long").alias("tf")
+    ).select("term", "doc_id", "tf", "dl")
+
+
+def bm25_corpus_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(n_docs, sum_dl) — one map-side partial aggregate, one row back.
+    Stored as SUMS so incremental batches merge by addition."""
+    from pipeline311_spark.ext.textstats import token_count
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(token_count(text_col).cast("long").alias("dl"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+    )
+
+
+def bm25_term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df) from postings — postings are per-(doc, term) distinct
+    by construction, so ``df`` is a plain map-side-combined count."""
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def build_bm25_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Bm25Index:
+    """Build all three artifacts.  The term_stats aggregation reads the
+    postings plan; when the caller writes postings to storage first
+    (the production path — see ``text_bm25_from_store``), derive
+    term_stats from the STORED postings instead so the tokenize pass
+    runs once."""
+    postings = build_bm25_postings(df, id_col, text_col)
+    return Bm25Index(
+        postings=postings,
+        term_stats=bm25_term_stats(postings),
+        corpus_stats=bm25_corpus_stats(df, id_col, text_col),
+    )
+
+
+def bm25_index_update(
+    index: Bm25Index, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> Bm25Index:
+    """Merge a NEW batch (doc ids disjoint from the indexed corpus)
+    into the index — the per-batch production shape: the corpus text is
+    never re-tokenized, only the batch is.
+
+    * postings: pure union — disjoint doc ids can't collide, so no
+      merge aggregation at all (an append write in storage terms).
+    * term_stats: per-term ``df`` addition over |batch vocabulary|
+      rows unioned with the stored |vocabulary| rows — a
+      dimension-scale aggregate, never the corpus.
+    * corpus_stats: two one-row frames summed.
+    """
+    batch_postings = build_bm25_postings(new, id_col, text_col)
+    term_stats = (
+        index.term_stats.unionByName(bm25_term_stats(batch_postings))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    corpus_stats = (
+        index.corpus_stats.unionByName(bm25_corpus_stats(new, id_col, text_col))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    return Bm25Index(
+        postings=index.postings.unionByName(batch_postings),
+        term_stats=term_stats,
+        corpus_stats=corpus_stats,
+    )
+
+
+def bm25_score_topk(
+    hits: DataFrame,
+    term_df: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 scoring over matched postings — the SHARED kernel of
+    the query-local path (plans/curation3.bm25_scored_frame, which
+    aggregates ``hits`` from raw text filtered to the query vocabulary)
+    and the stored-index path (:func:`bm25_topk`, which reads them from
+    the postings table).
+
+    Inputs: ``hits`` (query_id, term, doc_id, tf, dl); ``term_df``
+    (query_id, term, df) — dimension-scale, broadcast; ``stats`` one
+    row (n_docs, avgdl).  Output: (query_id, rank, doc_id, bm25,
+    tf_sum, dl) — ``bm25`` is ``round(score, 6)``; oracle-hashed
+    callers must drop it (module note).
+
+    Determinism: contributions fold in sorted term order; rank ties
+    break by doc_id.  Scale: everything after ``hits`` operates on
+    matched-posting cardinality; the only shuffle is the per-(query,
+    doc) fold aggregation plus the bounded top-k window."""
+    contrib = (
+        hits.join(F.broadcast(term_df), ["query_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(
+                F.lit(1.0)
+                + ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda a, s: a + s["c"],
+        ).alias("score"),
+        F.sum("tf").cast("long").alias("tf_sum"),
+        F.min("dl").cast("long").alias("dl"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("bm25", F.round("score", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "bm25", "tf_sum", "dl")
+    )
+
+
+def bm25_topk(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Serve BM25 top-k from the STORED index: the corpus is never
+    touched — the postings join against the broadcast query vocabulary
+    is the scan (partition-pruned when postings are stored partitioned
+    by term), term_stats restricts to the same vocabulary, and the
+    one-row corpus_stats rides along.  ``queries``: (query_id, term)."""
+    q = F.broadcast(queries.select("query_id", "term"))
+    hits = index.postings.join(q, "term").select(
+        "query_id", "term", "doc_id", "tf", "dl"
+    )
+    term_df = q.join(index.term_stats, "term").select("query_id", "term", "df")
+    stats = index.corpus_stats.select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    return bm25_score_topk(hits, term_df, stats, k=k, k1=k1, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion over N rankers
+# ---------------------------------------------------------------------------
+
+RRF_C = 60
+
+
+def rrf_fuse(
+    rankings: Sequence[tuple[str, DataFrame]],
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Fuse N ranked lists by reciprocal rank: RRF(d) = Σ 1/(C+rank_i)
+    over the rankers that returned d.  ``rankings`` is an ordered
+    sequence of (name, frame) where each frame has (query_id, doc_id,
+    rank) — bounded top-k lists, so fusion operates on ≤ Σ k_i·|queries|
+    rows regardless of corpus size.
+
+    Output: (query_id, rank, doc_id, rrf, <name>_rank...) with one
+    provenance column per ranker (0 = absent — NULL would float the
+    integer column in pandas-side canonicalization, the driver-strict
+    rule).  Shape: a tagged union + ONE pivot aggregation (not a chain
+    of N-1 full-outer joins), then the per-query top-k window.  The
+    fused double sums the per-ranker 1/(C+r) terms in FIXED ranker
+    order inside one expression tree — deterministic, unlike a
+    row-order-dependent SUM aggregate — so it safely rides the oracle
+    value hash."""
+    names = [n for n, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate ranker names: {names}")
+    tagged = None
+    for i, (_, frame) in enumerate(rankings):
+        t = frame.select(
+            "query_id",
+            "doc_id",
+            F.lit(i).alias("__ranker"),
+            F.col("rank").cast("long").alias("__r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pivoted = tagged.groupBy("query_id", "doc_id").agg(
+        *[
+            F.max(F.when(F.col("__ranker") == i, F.col("__r")))
+            .alias(f"{name}_rank")
+            for i, name in enumerate(names)
+        ]
+    )
+    rrf = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        rrf = term if rrf is None else rrf + term
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        pivoted.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "rrf",
+            *[
+                F.coalesce(f"{name}_rank", F.lit(0)).cast("long").alias(f"{name}_rank")
+                for name in names
+            ],
+        )
+    )

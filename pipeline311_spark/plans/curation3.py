@@ -119,8 +119,14 @@ WHERE rn <= {_BM25_TOPK}
 
 def bm25_scored_frame(spark, sf_dir):
     """BM25 top-k WITH the double score column (engine-internal form —
-    the registry query drops the score before hashing, ADVICE r7)."""
-    from pyspark.sql.window import Window
+    the registry query drops the score before hashing, ADVICE r7).
+
+    Query-local path: the corpus is tokenized per run but filtered to
+    the query VOCABULARY before any shuffle — right for one-shot
+    queries.  The serving path builds the stored index instead
+    (ext/retrieval.py; text_bm25_from_store) and shares this scoring
+    kernel (:func:`pipeline311_spark.ext.retrieval.bm25_score_topk`)."""
+    from pipeline311_spark.ext.retrieval import bm25_score_topk
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     q = F.broadcast(
@@ -163,45 +169,16 @@ def bm25_scored_frame(spark, sf_dir):
     # the df table is ≤ |queries × terms| rows: map-side-combined
     # groupBy (no skew — partials are per-task tiny), broadcast back
     df_t = hits.groupBy("query_id", "term").agg(F.count("*").cast("long").alias("df"))
-    contrib = (
-        hits.join(F.broadcast(df_t), ["query_id", "term"])
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "c",
-            F.log(
-                F.lit(1.0)
-                + ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            )
-            * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(_BM25_K1)
-                * (
-                    F.lit(1.0 - _BM25_B)
-                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-                )
-            ),
-        )
-    )
-    # per-term contributions folded in sorted term order — the floating
-    # sum is order-identical to the DuckDB twin (plans/common.py rules)
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "c"))),
-            F.lit(0.0),
-            lambda a, s: a + s["c"],
-        ).alias("score"),
-        F.sum("tf").cast("long").alias("tf_sum"),
-        F.min("dl").cast("long").alias("dl"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("score", 6).desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("bm25", F.round("score", 6))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOPK)
-        .select("query_id", "rank", "doc_id", "bm25", "tf_sum", "dl")
+    # shared scoring kernel (sorted-term fold, round(score,6) ranking,
+    # doc-id tiebreak) — one definition for this path and the stored-
+    # index path, so the oracle gates both identically
+    return bm25_score_topk(
+        hits.select("query_id", "term", "doc_id", "tf", "dl"),
+        df_t,
+        stats,
+        k=_BM25_TOPK,
+        k1=_BM25_K1,
+        b=_BM25_B,
     )
 
 
@@ -585,41 +562,21 @@ WHERE rn <= {_BM25_TOPK}
     covers=("ext:similarity", "ext:text", "ext:retrieval", "O4", "J-class"),
 )
 def q_retrieval_hybrid_rrf(spark, sf_dir):
-    from pyspark.sql.window import Window
-
+    from pipeline311_spark.ext.retrieval import rrf_fuse
     from pipeline311_spark.ext.similarity import brute_force_topk
     from pipeline311_spark.plans.common import emb_table
 
     lex = (
         q_bm25_topk(spark, sf_dir)
         .filter(F.col("query_id") < _RRF_QUERIES)
-        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+        .select("query_id", "doc_id", "rank")
     )
     e = emb_table(spark, sf_dir)
     dense = brute_force_topk(
         e, e.filter(F.col("vec_id") < _RRF_QUERIES), k=_BM25_TOPK
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("dense_rank"),
-    )
-    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
-    rrf = F.coalesce(
-        F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")), F.lit(0.0)
-    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("dense_rank")), F.lit(0.0))
-    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("rrf", rrf)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BM25_TOPK)
-        .select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "rrf",
-            # absent-ranker rank = 0 (see oracle twin: NULLs float
-            # integer columns on the pandas side)
-            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
-            F.coalesce("dense_rank", F.lit(0)).cast("long").alias("dense_rank"),
-        )
-    )
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    # rrf_fuse sums the per-ranker 1/(C+r) terms in FIXED ranker order
+    # (lex, dense) — the same expression order as the oracle twin, so
+    # the fused double is bit-identical; absent-ranker rank renders 0
+    # (NULLs float integer columns on the pandas side)
+    return rrf_fuse([("lex", lex), ("dense", dense)], k=_BM25_TOPK, c=_RRF_C)

@@ -1,0 +1,116 @@
+"""Stored BM25 index + N-ranker RRF (ext/retrieval.py,
+plans/retrieval2.py) — the properties the oracle twins can't see:
+incremental-merge ≡ fresh-build on the ARTIFACTS themselves (the
+oracle only compares final top-k), fixed-order fusion math, and
+temp-store hygiene."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.retrieval import (
+    bm25_index_update,
+    bm25_topk,
+    build_bm25_index,
+    rrf_fuse,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_update_equals_fresh_build(spark):
+    """The index triple after merging a disjoint batch is row-identical
+    to a fresh build over the union — the contract that makes the
+    stored index maintainable without corpus re-tokenization."""
+    base = _docs(
+        spark,
+        [(1, "spark merge join"), (2, "merge merge vector"), (3, None), (4, "")],
+    )
+    batch = _docs(spark, [(10, "spark spark customer"), (11, "join")])
+    merged = bm25_index_update(build_bm25_index(base), batch)
+    fresh = build_bm25_index(base.unionByName(batch))
+
+    for got, want in zip(merged, fresh):
+        g = sorted(map(tuple, got.collect()))
+        w = sorted(map(tuple, want.collect()))
+        assert g == w
+
+    # the ''-text doc carries dl=0 into corpus stats but produces no
+    # postings; the NULL doc is absent everywhere
+    stats = dict(zip(("n_docs", "sum_dl"), merged.corpus_stats.collect()[0]))
+    assert stats == {"n_docs": 5, "sum_dl": 10}
+
+
+def test_bm25_topk_from_index_matches_query_local_path(spark):
+    """Serving from the index reproduces the query-local plan's result
+    exactly (same scoring kernel, same ints in → same doubles out)."""
+    from pipeline311_spark.plans.curation3 import (
+        _BM25_QUERIES,
+        _BM25_TOPK,
+        bm25_scored_frame,
+    )
+
+    index = build_bm25_index(
+        spark.read.parquet(f"{SF}/documents.parquet").filter(
+            F.col("text").isNotNull()
+        )
+    )
+    q = spark.createDataFrame(list(_BM25_QUERIES), "query_id long, term string")
+    got = sorted(map(tuple, bm25_topk(index, q, k=_BM25_TOPK).collect()))
+    want = sorted(map(tuple, bm25_scored_frame(spark, SF).collect()))
+    assert got == want
+
+
+def test_rrf_fuse_three_rankers_closed_form(spark):
+    """Three rankers, overlapping and disjoint docs: rrf equals the
+    closed form 1/(C+r) summed over present rankers, absent ranks
+    render 0, and provenance columns follow ranker order."""
+    lex = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2)], "query_id long, doc_id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(0, 100, 1), (0, 102, 2)], "query_id long, doc_id long, rank long"
+    )
+    rec = spark.createDataFrame(
+        [(0, 102, 1)], "query_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse([("lex", lex), ("dense", dense), ("rec", rec)], k=10, c=60)
+    assert out.columns == [
+        "query_id", "rank", "doc_id", "rrf", "lex_rank", "dense_rank", "rec_rank",
+    ]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[100]["rrf"] == 1.0 / 61 + 1.0 / 61
+    assert rows[101]["rrf"] == 1.0 / 62
+    assert rows[102]["rrf"] == 1.0 / 62 + 1.0 / 61
+    assert (rows[101]["lex_rank"], rows[101]["dense_rank"], rows[101]["rec_rank"]) == (2, 0, 0)
+    # doc 102 (two rankers) outranks doc 101 (one ranker, same best rank)
+    assert rows[102]["rank"] < rows[101]["rank"]
+
+
+def test_rrf_fuse_rejects_duplicate_ranker_names(spark):
+    f = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rank long")
+    with pytest.raises(ValueError, match="duplicate ranker names"):
+        rrf_fuse([("a", f), ("a", f)])
+
+
+def test_store_queries_do_not_leak_tmp_dirs(spark):
+    """Same hygiene contract as the stored-gram queries (r7): each run
+    mints a uuid dir, checkpoints eagerly, and rmtree's in a finally."""
+    from pipeline311_spark.plans import REGISTRY
+
+    pat = os.path.join(tempfile.gettempdir(), "p311_bm25*")
+    before = set(glob.glob(pat))
+    for name in ("text_bm25_from_store", "text_bm25_incr_store", "retrieval_rrf_recency"):
+        rows = REGISTRY[name].fn(spark, SF).collect()
+        assert rows, name
+    after = set(glob.glob(pat))
+    assert after == before, f"leaked temp dirs: {sorted(after - before)}"
