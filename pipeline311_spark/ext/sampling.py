@@ -194,6 +194,71 @@ def token_budget_fill_two_phase(
     )
 
 
+def running_sum_two_phase(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    val_col: str,
+    out_col: str = "run_sum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """INCLUSIVE running sum of ``val_col`` per ``part_col`` in
+    ``order_col`` order — the scalable twin of
+    ``sum(val) OVER (PARTITION BY part ORDER BY ord ROWS UNBOUNDED
+    PRECEDING)``, for when one partition value outgrows a task (the
+    dominant-source hazard of sequence packing).
+
+    Same exact decomposition as :func:`token_budget_fill_two_phase`,
+    but ordered by a NUMERIC id column instead of the hash key:
+
+    1. range-bucket by id value (``(id - lo) div step`` — monotone in
+       id, so bucket-asc + within-bucket id order IS the global order);
+    2. per-(part, bucket) totals — a tiny aggregate;
+    3. exclusive bucket offsets via a window over that tiny table;
+    4. within-(part, bucket) running sums — n_buckets-way parallel —
+       plus the broadcast offset = the exact global inclusive cumsum.
+
+    Integer math end to end → row-identical to the single-window form
+    (property-tested; the flagship pipeline runs both under one DuckDB
+    oracle).  The id bounds come from ONE combinable min/max aggregate
+    — an explicit driver action (documented, like the surrogate-id
+    offsets in operators/merge.py), metadata-scale at any corpus size.
+    ``order_col`` must be unique within each ``part_col`` group (both
+    forms are order-ambiguous otherwise)."""
+    W = Window
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty input: preserve schema, no bucket math
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    step = (int(hi) - int(lo)) // n_buckets + 1
+    keyed = df.withColumn(
+        "__bucket", F.expr(f"(`{order_col}` - {int(lo)}) div {step}")
+    )
+    totals = keyed.groupBy(part_col, "__bucket").agg(
+        F.sum(val_col).cast("long").alias("__btot")
+    )
+    off_w = (
+        W.partitionBy(part_col)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__off", F.sum("__btot").over(off_w) - F.col("__btot")
+    ).select(part_col, "__bucket", "__off")
+    doc_w = (
+        W.partitionBy(part_col, "__bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [part_col, "__bucket"])
+        .withColumn(out_col, F.col("__off") + F.sum(val_col).over(doc_w))
+        .drop("__bucket", "__off")
+    )
+
+
 def train_test_split(
     df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10, buckets: int = 100
 ) -> DataFrame:

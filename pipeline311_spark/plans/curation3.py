@@ -379,12 +379,19 @@ FROM packed
 """
 
 
-@register(
-    "curation_full_pipeline",
-    _full_pipeline_sql(),
-    covers=("ext:text", "ext:dedup", "ext:sampling", "ext:export", "F1", "O5", "J4"),
-)
-def q_curation_full_pipeline(spark, sf_dir):
+def _full_pipeline_frame(spark, sf_dir, two_phase_packing: bool):
+    """The flagship plan with the packing stage selectable:
+
+    * ``two_phase_packing=False`` — per-source running-sum window (one
+      shuffle partitioned by source; sort bounded by the largest single
+      source).  Right while every source fits a task.
+    * ``True`` — the exact bucket decomposition
+      (ext/sampling.running_sum_two_phase): id-range buckets +
+      broadcast offsets, n_buckets-way parallel windows.  The
+      dominant-source escape hatch — at production scale switch when
+      the largest source's post-sample row count outgrows what one
+      task can sort (the same trigger curation2.py documents for the
+      budget fill).  Both paths are gated by ONE oracle."""
     from pyspark.sql.window import Window
 
     from pipeline311_spark.ext.dedup import exact_dedup
@@ -414,22 +421,59 @@ def q_curation_full_pipeline(spark, sf_dir):
     tok = sampled.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = tok.withColumn(
+    if two_phase_packing:
+        from pipeline311_spark.ext.sampling import running_sum_two_phase
+
+        packed = running_sum_two_phase(
+            tok, "source", "doc_id", "n_tok", out_col="__cum", n_buckets=8
+        ).withColumn(
+            "pack_id",
+            F.floor((F.col("__cum") - F.col("n_tok")) / _FP_BUDGET).cast("bigint"),
+        ).drop("__cum")
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        packed = tok.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tok").over(w) - F.col("n_tok")) / _FP_BUDGET
+            ).cast("bigint"),
+        )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
         "pack_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _FP_BUDGET).cast("bigint"),
-    )
-    return packed.withColumn(
-        "shard",
         F.pmod(
             portable_hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
             F.lit(_FP_SHARDS),
-        ).cast("bigint"),
+        ).cast("bigint").alias("shard"),
     )
+
+
+@register(
+    "curation_full_pipeline",
+    _full_pipeline_sql(),
+    covers=("ext:text", "ext:dedup", "ext:sampling", "ext:export", "F1", "O5", "J4"),
+)
+def q_curation_full_pipeline(spark, sf_dir):
+    return _full_pipeline_frame(spark, sf_dir, two_phase_packing=False)
+
+
+@register(
+    "curation_pipeline_pack2phase",
+    _full_pipeline_sql(),
+    covers=("ext:text", "ext:dedup", "ext:sampling", "ext:export", "O5"),
+)
+def q_curation_pipeline_pack2phase(spark, sf_dir):
+    """The SAME flagship semantics under the SAME oracle, with the
+    packing stage on the two-phase bucket decomposition — two
+    oracle-gated plans for one spec pins the decomposition's exactness
+    at every scale factor (the sample_budget_fill_scalable pattern)."""
+    return _full_pipeline_frame(spark, sf_dir, two_phase_packing=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1592,3 +1592,53 @@ def test_merge_partitioned_hostile_partition_types(spark, tmp_path_factory, batc
     expect = {dirname(cv) for _, cv in state.values()}
     have = {d for d in os.listdir(path) if d.startswith("pc=")}
     assert have == expect, f"partition dirs {have} != surviving {expect}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # unique id
+            st.integers(min_value=0, max_value=2),      # source
+            st.integers(min_value=0, max_value=40),     # tokens
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    n_buckets=st.sampled_from([1, 3, 16]),
+)
+def test_running_sum_two_phase_equals_python_cumsum(spark, rows, n_buckets):
+    """The id-ordered two-phase running sum (the flagship packing's
+    dominant-source escape hatch) equals the brute-force per-source
+    cumulative sum in id order — including sparse/clustered id ranges
+    that leave most range buckets empty."""
+    from pipeline311_spark.ext.sampling import running_sum_two_phase
+
+    df = spark.createDataFrame(rows, "doc_id long, src int, n_tok long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in running_sum_two_phase(
+            df, "src", "doc_id", "n_tok", out_col="cum", n_buckets=n_buckets
+        ).collect()
+    }
+    want = {}
+    by_src = {}
+    for i, s, n in rows:
+        by_src.setdefault(s, []).append((i, n))
+    for members in by_src.values():
+        members.sort()
+        cum = 0
+        for i, n in members:
+            cum += n
+            want[i] = cum
+    assert got == want
+
+
+def test_running_sum_two_phase_empty_frame(spark):
+    from pipeline311_spark.ext.sampling import running_sum_two_phase
+
+    df = spark.createDataFrame([], "doc_id long, src int, n_tok long")
+    out = running_sum_two_phase(df, "src", "doc_id", "n_tok", out_col="cum")
+    assert out.columns == ["doc_id", "src", "n_tok", "cum"]
+    assert out.count() == 0
