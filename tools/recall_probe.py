@@ -1,0 +1,184 @@
+"""ANN recall/fan-out probe (r8, VERDICT r7 punch #6): put NUMBERS on
+the recall-vs-candidate-fraction trade for the three ANN paths —
+single-bucket LSH, multi-probe LSH, and IVF — against exact
+brute-force cosine, at sf0.1 and on perturbation-amplified corpora
+(tools/scale_amplify.py's embedding builder: replica i rotates the
+vector, preserving norms/distribution while growing bucket occupancy
+linearly — the honest way to scale this probe).
+
+Recall@k = |ANN top-k ∩ exact top-k| / k, averaged over Q query
+vectors (ties at the boundary count against the ANN method, matching
+how a user experiences it).  Fan-out = scored candidate pairs /
+(Q × corpus): the fraction of the corpus each query actually paid a
+cosine for — the quantity ANN exists to shrink.
+
+Usage: python tools/recall_probe.py [factors...]   # default 1 4 16
+Prints one JSON line per (factor, method).  Paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_amplify import _amplified_embeddings  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+K = 10
+Q = 20  # query vectors: the Q lowest original vec_ids (present at every factor)
+PLANES = 8
+SEED = 7
+DIM = 64
+IVF_C = 16
+IVF_NPROBE = 2
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_probe_cells,
+        lsh_ann_topk,
+        lsh_bucket,
+        lsh_multiprobe_topk,
+    )
+
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .appName("recall_probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="p311_recall_")
+    try:
+        for m in factors:
+            path = os.path.join(tmp, f"x{m}")
+            _amplified_embeddings(spark, m).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(path)
+            corpus = spark.read.parquet(path).filter(F.col("embedding").isNotNull())
+            n_corpus = corpus.count()
+            queries = corpus.filter(F.col("vec_id") < Q)
+            centroids = corpus.filter(F.col("vec_id") < IVF_C)
+
+            exact = {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_topk(corpus, queries, k=K).collect()
+            }
+
+            def fanout_lsh(multiprobe: bool, planes: int = PLANES) -> float:
+                cb = lsh_bucket(corpus, "vec_id", "embedding", planes, SEED, DIM)
+                qb = lsh_bucket(queries, "vec_id", "embedding", planes, SEED, DIM)
+                if multiprobe:
+                    # each probe list = own bucket + n_planes flips; count
+                    # corpus rows per probed bucket (pairs, minus self)
+                    from pipeline311_spark.ext.similarity import _flip_bit
+
+                    probes = F.array(
+                        F.col("bucket"),
+                        *[_flip_bit(F.col("bucket"), i) for i in range(planes)],
+                    )
+                    qx = qb.select(
+                        F.col("vec_id").alias("qid"), F.explode(probes).alias("bucket")
+                    )
+                else:
+                    qx = qb.select(F.col("vec_id").alias("qid"), "bucket")
+                pairs = (
+                    qx.join(cb.select("vec_id", "bucket"), "bucket")
+                    .filter(F.col("qid") != F.col("vec_id"))
+                    .count()
+                )
+                return pairs / (Q * n_corpus)
+
+            def fanout_ivf(nprobe: int = IVF_NPROBE) -> float:
+                cells = ivf_assign(corpus, centroids, "vec_id", "embedding")
+                probes = ivf_probe_cells(
+                    queries, centroids, "vec_id", "embedding", nprobe
+                )
+                pairs = (
+                    probes.select("query_id", "centroid_id")
+                    .join(cells.select("vec_id", "centroid_id"), "centroid_id")
+                    .filter(F.col("query_id") != F.col("vec_id"))
+                    .count()
+                )
+                return pairs / (Q * n_corpus)
+
+            # the trade curve: LSH at the registry's 8 planes and a
+            # wider 4-plane setting, multi-probe for both, IVF at
+            # nprobe 2 and 4 — recall climbs with fan-out; the probe
+            # makes the slope a number
+            methods = {
+                "lsh_p8": (
+                    lambda: lsh_ann_topk(
+                        corpus, queries, k=K, n_planes=8, seed=SEED, dim=DIM
+                    ),
+                    lambda: fanout_lsh(False, 8),
+                ),
+                "lsh_p8_multiprobe": (
+                    lambda: lsh_multiprobe_topk(
+                        corpus, queries, k=K, n_planes=8, seed=SEED, dim=DIM
+                    ),
+                    lambda: fanout_lsh(True, 8),
+                ),
+                "lsh_p4": (
+                    lambda: lsh_ann_topk(
+                        corpus, queries, k=K, n_planes=4, seed=SEED, dim=DIM
+                    ),
+                    lambda: fanout_lsh(False, 4),
+                ),
+                "lsh_p4_multiprobe": (
+                    lambda: lsh_multiprobe_topk(
+                        corpus, queries, k=K, n_planes=4, seed=SEED, dim=DIM
+                    ),
+                    lambda: fanout_lsh(True, 4),
+                ),
+                "ivf_np2": (
+                    lambda: ivf_ann_topk(corpus, queries, centroids, k=K, nprobe=2),
+                    lambda: fanout_ivf(2),
+                ),
+                "ivf_np4": (
+                    lambda: ivf_ann_topk(corpus, queries, centroids, k=K, nprobe=4),
+                    lambda: fanout_ivf(4),
+                ),
+            }
+            for name, (fn, fan) in methods.items():
+                t0 = time.time()
+                got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+                secs = round(time.time() - t0, 3)
+                print(
+                    json.dumps(
+                        {
+                            "factor": m,
+                            "n_corpus": n_corpus,
+                            "method": name,
+                            "recall_at_k": round(len(got & exact) / (Q * K), 4),
+                            "fanout": round(fan(), 5),
+                            "secs": secs,
+                            "k": K,
+                            "q": Q,
+                        }
+                    )
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
