@@ -142,6 +142,12 @@ def main() -> None:
         "sim_pq_recall_audit",
         "export_incremental_shards",
         "sample_per_source_quality_gate",
+        # round-8 late additions: stored BM25 index (build+serve and
+        # incremental merge), 3-ranker fusion, two-phase flagship
+        "text_bm25_from_store",
+        "text_bm25_incr_store",
+        "retrieval_rrf_recency",
+        "curation_pipeline_pack2phase",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

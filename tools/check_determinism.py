@@ -99,7 +99,12 @@ def main() -> None:
         f"local[{ta}]/{sa}-shuffle vs local[{tb}]/{sb}-shuffle "
         f"({time.time() - t0:.0f}s)"
     )
-    sys.exit(1 if fail else 0)
+    # hard-exit: the second stop/getOrCreate cycle can leave a
+    # non-daemon py4j thread alive, hanging a plain sys.exit() forever
+    # (observed r8: the summary printed, the process never exited and
+    # kept competing for CPU)
+    sys.stdout.flush()
+    os._exit(1 if fail else 0)
 
 
 if __name__ == "__main__":

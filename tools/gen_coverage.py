@@ -92,7 +92,7 @@ STATIC = {
     "ext:graph": ("ext/graph.py (iterative min-label connected components; dup clusters)", "tests/test_properties.py (vs union-find)"),
     "ext:versioning": ("plans/curation4.py (snapshot diff; dirty-shard incremental export report)", "tests/test_curation4.py"),
     "ext:quantize": ("ext/quantize.py int8 + plans/curation4.py PQ encode/ADC/recall", "tests/test_curation4.py (python replays)"),
-    "ext:retrieval": ("BM25 / dense top-k / RRF fusion / MMR rerank (plans/curation*.py)", "tests/test_curation3.py, tests/test_curation4.py"),
+    "ext:retrieval": ("stored BM25 index: postings/df/stats artifacts, incremental merge, vocabulary-pruned serve (ext/retrieval.py, plans/retrieval2.py); dense top-k; N-ranker RRF fusion (rrf_fuse); MMR rerank", "tests/test_retrieval_store.py, tests/test_curation3.py, tests/test_curation4.py"),
     "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
     "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
 }
