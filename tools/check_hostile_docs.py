@@ -192,7 +192,12 @@ def main() -> None:
             continue
         if spec.oracle is None:
             continue
-        if any(re.search(rf"\b{t}\b", spec.oracle) for t in other):
+        # table-name scan over the oracle with string literals stripped:
+        # the BM25 queries carry the literal term 'customer' in their
+        # VALUES list, which is a query string, not a table reference
+        # (caught r8 — the whole BM25 family was silently skipped)
+        oracle_no_literals = re.sub(r"'[^']*'", "''", spec.oracle)
+        if any(re.search(rf"\b{t}\b", oracle_no_literals) for t in other):
             skip += 1
             continue
         try:
