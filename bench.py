@@ -146,6 +146,7 @@ def main() -> None:
         # incremental merge), 3-ranker fusion, two-phase flagship
         "text_bm25_from_store",
         "text_bm25_incr_store",
+        "text_bm25_partitioned_store",
         "retrieval_rrf_recency",
         "curation_pipeline_pack2phase",
     ):

@@ -139,6 +139,88 @@ def q_bm25_incr_store(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Partitioned postings store: the serve layout made concrete
+# ---------------------------------------------------------------------------
+
+#: term-hash partition fan-out for the postings store.  At 100 TB this
+#: is sized so a bucket's postings are a few GB (buckets ≈ vocabulary
+#: bytes / target); 16 keeps the local fixture readable.
+_BM25_TERM_BUCKETS = 16
+
+
+def _term_bucket_col():
+    """'t' + (portable_hash64(term) mod buckets) — prefixed so a
+    numeric-looking partition value survives Hive-style inference
+    verbatim (the sim_lsh_partitioned_probe lesson)."""
+    from pipeline311_spark.ext.hashing import portable_hash64
+
+    return F.concat(
+        F.lit("t"),
+        F.pmod(portable_hash64(F.col("term")), F.lit(_BM25_TERM_BUCKETS)).cast(
+            "string"
+        ),
+    )
+
+
+def _term_bucket_py(term: str) -> str:
+    """Driver-side twin of :func:`_term_bucket_col` (the portable hash
+    is md5-derived, so the bucket of a LITERAL query term is computable
+    without a Spark job — that is what makes the pruning STATIC)."""
+    import hashlib
+
+    return "t" + str(
+        int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % _BM25_TERM_BUCKETS
+    )
+
+
+@register(
+    "text_bm25_partitioned_store",
+    _bm25_sql(),
+    covers=("ext:retrieval", "ext:export", "K2", "O4"),
+)
+def q_bm25_partitioned_store(spark, sf_dir):
+    """The retrieval scale layout made concrete (the analogue of
+    sim_lsh_partitioned_probe / sim_ivf_partitioned_probe): postings
+    WRITTEN ``partitionBy(term-hash-bucket)``, so a query set's
+    vocabulary resolves to a directory list — a partition-pruned file
+    read, never a postings scan.  The query terms are plan literals,
+    their buckets are computed DRIVER-side from the same md5 hash, and
+    the ``isin`` filter lands in the scan's PartitionFilters
+    (asserted in tests/test_layout.py).  A term's postings live
+    entirely in its bucket (hash-partitioning by the join key), so
+    per-term df derived from the pruned read is exact.  Same oracle as
+    every other BM25 form: the layout must be invisible in the result."""
+    out = os.path.join(tempfile.gettempdir(), f"p311_bm25p_{uuid.uuid4().hex[:12]}")
+    try:
+        d = table(spark, sf_dir, "documents")
+        postings = build_bm25_postings(d, "doc_id", "text").withColumn(
+            "tb", _term_bucket_col()
+        )
+        postings.write.mode("overwrite").partitionBy("tb").parquet(
+            os.path.join(out, "postings")
+        )
+        stats = bm25_corpus_stats(d, "doc_id", "text")
+        stats.write.mode("overwrite").parquet(os.path.join(out, "corpus_stats"))
+        stored = spark.read.schema(postings.schema).parquet(
+            os.path.join(out, "postings")
+        )
+        buckets = sorted({_term_bucket_py(t) for _, t in _BM25_QUERIES})
+        pruned = stored.filter(F.col("tb").isin(buckets)).drop("tb")
+        index = Bm25Index(
+            postings=pruned,
+            term_stats=bm25_term_stats(pruned),
+            corpus_stats=spark.read.schema(stats.schema).parquet(
+                os.path.join(out, "corpus_stats")
+            ),
+        )
+        return _drop_score(
+            bm25_topk(index, _query_frame(spark), k=_BM25_TOPK)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Three-ranker fusion: lexical (stored index) + dense + recency
 # ---------------------------------------------------------------------------
 

@@ -109,8 +109,50 @@ def test_store_queries_do_not_leak_tmp_dirs(spark):
 
     pat = os.path.join(tempfile.gettempdir(), "p311_bm25*")
     before = set(glob.glob(pat))
-    for name in ("text_bm25_from_store", "text_bm25_incr_store", "retrieval_rrf_recency"):
+    for name in (
+        "text_bm25_from_store",
+        "text_bm25_incr_store",
+        "retrieval_rrf_recency",
+        "text_bm25_partitioned_store",
+    ):
         rows = REGISTRY[name].fn(spark, SF).collect()
         assert rows, name
     after = set(glob.glob(pat))
     assert after == before, f"leaked temp dirs: {sorted(after - before)}"
+
+
+def test_bm25_partitioned_postings_prune_vocabulary_reads(spark, tmp_path):
+    """The retrieval scale layout: postings written partitionBy(term
+    bucket) must give partition-PRUNED vocabulary reads — the driver-
+    computed bucket isin lands in the scan's PartitionFilters, never a
+    post-scan data filter.  Also pins the driver-side bucket twin to
+    the Column-side hash (same md5 path)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.retrieval import build_bm25_postings
+    from pipeline311_spark.plans.retrieval2 import (
+        _term_bucket_col,
+        _term_bucket_py,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    postings = build_bm25_postings(d).withColumn("tb", _term_bucket_col())
+
+    # driver twin == Column twin on the real vocabulary
+    got = {r["term"]: r["tb"] for r in postings.select("term", "tb").distinct().collect()}
+    assert got and all(_term_bucket_py(t) == b for t, b in got.items())
+
+    out = str(tmp_path / "postings")
+    postings.write.mode("overwrite").partitionBy("tb").parquet(out)
+    back = spark.read.schema(postings.schema).parquet(out)
+    probe = back.filter(F.col("tb").isin(sorted(set(got.values()))[:2]))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    # IN-list predicates carry no isnotnull prefix, unlike equality
+    assert "PartitionFilters: [tb" in plan and " IN (t" in plan
+    assert "Filter (" not in plan
