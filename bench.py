@@ -147,6 +147,7 @@ def main() -> None:
         "text_bm25_from_store",
         "text_bm25_incr_store",
         "text_bm25_partitioned_store",
+        "stream_bm25_index_maintain",
         "retrieval_rrf_recency",
         "curation_pipeline_pack2phase",
     ):

@@ -49,10 +49,12 @@ bit-identical across engines and safely rides the oracle hash.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from pipeline311_spark.ext.textstats import tokens
@@ -244,6 +246,106 @@ def bm25_topk(
         (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
     return bm25_score_topk(hits, term_df, stats, k=k, k1=k1, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Streaming index maintenance: an append-only log of batch deltas
+# ---------------------------------------------------------------------------
+#
+# The foreachBatch shape of :func:`bm25_index_update`: instead of
+# read-merge-rewrite (a swap window per batch), the on-disk index is an
+# APPEND-ONLY LOG partitioned by batch id — postings rows, per-batch
+# term-df rows, and per-batch one-row corpus stats.  Loading folds the
+# deltas: postings read as-is (the union IS the merge, disjoint doc
+# ids), term df summed per term (|vocabulary|-scale), corpus stats
+# summed (rows = batches).  Replayed micro-batches (crash-recovery's
+# at-least-once delivery) are IDEMPOTENT because each append
+# dynamically overwrites only its own batch_id partition.
+
+_POSTINGS_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+_TERM_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+_STATS_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("sum_dl", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+def bm25_index_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append one micro-batch's index deltas (the ``foreachBatch``
+    body).  Doc ids must be disjoint across batches (file-split or
+    keyed sources give this for free).  Idempotent under replay: every
+    write dynamically overwrites ONLY the ``batch_id=<n>`` partition it
+    produces, so re-delivering a batch rewrites the same rows."""
+    bid = F.lit(int(batch_id)).cast("long")
+    postings = build_bm25_postings(batch_df, id_col, text_col)
+
+    def _append(df: DataFrame, sub: str) -> None:
+        (
+            df.withColumn("batch_id", bid)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(index_dir, sub))
+        )
+
+    _append(postings, "postings")
+    _append(bm25_term_stats(postings), "term_stats")
+    _append(bm25_corpus_stats(batch_df, id_col, text_col), "corpus_stats")
+
+
+def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Log-dir read with explicit schema; a log NO batch ever wrote
+    (empty source → zero micro-batches → the directory itself is
+    absent) folds to an empty frame instead of PATH_NOT_FOUND."""
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
+
+
+def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:
+    """Fold the append-only log back into the serving triple.  Explicit
+    schemas: an index that never saw a batch (or an empty corpus) has
+    no part files to infer from."""
+    postings = _read_log(
+        spark, os.path.join(index_dir, "postings"), _POSTINGS_LOG_SCHEMA
+    )
+    term_log = _read_log(
+        spark, os.path.join(index_dir, "term_stats"), _TERM_LOG_SCHEMA
+    )
+    stats_log = _read_log(
+        spark, os.path.join(index_dir, "corpus_stats"), _STATS_LOG_SCHEMA
+    )
+    return Bm25Index(
+        postings=postings.drop("batch_id"),
+        term_stats=term_log.groupBy("term").agg(F.sum("df").cast("long").alias("df")),
+        corpus_stats=stats_log.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

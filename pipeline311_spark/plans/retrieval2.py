@@ -221,6 +221,60 @@ def q_bm25_partitioned_store(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Streaming index maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_bm25_index_maintain",
+    _bm25_sql(),
+    covers=("ext:retrieval", "T1", "K2", "O4"),
+)
+def q_stream_bm25_index_maintain(spark, sf_dir):
+    """The index-maintenance loop as a REAL Structured Streaming job:
+    the corpus arrives as a file stream (split into 3 files, one
+    micro-batch each via maxFilesPerTrigger), every micro-batch appends
+    its index deltas through ``foreachBatch`` →
+    :func:`pipeline311_spark.ext.retrieval.bm25_index_append_batch`
+    (an append-only log partitioned by batch_id — replays overwrite
+    their own partition, so crash-recovery's at-least-once delivery is
+    idempotent), and serving folds the log.  Same oracle as every
+    other BM25 form: a corpus streamed in THREE batches must serve
+    exactly what a one-shot build serves."""
+    from pipeline311_spark.ext.retrieval import (
+        bm25_index_append_batch,
+        load_bm25_index,
+    )
+    from pipeline311_spark.session import prep_session
+
+    prep_session(spark)  # streaming bypasses table(): pin tz/conf here
+    out = os.path.join(tempfile.gettempdir(), f"p311_bm25s_{uuid.uuid4().hex[:12]}")
+    src = os.path.join(out, "src")
+    idx = os.path.join(out, "index")
+    ckpt = os.path.join(out, "ckpt")
+    try:
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.repartition(3).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(d.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: bm25_index_append_batch(batch, bid, idx)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _drop_score(
+            bm25_topk(load_bm25_index(spark, idx), _query_frame(spark), k=_BM25_TOPK)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Three-ranker fusion: lexical (stored index) + dense + recency
 # ---------------------------------------------------------------------------
 

@@ -114,6 +114,7 @@ def test_store_queries_do_not_leak_tmp_dirs(spark):
         "text_bm25_incr_store",
         "retrieval_rrf_recency",
         "text_bm25_partitioned_store",
+        "stream_bm25_index_maintain",
     ):
         rows = REGISTRY[name].fn(spark, SF).collect()
         assert rows, name
@@ -156,3 +157,32 @@ def test_bm25_partitioned_postings_prune_vocabulary_reads(spark, tmp_path):
     # IN-list predicates carry no isnotnull prefix, unlike equality
     assert "PartitionFilters: [tb" in plan and " IN (t" in plan
     assert "Filter (" not in plan
+
+
+def test_bm25_batch_append_is_idempotent_under_replay(spark, tmp_path):
+    """Crash-recovery delivers a micro-batch at least once; the
+    batch_id-partitioned dynamic overwrite must make the second
+    delivery a no-op (same index, not doubled counts)."""
+    from pipeline311_spark.ext.retrieval import (
+        bm25_index_append_batch,
+        load_bm25_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    b0 = _docs(spark, [(1, "spark merge"), (2, "merge")])
+    b1 = _docs(spark, [(10, "spark spark")])
+    bm25_index_append_batch(b0, 0, idx)
+    bm25_index_append_batch(b1, 1, idx)
+
+    def snapshot():
+        ix = load_bm25_index(spark, idx)
+        return (
+            sorted(map(tuple, ix.postings.collect())),
+            sorted(map(tuple, ix.term_stats.collect())),
+            ix.corpus_stats.collect()[0].asDict(),
+        )
+
+    before = snapshot()
+    bm25_index_append_batch(b1, 1, idx)  # replay
+    assert snapshot() == before
+    assert before[2] == {"n_docs": 3, "sum_dl": 5}
