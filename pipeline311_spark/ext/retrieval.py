@@ -119,8 +119,10 @@ def build_bm25_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Build all three artifacts.  The term_stats aggregation reads the
     postings plan; when the caller writes postings to storage first
     (the production path — see ``text_bm25_from_store``), derive
-    term_stats from the STORED postings instead so the tokenize pass
-    runs once."""
+    term_stats from the STORED postings instead — the build is then
+    exactly TWO corpus passes: the postings tokenize and the
+    corpus-stats pass (stats cannot come from postings: zero-token
+    docs count toward n_docs but produce no posting rows)."""
     postings = build_bm25_postings(df, id_col, text_col)
     return Bm25Index(
         postings=postings,
@@ -142,8 +144,17 @@ def bm25_index_update(
       rows unioned with the stored |vocabulary| rows — a
       dimension-scale aggregate, never the corpus.
     * corpus_stats: two one-row frames summed.
+
+    The batch postings are persisted (tracked): the merged plan reads
+    them from BOTH the postings union and the term-stats aggregation,
+    and without the pin each consumer re-tokenizes the batch (review
+    r8).  Total batch passes per action: the cached postings tokenize
+    plus the corpus-stats pass (which must see zero-token docs that
+    produce no postings) — two, same as a fresh build.
     """
-    batch_postings = build_bm25_postings(new, id_col, text_col)
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    batch_postings = persist_tracked(build_bm25_postings(new, id_col, text_col))
     term_stats = (
         index.term_stats.unionByName(bm25_term_stats(batch_postings))
         .groupBy("term")
@@ -376,6 +387,8 @@ def rrf_fuse(
     row-order-dependent SUM aggregate — so it safely rides the oracle
     value hash."""
     names = [n for n, _ in rankings]
+    if not names:
+        raise ValueError("rrf_fuse needs at least one ranking")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate ranker names: {names}")
     tagged = None

@@ -130,6 +130,46 @@ def weight_bernoulli_keep_sql(id_expr: str, w_expr: str, max_w_expr: str) -> str
     )
 
 
+def _bucketed_running_sum(
+    keyed: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str,
+    offset_keep: Column | None = None,
+) -> DataFrame:
+    """The shared core of the two-phase running-sum decompositions:
+    ``keyed`` carries a ``__bucket`` column whose ASCENDING order is
+    the order of ``order_cols`` (the caller's invariant).  Per-(part,
+    bucket) totals → exclusive bucket offsets via a window over that
+    dimension-scale table → within-bucket running sums plus the
+    broadcast offset = the exact global inclusive cumsum in ``out_col``
+    (``__off`` also remains for callers that filter on it).
+    ``offset_keep``: optional predicate over ``__off`` that drops whole
+    buckets BEFORE their per-doc window runs (the budget-fill
+    early-exit)."""
+    W = Window
+    totals = keyed.groupBy(part_col, "__bucket").agg(F.sum(val_col).alias("__btot"))
+    off_w = (
+        W.partitionBy(part_col)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.withColumn(
+        "__off", F.sum("__btot").over(off_w) - F.col("__btot")
+    ).select(part_col, "__bucket", "__off")
+    if offset_keep is not None:
+        offsets = offsets.filter(offset_keep)
+    doc_w = (
+        W.partitionBy(part_col, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return keyed.join(F.broadcast(offsets), [part_col, "__bucket"]).withColumn(
+        out_col, F.col("__off") + F.sum(val_col).over(doc_w)
+    )
+
+
 def token_budget_fill_two_phase(
     df: DataFrame,
     source_col: str,
@@ -164,31 +204,19 @@ def token_budget_fill_two_phase(
     gates both.  Early-exit at scale: a bucket whose offset already
     exceeds ``budget`` is dropped before its per-doc window runs —
     with budget ≪ corpus almost every bucket short-circuits."""
-    W = Window
     step = (MOD + n_buckets - 1) // n_buckets
     keyed = df.withColumn(
         "__hk", portable_hash(F.col(id_col).cast("string"))
     ).withColumn("__bucket", F.expr(f"__hk div {step}"))
-    totals = keyed.groupBy(source_col, "__bucket").agg(
-        F.sum(tokens_col).alias("__btok")
-    )
-    off_w = (
-        W.partitionBy(source_col)
-        .orderBy("__bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = totals.withColumn(
-        "__off", F.sum("__btok").over(off_w) - F.col("__btok")
-    ).select(source_col, "__bucket", "__off")
-    doc_w = (
-        W.partitionBy(source_col, "__bucket")
-        .orderBy("__hk", id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     return (
-        keyed.join(F.broadcast(offsets.filter(F.col("__off") <= budget)),
-                   [source_col, "__bucket"])
-        .withColumn("__cum", F.col("__off") + F.sum(tokens_col).over(doc_w))
+        _bucketed_running_sum(
+            keyed,
+            source_col,
+            ["__hk", id_col],
+            tokens_col,
+            out_col="__cum",
+            offset_keep=F.col("__off") <= budget,
+        )
         .filter(F.col("__cum") <= budget)
         .drop("__hk", "__bucket", "__off", "__cum")
     )
@@ -223,40 +251,38 @@ def running_sum_two_phase(
     oracle).  The id bounds come from ONE combinable min/max aggregate
     — an explicit driver action (documented, like the surrogate-id
     offsets in operators/merge.py), metadata-scale at any corpus size.
-    ``order_col`` must be unique within each ``part_col`` group (both
-    forms are order-ambiguous otherwise)."""
-    W = Window
+    NULL ids land in sentinel bucket -1, which sorts before every real
+    bucket — exactly the window twin's NULLS FIRST.  ``order_col`` must
+    be unique within each ``part_col`` group (both forms are
+    order-ambiguous otherwise).
+
+    The input is persisted (tracked) BEFORE the bounds aggregate: the
+    bounds job warms the cache, and the two plan consumers of the
+    keyed rows (bucket totals, the final join) read it instead of
+    re-executing the caller's upstream — which for the flagship
+    pipeline is the whole quality/dedup/decontamination chain (review
+    r8: without the pin the upstream ran three times)."""
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    df = persist_tracked(df)
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:  # empty input: preserve schema, no bucket math
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    step = (int(hi) - int(lo)) // n_buckets + 1
+    # lo is None for an empty frame (everything below is empty anyway)
+    # or an all-NULL id column (every row lands in the sentinel bucket)
+    lo_i, step = (0, 1) if lo is None else (
+        int(lo), (int(hi) - int(lo)) // n_buckets + 1
+    )
     keyed = df.withColumn(
-        "__bucket", F.expr(f"(`{order_col}` - {int(lo)}) div {step}")
+        "__bucket",
+        F.coalesce(
+            F.expr(f"(`{order_col}` - {lo_i}) div {step}"), F.lit(-1).cast("long")
+        ),
     )
-    totals = keyed.groupBy(part_col, "__bucket").agg(
-        F.sum(val_col).cast("long").alias("__btot")
-    )
-    off_w = (
-        W.partitionBy(part_col)
-        .orderBy("__bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = totals.withColumn(
-        "__off", F.sum("__btot").over(off_w) - F.col("__btot")
-    ).select(part_col, "__bucket", "__off")
-    doc_w = (
-        W.partitionBy(part_col, "__bucket")
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        keyed.join(F.broadcast(offsets), [part_col, "__bucket"])
-        .withColumn(out_col, F.col("__off") + F.sum(val_col).over(doc_w))
-        .drop("__bucket", "__off")
-    )
+    return _bucketed_running_sum(
+        keyed, part_col, [order_col], val_col, out_col=out_col
+    ).select(*df.columns, out_col)
 
 
 def train_test_split(

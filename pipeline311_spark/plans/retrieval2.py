@@ -7,8 +7,10 @@ established (dedup_minhash_from_store / dedup_minhash_incr_store).
   corpus stats), WRITE them to parquet, read them back, and serve the
   fixed query set from the store.  Same oracle as ``text_bm25_topk``:
   the storage hop must be invisible in the result.  term_stats is
-  derived from the STORED postings (one tokenize pass total — the
-  corpus is read once to build, never at query time).
+  derived from the STORED postings, so the build is exactly TWO corpus
+  passes (the postings tokenize and the corpus-stats pass, which must
+  see zero-token docs that produce no postings) — and query time reads
+  only the store.
 
 * ``text_bm25_incr_store`` — the per-batch maintenance path: index a
   base corpus slice, store it, then merge a disjoint new batch with
@@ -68,8 +70,9 @@ def _query_frame(spark):
 
 def _stored_index(spark, sf_dir, out: str, doc_filter=None) -> Bm25Index:
     """Build → write → read-back: postings and corpus stats become
-    parquet artifacts; term_stats derives from the STORED postings so
-    the source text is tokenized exactly once."""
+    parquet artifacts; term_stats derives from the STORED postings.
+    Build cost = two corpus passes (postings tokenize + corpus stats —
+    the module doc explains why stats can't come from postings)."""
     d = table(spark, sf_dir, "documents")
     if doc_filter is not None:
         d = d.filter(doc_filter)

@@ -1642,3 +1642,31 @@ def test_running_sum_two_phase_empty_frame(spark):
     out = running_sum_two_phase(df, "src", "doc_id", "n_tok", out_col="cum")
     assert out.columns == ["doc_id", "src", "n_tok", "cum"]
     assert out.count() == 0
+
+
+def test_running_sum_two_phase_null_ids_match_window_nulls_first(spark):
+    """NULL order ids must flow like the window twin (NULLS FIRST),
+    not silently vanish through a NULL-keyed equi-join (review r8)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.sampling import running_sum_two_phase
+
+    rows = [(None, 0, 5), (10, 0, 3), (20, 0, 7), (None, 1, 2), (4, 1, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, src int, n_tok long")
+    got = {
+        (r["src"], r["doc_id"]): r["cum"]
+        for r in running_sum_two_phase(
+            df, "src", "doc_id", "n_tok", out_col="cum", n_buckets=4
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("src")
+        .orderBy("doc_id")  # Spark default: NULLS FIRST ascending
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["src"], r["doc_id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    assert got == want and len(got) == len(rows)

@@ -186,3 +186,8 @@ def test_bm25_batch_append_is_idempotent_under_replay(spark, tmp_path):
     bm25_index_append_batch(b1, 1, idx)  # replay
     assert snapshot() == before
     assert before[2] == {"n_docs": 3, "sum_dl": 5}
+
+
+def test_rrf_fuse_rejects_empty_rankings(spark):
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])

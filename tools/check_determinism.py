@@ -81,6 +81,12 @@ def main() -> None:
     b = run_all(sf_dir, only, tb, sb)
 
     ok = fail = 0
+    if not a:
+        # a typo'd query name (or a mistyped sf_dir consumed as a query
+        # filter) must not report success having checked nothing
+        print(f"FAIL: no registry query matched {sorted(only) or sf_dir!r}")
+        sys.stdout.flush()
+        os._exit(1)
     for name in a:
         ra, rb = a[name], b.get(name)
         if isinstance(ra, str) or isinstance(rb, str):
