@@ -48,6 +48,10 @@ def connected_components(
     recompute) or via
     :func:`pipeline311_spark.ext.cache.release_local_checkpoint`.
     """
+    if max_iter < 1:
+        # 0 rounds would return the seeded labels unverified — the
+        # fail-loud contract below could never fire
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = persist_tracked(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -84,6 +88,24 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # The LAST allowed round still changed labels — but that round
+        # may itself have reached the fixpoint (convergence is only
+        # observable as a zero-change round, so a component whose
+        # propagation finishes exactly at round max_iter would raise
+        # spuriously — review r8).  One extra verification pass
+        # (transient, no checkpoint) settles it.
+        msgs = sym.join(labels, sym.d == labels.node).select(
+            F.col("s").alias("node"), "component"
+        )
+        verify = labels.unionByName(msgs).groupBy("node").agg(
+            F.min("component").alias("component")
+        )
+        changed = (
+            verify.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
     sym.unpersist()
     if changed != 0:
         # Fail LOUDLY: min-label propagation needs up to

@@ -93,11 +93,16 @@ def brute_force_topk(
     if metric == "sqdist":
         score = sqdist(F.col("qv"), F.col("cv")).alias("sq_dist")
         order = F.col("sq_dist").asc()
-    else:
+    elif metric == "cosine":
         score = cosine_pre(
             F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
         ).alias("cos_sim")
         order = F.col("cos_sim").desc()
+    else:
+        # a typo'd metric must not silently rank by cosine — in a
+        # recall audit that would compare ADC distances against the
+        # wrong "exact" neighbor set (review r8)
+        raise ValueError(f"unknown metric {metric!r}: use 'cosine' or 'sqdist'")
     scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
         "query_id", "neighbor_id", score
     )
@@ -566,11 +571,7 @@ def kmeans_iterate(
     cent = centroids.select(
         F.col("centroid_id").alias("c_id"), F.col("cv")
     )
-    sq = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = sqdist(F.col("v"), F.col("cv"))  # the one shared fold definition
     nearest = Window.partitionBy("__id").orderBy("sqdist", "c_id")
     assigned = None
     for _ in range(rounds):

@@ -189,9 +189,10 @@ FROM assigned GROUP BY c_label
 
 
 def _sqdist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
-    )
+    # one shared fold definition — the oracle twins mirror it slice-wise
+    from pipeline311_spark.ext.similarity import sqdist
+
+    return sqdist(a, b)
 
 
 @register("q_kmeans_assign", _KMEANS_SQL, covers=("ext:similarity", "A-class", "O5"))

@@ -91,19 +91,11 @@ WITH scored AS (
          percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pr
   FROM (
     SELECT lang, doc_id,
-           0.4 * least(CAST({ntok} AS DOUBLE) / 64.0, 1.0)
-           + 0.3 * (CASE WHEN {ntok} > 0
-                         THEN CAST(len(list_distinct(list_transform({toks}, t -> lower(t)))) AS DOUBLE)
-                              / CAST({ntok} AS DOUBLE)
-                         ELSE 0.0 END)
-           + 0.2 * least((CASE WHEN {ntok} > 0
-                               THEN CAST({stop_hits} AS DOUBLE) / CAST({ntok} AS DOUBLE)
-                               ELSE 0.0 END) * 4, 1.0)
-           + 0.1 * (1.0 - least((CASE WHEN length(text) > 0
-                                      THEN CAST(length(text) - length(regexp_replace(text, '{punct}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                                      ELSE 0.0 END) * 10, 1.0))
+           {qs}
            AS quality_score
-    FROM documents)
+    FROM (SELECT lang, doc_id,
+                 {feat}
+          FROM documents) f)
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(quality_score) AS min_kept_score
 FROM scored WHERE pr >= 0.1 GROUP BY lang
@@ -111,14 +103,14 @@ FROM scored WHERE pr >= 0.1 GROUP BY lang
 
 
 def _gate_sql() -> str:
-    from pipeline311_spark.plans.extensions import _lang_hits_sql, _ntok_sql, _tok_array_sql
-    from pipeline311_spark.ext.textstats import PUNCT_CLASS
+    from pipeline311_spark.plans.extensions import (
+        _quality_feat_cols_sql,
+        _quality_score_sql,
+    )
 
     return _GATE_SQL.format(
-        stop_hits=_lang_hits_sql("en"),
-        punct=PUNCT_CLASS,
-        ntok=_ntok_sql(),
-        toks=_tok_array_sql(),
+        feat=_quality_feat_cols_sql(),
+        qs=_quality_score_sql(),
     )
 
 

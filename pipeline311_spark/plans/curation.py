@@ -20,12 +20,10 @@ from pipeline311_spark.ext.dedup import exact_dedup
 from pipeline311_spark.ext.textstats import chunk_token_windows, quality_score
 from pipeline311_spark.plans.common import emb_table, table
 from pipeline311_spark.plans.extensions import (
-    PUNCT_CLASS,
-    _lang_hits_sql,
     _norm_sql,
-    _ntok_sql,
+    _quality_feat_cols_sql,
+    _quality_score_sql,
     _wtrim_sql,
-    _tok_array_sql,
 )
 from pipeline311_spark.plans.registry import register
 
@@ -41,18 +39,11 @@ WITH base AS (
   SELECT doc_id, lang, text FROM documents WHERE lang IN ({langs})),
 feat AS (
   SELECT doc_id, lang, text,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
-         CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
-         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+         {_quality_feat_cols_sql()}
   FROM base),
 scored AS (
   SELECT doc_id, lang, text,
-         0.4 * least(n_tokens / 64.0, 1.0)
-         + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
-         + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
-         + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))
+         {_quality_score_sql()}
          AS qs
   FROM feat),
 kept AS (SELECT doc_id, lang, text FROM scored WHERE qs >= {_CUR_MIN_QUALITY}),

@@ -236,9 +236,17 @@ FROM top
 def q_vocab_coverage(spark, sf_dir):
     from pyspark.sql.window import Window
 
+    from pipeline311_spark.ext.cache import persist_tracked
+
     d = table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens(normalize_text("text"))).alias("term"))
-    counts = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    # persisted: the vocabulary-sized wordcount feeds BOTH the token
+    # total and the top-V — without the pin the corpus-scale
+    # scan+explode+aggregate subtree executes once per consumer
+    # (review r8: PLANS.md showed exchanges=3, reused=0 here)
+    counts = persist_tracked(
+        tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    )
     total = counts.agg(F.sum("cnt").cast("long").alias("n_tok"))
     # orderBy+limit compiles to TakeOrdered — per-partition top-V then
     # one V-row merge, never a global sort
@@ -481,16 +489,14 @@ def _pq_codes_projection(e, cents):
         )
 
     def code(j: int):
+        from pipeline311_spark.ext.similarity import sqdist
+
         lo = j * _PQ_SUBDIM + 1
         sub = F.slice("v", lo, _PQ_SUBDIM)
         cands = []
         for c in cids:
             cv = F.array(*[F.lit(x) for x in cents[c][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]])
-            d = F.aggregate(
-                F.zip_with(sub, cv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            d = sqdist(sub, cv)
             cands.append(F.struct(d.alias("d"), F.lit(int(c)).alias("c")))
         # argmin by (distance, centroid id): struct sort is field-order
         # lexicographic — distances are compared, never emitted
@@ -1001,29 +1007,19 @@ _PSQ_BUCKETS = 1000  # quality in [0,1] -> integer buckets 0..1000
 
 
 def _per_source_gate_sql() -> str:
-    qs = """0.4 * least(n_tokens / 64.0, 1.0)
-       + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
-       + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
-       + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))"""
     from pipeline311_spark.plans.extensions import (
-        PUNCT_CLASS,
-        _lang_hits_sql,
-        _ntok_sql,
-        _tok_array_sql,
+        _quality_feat_cols_sql,
+        _quality_score_sql,
     )
 
     return f"""
 WITH f AS (
   SELECT doc_id, source,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
-         CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
-         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+         {_quality_feat_cols_sql()}
   FROM documents WHERE text IS NOT NULL),
 scored AS (
   SELECT doc_id, source,
-         CAST(floor(({qs}) * {_PSQ_BUCKETS}) AS BIGINT) AS qb
+         CAST(floor(({_quality_score_sql()}) * {_PSQ_BUCKETS}) AS BIGINT) AS qb
   FROM f),
 hist AS (SELECT source, qb, COUNT(*)::BIGINT AS n FROM scored GROUP BY source, qb),
 tgt AS (SELECT source, ({_PSQ_PCT} * SUM(n) + 99) // 100 AS target

@@ -916,24 +916,49 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-_QUALITY_SQL = f"""
-WITH f AS (
-  SELECT doc_id,
-         CAST(length(text) AS DOUBLE) AS n_chars,
+def _quality_feat_cols_sql() -> str:
+    """The five DOUBLE feature columns every quality-score oracle
+    derives (n_chars, n_tokens, n_punct, n_uniq, n_stop) — ONE
+    definition for the feature CTEs that used to be copy-pasted per
+    plan file (review r8)."""
+    return f"""CAST(length(text) AS DOUBLE) AS n_chars,
          CAST({_ntok_sql()} AS DOUBLE) AS n_tokens,
          CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE) AS n_punct,
          CAST(len(list_distinct(list_transform({_tok_array_sql()}, t -> lower(t)))) AS DOUBLE) AS n_uniq,
-         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop
+         CAST({_lang_hits_sql('en')} AS DOUBLE) AS n_stop"""
+
+
+def _quality_score_sql(
+    ntok: str = "n_tokens",
+    nuniq: str = "n_uniq",
+    nstop: str = "n_stop",
+    npunct: str = "n_punct",
+    nchars: str = "n_chars",
+) -> str:
+    """The ONE SQL twin of ``ext.textstats.quality_score`` (review r8:
+    five hand-kept copies — several oracles hash ``floor(score*1000)``
+    of this exact double, so a divergent copy silently breaks the
+    gate).  Arguments are DOUBLE-typed SQL expressions; defaults are
+    the conventional feature-CTE column names."""
+    return (
+        f"0.4 * least({ntok} / 64.0, 1.0)\n"
+        f"         + 0.3 * (CASE WHEN {ntok} > 0 THEN {nuniq} / {ntok} ELSE 0.0 END)\n"
+        f"         + 0.2 * least((CASE WHEN {ntok} > 0 THEN {nstop} / {ntok} ELSE 0.0 END) * 4, 1.0)\n"
+        f"         + 0.1 * (1.0 - least((CASE WHEN {nchars} > 0 THEN {npunct} / {nchars} ELSE 0.0 END) * 10, 1.0))"
+    )
+
+
+_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         {_quality_feat_cols_sql()}
   FROM documents)
 SELECT doc_id, n_chars, n_tokens,
        CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS mean_token_len,
        CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
        CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END AS lexical_diversity,
        CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
-       0.4 * least(n_tokens / 64.0, 1.0)
-       + 0.3 * (CASE WHEN n_tokens > 0 THEN n_uniq / n_tokens ELSE 0.0 END)
-       + 0.2 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 4, 1.0)
-       + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0))
+       {_quality_score_sql()}
        AS quality_score
 FROM f
 """

@@ -282,17 +282,22 @@ def test_decode_real_codec_degrades_non_png_to_null_features(docs):
 
 
 def test_connected_components_clusters(spark):
+    from pipeline311_spark.ext.cache import cache_scope
     from pipeline311_spark.ext.graph import connected_components, dup_clusters
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
         "doc_a long, doc_b long",
     )
-    cc = {r["node"]: r["component"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
+    # cache_scope: release the final checkpoints deterministically —
+    # a leaked checkpoint reaped ASYNCHRONOUSLY by the ContextCleaner
+    # mid-count flakes the storage-accounting test below (r8)
+    with cache_scope():
+        cc = {r["node"]: r["component"] for r in connected_components(edges, "doc_a", "doc_b").collect()}
+        keepers = {
+            r["doc_id"] for r in dup_clusters(edges).filter("is_keeper").collect()
+        }
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
-    keepers = {
-        r["doc_id"] for r in dup_clusters(edges).filter("is_keeper").collect()
-    }
     assert keepers == {1, 10, 20}
 
 
@@ -341,12 +346,14 @@ def test_connected_components_long_chain_converges(spark):
     # min-label propagation must still converge inside max_iter because
     # hash-to-min shortcuts via the min label spreading BOTH directions,
     # and the result is a single component rooted at node 0.
+    from pipeline311_spark.ext.cache import cache_scope
     from pipeline311_spark.ext.graph import connected_components
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
     )
-    cc = connected_components(edges, "doc_a", "doc_b", max_iter=50).collect()
+    with cache_scope():  # deterministic checkpoint release (see clusters test)
+        cc = connected_components(edges, "doc_a", "doc_b", max_iter=50).collect()
     assert len(cc) == 40
     assert {r["component"] for r in cc} == {0}
 
@@ -682,3 +689,39 @@ def test_connected_components_raises_on_nonconvergence(spark):
     labels = connected_components(edges, max_iter=15).collect()
     assert {r["component"] for r in labels} == {0}
     assert len(labels) == 13
+
+
+def test_connected_components_converging_exactly_at_max_iter(spark):
+    """r8 review: convergence reached ON the last allowed round used to
+    raise spuriously (a zero-change round is the only way the loop can
+    OBSERVE convergence) — the verification pass must accept it."""
+    import pytest
+
+    from pipeline311_spark.ext.graph import connected_components
+
+    # path 0-1-2: seeding gives [0,0,1]; exactly ONE round fixes node 2
+    from pipeline311_spark.ext.cache import cache_scope
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with cache_scope():  # release the final checkpoint (storage hygiene)
+        labels = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, max_iter=1).collect()
+        }
+    assert labels == {0: 0, 1: 0, 2: 0}
+
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)
+
+
+def test_brute_force_topk_rejects_unknown_metric(spark):
+    """r8 review: a typo'd metric must not silently rank by cosine."""
+    import pytest
+
+    from pipeline311_spark.ext.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="unknown metric"):
+        brute_force_topk(df, df, k=1, metric="l2")

@@ -170,6 +170,16 @@ def main():
             file=sys.stderr,
         )
         m = None
+    elif m is None:
+        # clean run but the summary-line format changed: silently
+        # skipping would re-create the stale-count drift this guard
+        # exists to prevent (review r8) — warn loudly instead
+        print(
+            "WARNING: pytest collection summary not recognized "
+            f"(last line: {res.stdout.strip().splitlines()[-1:]}) — "
+            "README test count NOT updated; fix the regex in gen_coverage.py",
+            file=sys.stderr,
+        )
     if m:
         new = re.sub(
             r"\*\*Tests\*\*: \d+ pytest cases \(plus[^)]*\)",
