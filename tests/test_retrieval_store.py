@@ -191,3 +191,59 @@ def test_bm25_batch_append_is_idempotent_under_replay(spark, tmp_path):
 def test_rrf_fuse_rejects_empty_rankings(spark):
     with pytest.raises(ValueError, match="at least one ranking"):
         rrf_fuse([])
+
+
+def test_bm25_stream_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Operational property of the streaming index maintenance: a
+    restarted availableNow stream resumes from its checkpoint — files
+    already folded into the index are NOT reprocessed, new files are,
+    and the final index equals a fresh one-shot build."""
+    from pipeline311_spark.ext.retrieval import (
+        bm25_index_append_batch,
+        build_bm25_index,
+        load_bm25_index,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    a = _docs(spark, [(1, "spark merge"), (2, "merge vector")])
+    b = _docs(spark, [(10, "spark customer"), (11, "join join")])
+
+    def run_stream():
+        stream = spark.readStream.schema(a.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: bm25_index_append_batch(batch, bid, idx)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    a.coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    first = load_bm25_index(spark, idx).corpus_stats.collect()[0]
+    assert first["n_docs"] == 2
+
+    b.coalesce(1).write.mode("append").parquet(src)
+    run_stream()  # restart: same checkpoint, only the new file folds in
+
+    ix = load_bm25_index(spark, idx)
+    fresh = build_bm25_index(a.unionByName(b))
+    assert sorted(map(tuple, ix.postings.collect())) == sorted(
+        map(tuple, fresh.postings.collect())
+    )
+    assert sorted(map(tuple, ix.term_stats.collect())) == sorted(
+        map(tuple, fresh.term_stats.collect())
+    )
+    assert ix.corpus_stats.collect() == fresh.corpus_stats.collect()
+    # batch ids advanced (1 per restart batch) — nothing was replayed
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(os.path.join(idx, "corpus_stats")).collect()
+    }
+    assert len(bids) == 2
