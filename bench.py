@@ -148,6 +148,7 @@ def main() -> None:
         "text_bm25_incr_store",
         "text_bm25_partitioned_store",
         "stream_bm25_index_maintain",
+        "stream_bm25_compacted",
         "retrieval_rrf_recency",
         "curation_pipeline_pack2phase",
     ):

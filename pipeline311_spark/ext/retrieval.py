@@ -332,8 +332,69 @@ def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     (empty source → zero micro-batches → the directory itself is
     absent) folds to an empty frame instead of PATH_NOT_FOUND."""
     if not os.path.isdir(path):
+        if os.path.isdir(path + ".compact.old"):
+            # a compaction crashed between its two renames: the only
+            # live copy is the .old dir — serving an EMPTY frame here
+            # would be silent data loss; re-run bm25_index_compact to
+            # recover (the same re-invoke contract as
+            # operators/layout.compact_parquet_dir)
+            raise RuntimeError(
+                f"{path} is mid-compaction-swap (found {path}.compact.old); "
+                "re-run bm25_index_compact to recover before serving"
+            )
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(path)
+
+
+def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold the append-only delta log into a single BASE delta — the
+    periodic maintenance pass the log needs (per-batch partitions
+    accrete forever; scan planning degrades with file count, the same
+    pressure operators/layout.compact_parquet_dir exists for).
+
+    The base is written at ``batch_id = -1``: real micro-batch ids are
+    always >= 0, so even a brand-new stream with a FRESH checkpoint
+    (which restarts numbering at 0) can never dynamically overwrite
+    the compacted base.  Serving is unchanged because compaction is
+    value-preserving per artifact — the fold of (base + later deltas)
+    equals the fold of the original log — which also makes a crash
+    BETWEEN the three artifact swaps harmless: a half-compacted index
+    (postings compacted, term_stats still log-form) folds to the same
+    values.
+
+    Swap mechanics per artifact: write staging → rename live to .old →
+    rename staging to live → remove .old (the layout-module pattern,
+    LOCAL-FS by design; an object-store deployment swaps via the table
+    format's OPTIMIZE).  A crash between the two renames is recovered
+    at the next call; :func:`_read_log` fails loudly in that window
+    instead of silently serving an empty artifact."""
+    import shutil
+
+    # recover any crashed swap BEFORE reading: in that window the only
+    # live copy of an artifact is its .old dir (and _read_log refuses
+    # to serve it as empty)
+    for sub in ("postings", "term_stats", "corpus_stats"):
+        path = os.path.join(index_dir, sub)
+        old = path + ".compact.old"
+        if os.path.isdir(old) and not os.path.isdir(path):
+            os.rename(old, path)
+    folded = load_bm25_index(spark, index_dir)
+    if not os.path.isdir(os.path.join(index_dir, "postings")):
+        return  # nothing ever appended — no log to fold
+    base = F.lit(-1).cast("long")
+    parts = {
+        "postings": folded.postings.withColumn("batch_id", base),
+        "term_stats": folded.term_stats.withColumn("batch_id", base),
+        "corpus_stats": folded.corpus_stats.withColumn("batch_id", base),
+    }
+    for sub, df in parts.items():
+        path = os.path.join(index_dir, sub)
+        old, staging = path + ".compact.old", path + ".compact.tmp"
+        df.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:

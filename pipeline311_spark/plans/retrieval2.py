@@ -234,6 +234,24 @@ def q_bm25_partitioned_store(spark, sf_dir):
     covers=("ext:retrieval", "T1", "K2", "O4"),
 )
 def q_stream_bm25_index_maintain(spark, sf_dir):
+    return _stream_maintained_topk(spark, sf_dir, compact=False)
+
+
+@register(
+    "stream_bm25_compacted",
+    _bm25_sql(),
+    covers=("ext:retrieval", "T1", "K2"),
+)
+def q_stream_bm25_compacted(spark, sf_dir):
+    """The maintenance cycle COMPLETED: stream the corpus in
+    micro-batches, fold the delta log into its batch_id=-1 base
+    (:func:`pipeline311_spark.ext.retrieval.bm25_index_compact` — the
+    two-rename swap, crash-recoverable), and serve from the compacted
+    index.  Same oracle again: compaction must be value-preserving."""
+    return _stream_maintained_topk(spark, sf_dir, compact=True)
+
+
+def _stream_maintained_topk(spark, sf_dir, compact: bool):
     """The index-maintenance loop as a REAL Structured Streaming job:
     the corpus arrives as a file stream (split into 3 files, one
     micro-batch each via maxFilesPerTrigger), every micro-batch appends
@@ -270,6 +288,10 @@ def q_stream_bm25_index_maintain(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        if compact:
+            from pipeline311_spark.ext.retrieval import bm25_index_compact
+
+            bm25_index_compact(spark, idx)
         return _drop_score(
             bm25_topk(load_bm25_index(spark, idx), _query_frame(spark), k=_BM25_TOPK)
         ).localCheckpoint(eager=True)

@@ -115,6 +115,7 @@ def test_store_queries_do_not_leak_tmp_dirs(spark):
         "retrieval_rrf_recency",
         "text_bm25_partitioned_store",
         "stream_bm25_index_maintain",
+        "stream_bm25_compacted",
     ):
         rows = REGISTRY[name].fn(spark, SF).collect()
         assert rows, name
@@ -247,3 +248,62 @@ def test_bm25_stream_checkpoint_resume_processes_only_new_files(spark, tmp_path)
         for r in spark.read.parquet(os.path.join(idx, "corpus_stats")).collect()
     }
     assert len(bids) == 2
+
+
+def test_bm25_index_compact_preserves_serve_and_survives_new_batches(spark, tmp_path):
+    """Compaction folds the delta log into a batch_id=-1 base without
+    changing what the index serves; a post-compaction stream restarting
+    at batch 0 appends WITHOUT clobbering the base (real ids >= 0);
+    and a crashed swap window fails loudly then recovers."""
+    from pipeline311_spark.ext.retrieval import (
+        bm25_index_append_batch,
+        bm25_index_compact,
+        build_bm25_index,
+        load_bm25_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = _docs(spark, [(1, "spark merge"), (2, "merge vector")])
+    b = _docs(spark, [(10, "spark customer")])
+    c = _docs(spark, [(20, "join join vector")])
+
+    bm25_index_append_batch(a, 0, idx)
+    bm25_index_append_batch(b, 1, idx)
+
+    def snap():
+        ix = load_bm25_index(spark, idx)
+        return (
+            sorted(map(tuple, ix.postings.collect())),
+            sorted(map(tuple, ix.term_stats.collect())),
+            ix.corpus_stats.collect()[0].asDict(),
+        )
+
+    before = snap()
+    bm25_index_compact(spark, idx)
+    assert snap() == before
+    # the log physically folded to the single base partition
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(os.path.join(idx, "postings")).collect()
+    }
+    assert bids == {-1}
+
+    # a fresh-checkpoint stream restarts numbering at 0 — must append,
+    # never overwrite the base
+    bm25_index_append_batch(c, 0, idx)
+    fresh = build_bm25_index(a.unionByName(b).unionByName(c))
+    ix = load_bm25_index(spark, idx)
+    assert sorted(map(tuple, ix.postings.collect())) == sorted(
+        map(tuple, fresh.postings.collect())
+    )
+    assert ix.corpus_stats.collect() == fresh.corpus_stats.collect()
+
+    # crashed-swap window: live dir renamed away, .old holds the data
+    p = os.path.join(idx, "term_stats")
+    os.rename(p, p + ".compact.old")
+    with pytest.raises(RuntimeError, match="mid-compaction-swap"):
+        load_bm25_index(spark, idx).term_stats.collect()
+    bm25_index_compact(spark, idx)  # recovers, then re-folds
+    assert sorted(map(tuple, load_bm25_index(spark, idx).term_stats.collect())) == sorted(
+        map(tuple, fresh.term_stats.collect())
+    )
