@@ -45,9 +45,42 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed CPU-bound loop, best of 3 — a machine-speed yardstick that
+    rides every BENCH json so cross-session comparisons can be
+    normalized (this VM's wall numbers swing 1.2-2x with load; see
+    VERDICT r8).  ~0.1 s unloaded; a reading 1.5x another session's
+    means the wall numbers are inflated the same way."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _machine_state() -> dict[str, object]:
+    """Load/uptime/calibration stamp (VERDICT r8 item 5): enough to
+    adjudicate 'code regression vs noisy VM' without re-running."""
+    state: dict[str, object] = {"calib_loop_sec": _calibrate()}
+    try:
+        state["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            state["uptime_sec"] = round(float(f.read().split()[0]), 1)
+    except OSError:
+        pass
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    machine = _machine_state()  # stamp BEFORE the JVM spins up
 
     from pyspark.sql import SparkSession
 
@@ -157,6 +190,7 @@ def main() -> None:
             continue
         extra[name] = best_time(spec)
 
+    machine["calib_loop_sec_end"] = _calibrate()  # drift during the run
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -167,6 +201,7 @@ def main() -> None:
                 "queries": per_query,
                 "extra_queries": extra,
                 "sf": float(sf) if sf else sf_dir,
+                "machine": machine,
             }
         )
     )

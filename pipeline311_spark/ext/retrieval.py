@@ -132,11 +132,26 @@ def build_bm25_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def bm25_index_update(
-    index: Bm25Index, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    index: Bm25Index,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    validate_disjoint: bool = False,
 ) -> Bm25Index:
     """Merge a NEW batch (doc ids disjoint from the indexed corpus)
     into the index — the per-batch production shape: the corpus text is
     never re-tokenized, only the batch is.
+
+    The merge-by-addition math is ONLY valid under that disjointness:
+    an overlapping batch silently double-counts postings, per-term df,
+    and n_docs/sum_dl (ADVICE r8).  ``validate_disjoint=True`` spends
+    one semi-join probe (batch ids vs the postings' doc ids — bounded
+    by the batch side, short-circuited at the first hit) and raises
+    ``ValueError`` on overlap; the debug switch for pipelines whose id
+    discipline isn't structural.  It cannot see an overlap on an
+    indexed ZERO-TOKEN doc (those have no posting rows) — callers with
+    empty-doc overlap risk must key batches structurally (file splits,
+    id ranges) as the streaming path does.
 
     * postings: pure union — disjoint doc ids can't collide, so no
       merge aggregation at all (an append write in storage terms).
@@ -155,6 +170,22 @@ def bm25_index_update(
     from pipeline311_spark.ext.cache import persist_tracked
 
     batch_postings = persist_tracked(build_bm25_postings(new, id_col, text_col))
+    if validate_disjoint:
+        overlap = (
+            index.postings.select("doc_id")
+            .join(
+                F.broadcast(batch_postings.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .take(1)
+        )
+        if overlap:
+            raise ValueError(
+                f"bm25_index_update: batch doc_id {overlap[0]['doc_id']} is "
+                "already indexed — the disjoint-batch contract is violated "
+                "and merge-by-addition would double-count"
+            )
     term_stats = (
         index.term_stats.unionByName(bm25_term_stats(batch_postings))
         .groupBy("term")
@@ -392,6 +423,13 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
         old, staging = path + ".compact.old", path + ".compact.tmp"
         df.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
         if os.path.isdir(path):
+            # a crash AFTER the staging->live rename but BEFORE the
+            # cleanup below leaves a stale non-empty .old next to the
+            # live dir; renaming onto it would raise and wedge every
+            # subsequent compaction.  When both exist the live path is
+            # authoritative, so the stale .old is safe to drop
+            # (ADVICE r8).
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(path, old)
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
@@ -436,7 +474,10 @@ def rrf_fuse(
     over the rankers that returned d.  ``rankings`` is an ordered
     sequence of (name, frame) where each frame has (query_id, doc_id,
     rank) — bounded top-k lists, so fusion operates on ≤ Σ k_i·|queries|
-    rows regardless of corpus size.
+    rows regardless of corpus size.  (query_id, doc_id) pairs are
+    expected unique per ranker (row_number top-k lists are); a frame
+    that nevertheless carries duplicates contributes the pair's BEST
+    rank — the min pivot below, not an order-dependent pick.
 
     Output: (query_id, rank, doc_id, rrf, <name>_rank...) with one
     provenance column per ranker (0 = absent — NULL would float the
@@ -461,9 +502,14 @@ def rrf_fuse(
             F.col("rank").cast("long").alias("__r"),
         )
         tagged = t if tagged is None else tagged.unionByName(t)
+    # F.min, not F.max: ranker frames are CONTRACTED to unique
+    # (query_id, doc_id) pairs (every top-k producer in this repo emits
+    # row_number ranks), but if a caller ever passes duplicates the
+    # pivot must keep the doc's BEST rank, not silently its worst
+    # (ADVICE r8)
     pivoted = tagged.groupBy("query_id", "doc_id").agg(
         *[
-            F.max(F.when(F.col("__ranker") == i, F.col("__r")))
+            F.min(F.when(F.col("__ranker") == i, F.col("__r")))
             .alias(f"{name}_rank")
             for i, name in enumerate(names)
         ]

@@ -147,7 +147,12 @@ def _bucketed_running_sum(
     (``__off`` also remains for callers that filter on it).
     ``offset_keep``: optional predicate over ``__off`` that drops whole
     buckets BEFORE their per-doc window runs (the budget-fill
-    early-exit)."""
+    early-exit).
+
+    The offsets join back is NULL-SAFE on ``part_col``: the window twin
+    keeps a NULL partition value as its own partition, and a plain
+    equi-join would silently drop those rows from both phases
+    (ADVICE r8)."""
     W = Window
     totals = keyed.groupBy(part_col, "__bucket").agg(F.sum(val_col).alias("__btot"))
     off_w = (
@@ -157,7 +162,11 @@ def _bucketed_running_sum(
     )
     offsets = totals.withColumn(
         "__off", F.sum("__btot").over(off_w) - F.col("__btot")
-    ).select(part_col, "__bucket", "__off")
+    ).select(
+        F.col(part_col).alias("__part_o"),
+        F.col("__bucket").alias("__bucket_o"),
+        "__off",
+    )
     if offset_keep is not None:
         offsets = offsets.filter(offset_keep)
     doc_w = (
@@ -165,8 +174,14 @@ def _bucketed_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return keyed.join(F.broadcast(offsets), [part_col, "__bucket"]).withColumn(
-        out_col, F.col("__off") + F.sum(val_col).over(doc_w)
+    return (
+        keyed.join(
+            F.broadcast(offsets),
+            F.col(part_col).eqNullSafe(F.col("__part_o"))
+            & F.col("__bucket").eqNullSafe(F.col("__bucket_o")),
+        )
+        .drop("__part_o", "__bucket_o")
+        .withColumn(out_col, F.col("__off") + F.sum(val_col).over(doc_w))
     )
 
 

@@ -597,12 +597,41 @@ WHERE rn <= {_BM25_TOPK}
     covers=("ext:similarity", "ext:text", "ext:retrieval", "O4", "J-class"),
 )
 def q_retrieval_hybrid_rrf(spark, sf_dir):
-    from pipeline311_spark.ext.retrieval import rrf_fuse
+    """Hybrid fusion with the lexical side served from the STORED BM25
+    index (VERDICT r8 item 3: this query used to rank lexically via the
+    query-local q_bm25_topk while only retrieval_rrf_recency read the
+    store) — the serve plan touches postings + corpus-stats artifacts,
+    never the corpus text (plan-shape asserted in
+    tests/test_retrieval_store.py over :func:`hybrid_rrf_frame`)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    out = os.path.join(tempfile.gettempdir(), f"p311_bm25h_{uuid.uuid4().hex[:12]}")
+    try:
+        return hybrid_rrf_frame(spark, sf_dir, out).localCheckpoint(
+            eager=True
+        )  # materialize before the store cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def hybrid_rrf_frame(spark, sf_dir, out):
+    """The fused frame pre-checkpoint: lexical ranks served from the
+    BM25 store written under ``out``, dense from brute-force cosine.
+    Split out so the plan-shape test can inspect the REAL serve plan
+    (the query wrapper's localCheckpoint would hide it behind a
+    LogicalRDD scan)."""
+    from pipeline311_spark.ext.retrieval import bm25_topk, rrf_fuse
     from pipeline311_spark.ext.similarity import brute_force_topk
     from pipeline311_spark.plans.common import emb_table
 
+    # function-local import: retrieval2 imports this module at top level
+    from pipeline311_spark.plans.retrieval2 import _query_frame, _stored_index
+
     lex = (
-        q_bm25_topk(spark, sf_dir)
+        bm25_topk(_stored_index(spark, sf_dir, out), _query_frame(spark), k=_BM25_TOPK)
         .filter(F.col("query_id") < _RRF_QUERIES)
         .select("query_id", "doc_id", "rank")
     )

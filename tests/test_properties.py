@@ -1670,3 +1670,39 @@ def test_running_sum_two_phase_null_ids_match_window_nulls_first(spark):
         for r in df.withColumn("cum", F.sum("n_tok").over(w)).collect()
     }
     assert got == want and len(got) == len(rows)
+
+
+def test_running_sum_two_phase_null_partition_matches_window(spark):
+    """A NULL partition VALUE is its own partition in the window twin;
+    the two-phase offsets join must be null-safe on part_col or those
+    rows silently vanish from both phases (ADVICE r8)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pipeline311_spark.ext.sampling import running_sum_two_phase
+
+    rows = [
+        (1, None, 5),
+        (2, None, 3),
+        (3, "a", 7),
+        (4, "a", 2),
+        (5, None, 1),
+        (6, "b", 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in running_sum_two_phase(
+            df, "src", "doc_id", "n_tok", out_col="cum", n_buckets=3
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("src")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    }
+    assert got == want and len(got) == len(rows)

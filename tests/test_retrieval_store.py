@@ -307,3 +307,155 @@ def test_bm25_index_compact_preserves_serve_and_survives_new_batches(spark, tmp_
     assert sorted(map(tuple, load_bm25_index(spark, idx).term_stats.collect())) == sorted(
         map(tuple, fresh.term_stats.collect())
     )
+
+
+def test_compact_crash_between_renames_recovers_end_to_end(spark, tmp_path, monkeypatch):
+    """KILL the swap between its two renames (the live dir is gone, the
+    only copy sits in .compact.old): serving must refuse loudly, and a
+    re-run of bm25_index_compact must recover to exactly the index a
+    never-crashed compaction produces (VERDICT r8 item 3 — the seam
+    test the guard at ext/retrieval.py lacked)."""
+    import pipeline311_spark.ext.retrieval as retrieval_mod
+    from pipeline311_spark.ext.retrieval import (
+        bm25_index_append_batch,
+        bm25_index_compact,
+        load_bm25_index,
+    )
+
+    def build(idx):
+        bm25_index_append_batch(_docs(spark, [(1, "spark merge"), (2, "merge")]), 0, idx)
+        bm25_index_append_batch(_docs(spark, [(10, "spark spark join")]), 1, idx)
+
+    # control twin: same log, compacted without any crash
+    control = str(tmp_path / "control")
+    build(control)
+    bm25_index_compact(spark, control)
+
+    idx = str(tmp_path / "idx")
+    build(idx)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def dying_rename(src, dst):
+        # swap order per artifact: (live -> .old) then (staging ->
+        # live); die entering the SECOND rename of the first artifact
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(retrieval_mod.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bm25_index_compact(spark, idx)
+    monkeypatch.setattr(retrieval_mod.os, "rename", real_rename)
+
+    # the crash window: exactly one artifact mid-swap
+    assert os.path.isdir(os.path.join(idx, "postings.compact.old"))
+    assert not os.path.isdir(os.path.join(idx, "postings"))
+    with pytest.raises(RuntimeError, match="mid-compaction-swap"):
+        load_bm25_index(spark, idx).postings.collect()
+
+    bm25_index_compact(spark, idx)  # the documented recovery re-invoke
+
+    got = load_bm25_index(spark, idx)
+    want = load_bm25_index(spark, control)
+    for g, w in zip(got, want):
+        assert sorted(map(tuple, g.collect())) == sorted(map(tuple, w.collect()))
+    assert not glob.glob(os.path.join(idx, "*.compact.*"))
+
+
+def test_compact_stale_old_dir_does_not_wedge_next_compaction(spark, tmp_path):
+    """The OTHER crash window (ADVICE r8): a crash AFTER the
+    staging->live rename but BEFORE the .old cleanup leaves a stale
+    non-empty .compact.old next to a healthy live dir.  The next
+    compaction used to raise OSError renaming onto it — it must instead
+    drop the stale dir (live is authoritative) and complete."""
+    from pipeline311_spark.ext.retrieval import (
+        bm25_index_append_batch,
+        bm25_index_compact,
+        build_bm25_index,
+        load_bm25_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = _docs(spark, [(1, "spark merge"), (2, "merge")])
+    b = _docs(spark, [(10, "spark spark join")])
+    bm25_index_append_batch(a, 0, idx)
+    bm25_index_compact(spark, idx)
+
+    # simulate the crash leftovers: live postings intact, stale .old
+    stale = os.path.join(idx, "postings.compact.old")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "leftover.parquet"), "w") as f:
+        f.write("stale")
+
+    bm25_index_append_batch(b, 1, idx)
+    bm25_index_compact(spark, idx)  # must not raise
+
+    fresh = build_bm25_index(a.unionByName(b))
+    got = load_bm25_index(spark, idx)
+    assert sorted(map(tuple, got.postings.collect())) == sorted(
+        map(tuple, fresh.postings.collect())
+    )
+    assert got.corpus_stats.collect() == fresh.corpus_stats.collect()
+    assert not glob.glob(os.path.join(idx, "*.compact.*"))
+
+
+def test_bm25_index_update_validate_disjoint_guard(spark):
+    """The merge-by-addition math silently corrupts on an overlapping
+    batch; the opt-in probe must catch it (ADVICE r8)."""
+    from pipeline311_spark.ext.retrieval import build_bm25_index
+
+    base = _docs(spark, [(1, "spark merge"), (2, "merge join")])
+    index = build_bm25_index(base)
+
+    ok = bm25_index_update(index, _docs(spark, [(10, "join")]), validate_disjoint=True)
+    assert ok.corpus_stats.collect()[0]["n_docs"] == 3
+
+    with pytest.raises(ValueError, match="already indexed"):
+        bm25_index_update(
+            index, _docs(spark, [(2, "different text")]), validate_disjoint=True
+        )
+
+
+def test_rrf_fuse_duplicate_pairs_contribute_best_rank(spark):
+    """A ranker frame carrying a duplicated (query_id, doc_id) pair
+    must contribute the pair's BEST rank to the pivot, not silently its
+    worst (ADVICE r8: the F.max pivot kept rank 9 over rank 1)."""
+    lex = spark.createDataFrame(
+        [(0, 100, 9), (0, 100, 1), (0, 200, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    out = {
+        r["doc_id"]: (r["lex_rank"], r["rrf"])
+        for r in rrf_fuse([("lex", lex)], k=10, c=60).collect()
+    }
+    assert out[100][0] == 1 and out[100][1] == 1.0 / 61
+    assert out[200][0] == 2 and out[200][1] == 1.0 / 62
+
+
+def test_hybrid_rrf_serve_plan_reads_store_not_corpus_text(spark, tmp_path):
+    """retrieval_hybrid_rrf's lexical side must be SERVED from the
+    stored index (VERDICT r8 item 3): the fused frame's plan reads the
+    postings/corpus-stats parquet artifacts and the embeddings table —
+    the documents table and its tokenize subtree must be absent."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pipeline311_spark.plans.curation3 import hybrid_rrf_frame
+
+    fused = hybrid_rrf_frame(spark, SF, str(tmp_path / "store"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fused.explain("extended")
+    plan = buf.getvalue()
+    # store artifacts by schema signature (location strings are
+    # truncated under the default maxMetadataStringLength): the
+    # postings relation (term, doc_id, tf, dl) and the one-row
+    # corpus-stats relation (n_docs, sum_dl)
+    assert "Relation [term#" in plan and "Relation [n_docs#" in plan
+    assert "documents.parquet" not in plan and "Relation [doc_id#" not in plan
+    # the tokenize subtree's signature projections
+    assert "regexp_replace" not in plan and "split(" not in plan
+    assert fused.count() > 0
