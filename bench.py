@@ -184,6 +184,13 @@ def main() -> None:
         "stream_bm25_compacted",
         "retrieval_rrf_recency",
         "curation_pipeline_pack2phase",
+        # round-9 additions: stored IVF+PQ dense index (build+serve and
+        # incremental append), cross-document span removal, streamed
+        # gram-store maintenance
+        "sim_ivfpq_from_store",
+        "sim_ivfpq_incr_store",
+        "dedup_cross_doc_spans",
+        "stream_minhash_maintain",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -98,6 +98,95 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str, key: Column | No
 
 
 # ---------------------------------------------------------------------------
+# Cross-document repeated-span removal
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_span_removal(
+    df: DataFrame, id_col: str, text_col: str, n: int = 13, min_df: int = 2
+) -> DataFrame:
+    """Remove every ≥``n``-token span that repeats ACROSS documents —
+    the substring-level exact-dedup operator doc-level MinHash cannot
+    express (VERDICT r8 item 2: a 500-token boilerplate block shared by
+    otherwise-distinct docs survives doc-level near-dup entirely).
+    Semantics are the frequent-span boilerplate-removal variant: a
+    token is dropped iff it sits inside an ``n``-gram occurring in
+    ≥ ``min_df`` DISTINCT docs — deterministic, order-free, and every
+    occurrence goes (the eval-decontamination convention generalized
+    from eval-grams to corpus-grams, plans/analytics12.py).
+
+    Output (doc_id, n_tokens, n_removed, cleaned): original whitespace
+    token count, tokens dropped, and the surviving tokens re-joined by
+    single spaces (a fully-boilerplate doc cleans to ``''``).  NULL
+    text is excluded (the engine-wide failed-decode convention).
+
+    Scale shape — linear, never pairwise: the gram stream is map-side
+    (split → transform → explode, the contamination shape); per-gram
+    doc frequency is ONE count-distinct aggregate (map-side partial on
+    (g, doc)); hits are a shuffle join of the gram stream against the
+    frequent-gram set (NOT broadcast — its size is the corpus's
+    boilerplate density, the decontamination AQE lesson); coverage
+    expansion is bounded by hits × n; and the final anti-join +
+    re-assembly shuffle on (doc, position) is token-stream scale,
+    partitioned by doc.  The gram stream is NOT cached — both consumers
+    recompute the map-side explode (corpus-scale caches lose at 100 TB;
+    the text_contamination_13gram precedent).  At 100 TB the gram
+    strings would ride as 60-bit hashes (_gram_hash_table) with the
+    fold mirrored in the oracle, as the MinHash family does."""
+    doc = F.col(id_col).alias("doc")
+    toks = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull()).select(
+            doc, F.split(F.col(text_col), " ").alias("t")
+        )
+    )
+    # (doc, i, g): 1-based gram start positions, gram strings
+    grams = toks.filter(F.size("t") >= n).select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("i"), F.concat_ws(" ", F.slice(F.col("t"), i, n)).alias("g")
+                ),
+            )
+        ).alias("x"),
+    ).select("doc", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+    boiler = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    covered = (
+        grams.join(boiler, "g")
+        .select("doc", F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("p"))
+        .distinct()
+    )
+    toks_pos = toks.select(
+        "doc", F.posexplode("t").alias("p0", "tok")
+    ).select("doc", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks_pos.join(covered, ["doc", "p"], "left_anti")
+    cleaned = kept.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    base = toks.select("doc", F.size("t").cast("long").alias("n_tokens"))
+    return base.join(cleaned, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shingling + n-gram Jaccard
 # ---------------------------------------------------------------------------
 
@@ -1224,6 +1313,93 @@ def minhash_incremental_from_store(
     ).unionByName(new_gh.join(F.broadcast(cand_docs), "doc", "left_semi"))
     cross = _jaccard_verify(cand, _sets_from_grams(cand_grams), threshold)
     return _flag_expand_ident(cross, sigg, max_group)
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance of the stored gram table: an append-only log of
+# batch deltas (VERDICT r8 item 6 — the delta-log + foreachBatch +
+# compaction cycle the BM25 index got in r8, applied to the MinHash
+# family's per-corpus-version gram artifact).  The gram table needs no
+# stat folding at read time: rows are per-(doc, gram) and batch doc ids
+# are disjoint, so the union of batch partitions IS the merge —
+# signatures, banding, and verify all run FROM the folded log exactly
+# as they run from the batch-written store (minhash_pairs_from_grams).
+# ---------------------------------------------------------------------------
+
+
+def _gram_log_schema() -> "T.StructType":
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("batch_id", T.LongType()),
+        ]
+    )
+
+
+def gram_log_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> None:
+    """Append one micro-batch's per-doc DISTINCT gram rows (the stored-
+    table contract of :func:`minhash_pairs_from_grams`) — the
+    ``foreachBatch`` body.  Idempotent under replay: each write
+    dynamically overwrites ONLY its own ``batch_id`` partition."""
+    import os
+
+    gh = _gram_hash_table(batch_df, id_col, text_col, n, distinct=True)
+    (
+        gh.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(store_dir, "grams"))
+    )
+
+
+def load_gram_log(spark, store_dir: str) -> DataFrame:
+    """Fold the log back into the (doc, g) gram table: the union of
+    batch partitions is the merge (disjoint doc ids).  Refuses loudly
+    mid-compaction-swap (ext/artifact.py)."""
+    import os
+
+    from pipeline311_spark.ext.artifact import read_log
+
+    return read_log(
+        spark, os.path.join(store_dir, "grams"), _gram_log_schema()
+    ).drop("batch_id")
+
+
+def gram_log_compact(spark, store_dir: str) -> None:
+    """Fold the per-batch partitions into the single ``batch_id = -1``
+    base (file-count pressure — the same reason bm25_index_compact
+    exists); value-preserving, crash-recoverable via the shared
+    two-rename swap."""
+    import os
+
+    from pipeline311_spark.ext.artifact import compact_swap, read_log, recover_swap
+
+    path = os.path.join(store_dir, "grams")
+    recover_swap(path)
+    if not os.path.isdir(path):
+        return  # nothing ever appended
+    base = (
+        read_log(spark, path, _gram_log_schema())
+        .drop("batch_id")
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    compact_swap(
+        path,
+        lambda staging: base.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(staging),
+    )
 
 
 # ---------------------------------------------------------------------------

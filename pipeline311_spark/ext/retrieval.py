@@ -361,20 +361,14 @@ def bm25_index_append_batch(
 def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Log-dir read with explicit schema; a log NO batch ever wrote
     (empty source → zero micro-batches → the directory itself is
-    absent) folds to an empty frame instead of PATH_NOT_FOUND."""
-    if not os.path.isdir(path):
-        if os.path.isdir(path + ".compact.old"):
-            # a compaction crashed between its two renames: the only
-            # live copy is the .old dir — serving an EMPTY frame here
-            # would be silent data loss; re-run bm25_index_compact to
-            # recover (the same re-invoke contract as
-            # operators/layout.compact_parquet_dir)
-            raise RuntimeError(
-                f"{path} is mid-compaction-swap (found {path}.compact.old); "
-                "re-run bm25_index_compact to recover before serving"
-            )
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(path)
+    absent) folds to an empty frame instead of PATH_NOT_FOUND.  A dir
+    mid-compaction-swap fails loudly (serving empty would be silent
+    data loss) — since r9 the shared contract lives in
+    :mod:`pipeline311_spark.ext.artifact`, used by the MinHash gram
+    log too."""
+    from pipeline311_spark.ext.artifact import read_log
+
+    return read_log(spark, path, schema)
 
 
 def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
@@ -399,16 +393,13 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     format's OPTIMIZE).  A crash between the two renames is recovered
     at the next call; :func:`_read_log` fails loudly in that window
     instead of silently serving an empty artifact."""
-    import shutil
+    from pipeline311_spark.ext.artifact import compact_swap, recover_swap
 
     # recover any crashed swap BEFORE reading: in that window the only
     # live copy of an artifact is its .old dir (and _read_log refuses
     # to serve it as empty)
     for sub in ("postings", "term_stats", "corpus_stats"):
-        path = os.path.join(index_dir, sub)
-        old = path + ".compact.old"
-        if os.path.isdir(old) and not os.path.isdir(path):
-            os.rename(old, path)
+        recover_swap(os.path.join(index_dir, sub))
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
         return  # nothing ever appended — no log to fold
@@ -419,20 +410,12 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
         "corpus_stats": folded.corpus_stats.withColumn("batch_id", base),
     }
     for sub, df in parts.items():
-        path = os.path.join(index_dir, sub)
-        old, staging = path + ".compact.old", path + ".compact.tmp"
-        df.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
-        if os.path.isdir(path):
-            # a crash AFTER the staging->live rename but BEFORE the
-            # cleanup below leaves a stale non-empty .old next to the
-            # live dir; renaming onto it would raise and wedge every
-            # subsequent compaction.  When both exist the live path is
-            # authoritative, so the stale .old is safe to drop
-            # (ADVICE r8).
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        compact_swap(
+            os.path.join(index_dir, sub),
+            lambda staging, df=df: df.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(staging),
+        )
 
 
 def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:

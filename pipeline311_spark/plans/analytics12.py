@@ -134,3 +134,64 @@ def text_pack_sequences(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("pack_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span removal (r9, VERDICT r8 item 2): the
+# substring-level exact-dedup operator — drop every token inside an
+# n-gram that occurs in >= min_df distinct docs.  The contamination
+# machinery above generalized from eval-grams to corpus-grams; see
+# ext/dedup.cross_doc_span_removal for the scale shape.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 13
+_SPAN_MIN_DF = 2
+
+_CROSS_SPAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS g
+  FROM d, unnest(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+),
+boiler AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DF}
+),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i + {_SPAN_N - 1})) AS p
+    FROM grams gr JOIN boiler USING (g)) c
+),
+toks AS (
+  SELECT doc_id, i AS p, t[i] AS tok
+  FROM d, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tk.doc_id, tk.p, tk.tok
+  FROM toks tk LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.p = tk.p
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(len(d.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.cleaned, '') AS cleaned
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "dedup_cross_doc_spans",
+    _CROSS_SPAN_SQL,
+    covers=("ext:dedup", "ext:text", "P4", "J3"),
+)
+def q_cross_doc_spans(spark, sf_dir):
+    from pipeline311_spark.ext.dedup import cross_doc_span_removal
+
+    d = table(spark, sf_dir, "documents")
+    return cross_doc_span_removal(d, "doc_id", "text", n=_SPAN_N, min_df=_SPAN_MIN_DF)

@@ -1,0 +1,179 @@
+"""Round-9 dense-retrieval promotion: IVF+PQ as a STORED, incrementally
+maintained index (ext/ann_store.py) — the vector-side mirror of the
+round-8 BM25 artifact stack (VERDICT r8 item 1).
+
+* ``sim_ivfpq_from_store`` — train the frozen quantizer (coarse cells +
+  PQ codebook from the deterministic corpus-head seeds), WRITE all
+  three artifacts, and serve ADC top-k from the store: the codes read
+  is partition-PRUNED to each query's nprobe cells (driver-computed
+  from the collected metadata-scale centroids → static PartitionFilters,
+  asserted in tests/test_ann_store.py).
+* ``sim_ivfpq_incr_store`` — the per-batch maintenance path: index the
+  corpus minus a batch, then :func:`ann_index_update` assigns + encodes
+  the batch with the STORED artifacts and appends to its cell
+  partitions.  Same oracle: the split must be invisible — frozen-
+  quantizer encode is a pure per-row function, so merged ≡ fresh.
+
+Both share ONE DuckDB twin that derives cell assignment, PQ codes,
+probe cells, and ADC ranking from the raw embeddings — the storage hop,
+the pruning, and the incremental append must all be invisible in the
+result.  Scale shape: serve touches |probed cells| code partitions
+(M small ints per vector), the corpus floats are read only at build;
+per-batch update cost is one batch pass.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.ann_store import (
+    ann_adc_topk_from_store,
+    ann_index_build,
+    ann_index_update,
+)
+from pipeline311_spark.plans.common import emb_table
+from pipeline311_spark.plans.curation4 import _PQ_K, _PQ_M, _pq_sqdist_sql
+from pipeline311_spark.plans.registry import register
+
+_ANN_CELLS = 8
+_ANN_NPROBE = 3
+_ANN_Q = 4
+_ANN_K = 5
+# the incremental split: a deterministic modulus batch (oracle-free —
+# the oracle only sees the merged result, which must equal a full
+# fresh build; the bm25_incr_store convention)
+_ANN_BATCH_MOD = 5
+_ANN_BATCH_RESIDUE = 2
+
+
+def _sqdist_full_sql(a: str, b: str) -> str:
+    """Full-dimension squared L2 — the same prepend-0.0 left fold as
+    the per-subspace ``_pq_sqdist_sql`` and Spark's ``sqdist``."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"
+    )
+
+
+def _ivfpq_sql() -> str:
+    dists = ",\n         ".join(
+        f"{_pq_sqdist_sql('e.v', 'c.cv', j)} AS d{j}" for j in range(_PQ_M)
+    )
+    argmins = ",\n".join(
+        f"a{j} AS (SELECT vec_id, cid AS code{j} FROM ("
+        f"SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        f"ORDER BY d{j}, cid) AS rn FROM pqscored) t WHERE rn = 1)"
+        for j in range(_PQ_M)
+    )
+    code_joins = " ".join(f"JOIN a{j} USING (vec_id)" for j in range(1, _PQ_M))
+    code_cols = ", ".join(f"code{j}" for j in range(_PQ_M))
+    luts = ",\n         ".join(
+        f"{_pq_sqdist_sql('q.qv', 'c.cv', j)} AS l{j}" for j in range(_PQ_M)
+    )
+    t_joins = "\n  ".join(
+        f"JOIN lut t{j} ON t{j}.query_id = qc.query_id AND t{j}.cid = s.code{j}"
+        for j in range(_PQ_M)
+    )
+    dist = ""
+    for j in range(_PQ_M):
+        dist = f"({dist} + t{j}.l{j})" if dist else f"t{j}.l{j}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+coarse AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_ANN_CELLS}),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_K}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_full_sql('e.v', 'c.cv')}, c.cell) AS rn
+    FROM e CROSS JOIN coarse c) t
+  WHERE rn = 1),
+pqscored AS (
+  SELECT e.vec_id, c.cid,
+         {dists}
+  FROM e CROSS JOIN cb c),
+{argmins},
+codes AS (SELECT vec_id, {code_cols} FROM a0 {code_joins}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_ANN_Q}),
+qcells AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_sqdist_full_sql('q.qv', 'c.cv')}, c.cell) AS pr
+    FROM q CROSS JOIN coarse c) t
+  WHERE pr <= {_ANN_NPROBE}),
+lut AS (
+  SELECT q.query_id, c.cid,
+         {luts}
+  FROM q CROSS JOIN cb c),
+adc AS (
+  SELECT qc.query_id, s.vec_id, {dist} AS dist
+  FROM codes s
+  JOIN assign a ON a.vec_id = s.vec_id
+  JOIN qcells qc ON qc.cell = a.cell
+  {t_joins}
+  WHERE s.vec_id <> qc.query_id)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist, vec_id) AS rn
+      FROM adc) t
+WHERE rn <= {_ANN_K}
+"""
+
+
+def _query_vecs(e):
+    """Driver-collected query vectors — rides the SAME head collect
+    bound as the seed centroids (metadata-scale, one job)."""
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in v.filter(F.col("vec_id") < _ANN_Q).collect()
+    }
+
+
+@register(
+    "sim_ivfpq_from_store",
+    _ivfpq_sql(),
+    covers=("ext:similarity", "ext:quantize", "ext:layout", "K2", "O4"),
+)
+def q_ivfpq_from_store(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), f"p311_ivfpq_{uuid.uuid4().hex[:12]}")
+    try:
+        e = emb_table(spark, sf_dir)
+        ann_index_build(spark, e, out, n_cells=_ANN_CELLS, pq_k=_PQ_K)
+        return ann_adc_topk_from_store(
+            spark, out, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
+        ).localCheckpoint(eager=True)  # materialize before the cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "sim_ivfpq_incr_store",
+    _ivfpq_sql(),
+    covers=("ext:similarity", "ext:quantize", "T1", "K2"),
+)
+def q_ivfpq_incr_store(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), f"p311_ivfpqi_{uuid.uuid4().hex[:12]}")
+    is_batch = F.col("vec_id") % _ANN_BATCH_MOD == _ANN_BATCH_RESIDUE
+    try:
+        e = emb_table(spark, sf_dir)
+        # seeds = the FULL corpus head: the quantizer is frozen per
+        # corpus version and shared by the base build and every update
+        # (ext/ann_store.py module doc)
+        ann_index_build(
+            spark, e.filter(~is_batch), out, n_cells=_ANN_CELLS, pq_k=_PQ_K, seeds=e
+        )
+        ann_index_update(spark, out, e.filter(is_batch))
+        return ann_adc_topk_from_store(
+            spark, out, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1363,3 +1363,64 @@ def q_norm_stats(spark, sf_dir):
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+@register(
+    "stream_minhash_maintain",
+    _minhash_pairs_sql(),
+    covers=("ext:dedup", "T1", "K2"),
+)
+def q_stream_minhash_maintain(spark, sf_dir):
+    """The gram-store maintenance loop as a REAL Structured Streaming
+    job (VERDICT r8 item 6 — the BM25 delta-log cycle applied to the
+    MinHash artifact): the corpus arrives as a file stream (3 files,
+    one micro-batch each), every micro-batch appends its per-doc
+    DISTINCT gram rows through ``foreachBatch`` →
+    :func:`pipeline311_spark.ext.dedup.gram_log_append_batch` (replays
+    overwrite their own batch_id partition — idempotent), the log is
+    COMPACTED to its batch_id=-1 base (the crash-recoverable swap,
+    ext/artifact.py), and the whole LSH pipeline runs FROM the folded
+    store.  Same oracle as dedup_minhash_lsh / dedup_minhash_from_store:
+    a corpus streamed in three batches, appended, and compacted must
+    yield exactly the pairs a one-shot run yields."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pipeline311_spark.ext.dedup import (
+        gram_log_append_batch,
+        gram_log_compact,
+        load_gram_log,
+        minhash_pairs_from_grams,
+    )
+    from pipeline311_spark.session import prep_session
+
+    prep_session(spark)  # streaming bypasses table(): pin tz/conf here
+    out = os.path.join(tempfile.gettempdir(), f"p311_mhs_{uuid.uuid4().hex[:12]}")
+    src, store, ckpt = (os.path.join(out, s) for s in ("src", "store", "ckpt"))
+    try:
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.repartition(3).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(d.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: gram_log_append_batch(
+                    batch, bid, store, "doc_id", "text", n=_MH_N
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        gram_log_compact(spark, store)
+        return minhash_pairs_from_grams(
+            load_gram_log(spark, store),
+            k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED,
+            persist=False,
+        ).localCheckpoint(eager=True)  # materialize before the cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

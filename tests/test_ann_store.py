@@ -1,0 +1,145 @@
+"""Stored IVF+PQ dense index (ext/ann_store.py, plans/ann_store_q.py)
+— the properties the oracle twin can't see: incremental append ≡ fresh
+build on the ARTIFACTS, static partition pruning of the serve read,
+the disjointness guard, the driver/executor fold twins, and temp-store
+hygiene (the same checklist the BM25 store family carries in
+tests/test_retrieval_store.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.ann_store import (
+    ann_adc_topk_from_store,
+    ann_index_build,
+    ann_index_update,
+    load_ann_index,
+    probe_cells_py,
+    sqdist_py,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
+def test_incremental_append_equals_fresh_build_artifacts(spark, tmp_path):
+    """Frozen-quantizer encode is a pure per-row function, so base
+    build + batch append must be row-identical to a fresh full build —
+    on the stored code rows themselves, not just the served top-k."""
+    e = _emb(spark)
+    is_batch = F.col("vec_id") % 5 == 2
+
+    fresh_dir, incr_dir = str(tmp_path / "fresh"), str(tmp_path / "incr")
+    ann_index_build(spark, e, fresh_dir, n_cells=8, pq_k=4)
+    ann_index_build(spark, e.filter(~is_batch), incr_dir, n_cells=8, pq_k=4, seeds=e)
+    ann_index_update(spark, incr_dir, e.filter(is_batch))
+
+    fresh, incr = load_ann_index(spark, fresh_dir), load_ann_index(spark, incr_dir)
+    assert sorted(map(tuple, incr.codes.collect())) == sorted(
+        map(tuple, fresh.codes.collect())
+    )
+    assert sorted(map(tuple, incr.centroids.collect())) == sorted(
+        map(tuple, fresh.centroids.collect())
+    )
+    assert sorted(map(tuple, incr.codebook.collect())) == sorted(
+        map(tuple, fresh.codebook.collect())
+    )
+
+
+def test_serve_read_is_partition_pruned_to_probed_cells(spark, tmp_path):
+    """The scale contract of the store: the codes scan carries the
+    probed cells as PartitionFilters (a directory-list read), never a
+    post-scan data filter — the text_bm25_partitioned_store assertion,
+    vector edition."""
+    import io
+    from contextlib import redirect_stdout
+
+    e = _emb(spark)
+    out = str(tmp_path / "idx")
+    ann_index_build(spark, e, out, n_cells=8, pq_k=4)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 2).collect()
+    }
+    served = ann_adc_topk_from_store(spark, out, qvecs, k=5, nprobe=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [pcell" in plan and " IN (c" in plan
+    # the probed-cell restriction must reach the scan, and nothing else
+    # may rescan the corpus: exactly ONE parquet scan (the codes table;
+    # formatted explain prints each scan twice — tree line + detail)
+    assert plan.count("Scan parquet") == 2
+    assert served.count() > 0
+
+
+def test_update_validate_disjoint_guard(spark, tmp_path):
+    """An overlapping batch would serve the same vec_id twice; the
+    opt-in probe must refuse (the bm25_index_update contract)."""
+    e = _emb(spark)
+    out = str(tmp_path / "idx")
+    ann_index_build(spark, e.filter(F.col("vec_id") < 50), out, n_cells=8, pq_k=4, seeds=e)
+
+    new = e.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    ann_index_update(spark, out, new, validate_disjoint=True)  # disjoint: fine
+
+    with pytest.raises(ValueError, match="already indexed"):
+        ann_index_update(
+            spark, out, e.filter(F.col("vec_id") < 10), validate_disjoint=True
+        )
+
+
+def test_driver_probe_twin_matches_stored_assignment(spark, tmp_path):
+    """A corpus member used as a query must probe ITS OWN cell first:
+    the driver-side sqdist fold (probe_cells_py) and the executor-side
+    fold (assign_cells) are the same left fold, so the top-1 probe cell
+    equals the stored pcell for every head vector."""
+    e = _emb(spark)
+    out = str(tmp_path / "idx")
+    ann_index_build(spark, e, out, n_cells=8, pq_k=4)
+    index = load_ann_index(spark, out)
+    cents = {r["cell"]: list(r["cv"]) for r in index.centroids.collect()}
+    head = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 12).collect()
+    }
+    stored = {
+        r["vec_id"]: r["pcell"]
+        for r in index.codes.filter(F.col("vec_id") < 12).collect()
+    }
+    probes = probe_cells_py(head, cents, nprobe=1)
+    assert stored and all(f"c{probes[i][0]}" == stored[i] for i in stored)
+    # the fold twin really is the fold: zero distance to itself
+    assert all(sqdist_py(v, v) == 0.0 for v in cents.values())
+
+
+def test_empty_corpus_build_and_serve_keep_stable_schema(spark, tmp_path):
+    e = _emb(spark).filter(F.lit(False))
+    out = str(tmp_path / "idx")
+    ann_index_build(spark, e, out, n_cells=8, pq_k=4)
+    served = ann_adc_topk_from_store(spark, out, {}, k=5, nprobe=2)
+    assert served.columns == ["query_id", "rank", "neighbor_id"]
+    assert served.count() == 0
+
+
+def test_store_queries_do_not_leak_tmp_dirs(spark):
+    from pipeline311_spark.plans import REGISTRY
+
+    pat = os.path.join(tempfile.gettempdir(), "p311_ivfpq*")
+    before = set(glob.glob(pat))
+    for name in ("sim_ivfpq_from_store", "sim_ivfpq_incr_store"):
+        rows = REGISTRY[name].fn(spark, SF).collect()
+        assert rows, name
+    after = set(glob.glob(pat))
+    assert after == before, f"leaked temp dirs: {sorted(after - before)}"

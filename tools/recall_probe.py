@@ -157,6 +157,75 @@ def main() -> None:
                     lambda: fanout_ivf(4),
                 ),
             }
+
+            # r9: the STORED IVF+PQ index (ext/ann_store.py).  ADC ranks
+            # by approximate L2, so its recall is measured against the
+            # exact L2 top-k (its own metric — the sim_pq_recall_audit
+            # convention; mixing in the cosine baseline would charge the
+            # metric difference to the index).  Swept at the registry's
+            # 4-entry codebook and a production-shaped 16-entry one;
+            # fan-out counts code rows actually read from the probed
+            # cell partitions.
+            from pipeline311_spark.ext.ann_store import (
+                ann_adc_topk_from_store,
+                ann_index_build,
+                load_ann_index,
+                probe_cells_py,
+            )
+
+            exact_l2 = {
+                (r["query_id"], r["neighbor_id"])
+                for r in brute_force_topk(
+                    corpus, queries, k=K, metric="sqdist"
+                ).collect()
+            }
+            qvecs = {
+                r["vec_id"]: [float(x) for x in r["embedding"]]
+                for r in queries.collect()
+            }
+            for pq_m, pq_sub, pq_k in ((4, 16, 4), (16, 4, 16)):
+                store = os.path.join(tmp, f"ivfpq_x{m}_m{pq_m}k{pq_k}")
+                ann_index_build(
+                    spark, corpus, store, n_cells=IVF_C, pq_k=pq_k, m=pq_m, subdim=pq_sub
+                )
+                idx = load_ann_index(spark, store, m=pq_m)
+                cents = {r["cell"]: list(r["cv"]) for r in idx.centroids.collect()}
+                sizes = {
+                    r["pcell"]: r["n"]
+                    for r in idx.codes.groupBy("pcell").count().withColumnRenamed(
+                        "count", "n"
+                    ).collect()
+                }
+                for np_ in (2, 4):
+                    probes = probe_cells_py(qvecs, cents, np_)
+                    rows = sum(
+                        sizes.get(f"c{c}", 0)
+                        for cells in probes.values()
+                        for c in cells
+                    )
+                    t0 = time.time()
+                    got = {
+                        (r["query_id"], r["neighbor_id"])
+                        for r in ann_adc_topk_from_store(
+                            spark, store, qvecs, k=K, nprobe=np_, m=pq_m, subdim=pq_sub
+                        ).collect()
+                    }
+                    print(
+                        json.dumps(
+                            {
+                                "factor": m,
+                                "n_corpus": n_corpus,
+                                "method": f"ivfpq_store_m{pq_m}_k{pq_k}_np{np_}",
+                                "recall_at_k_vs_exact_l2": round(
+                                    len(got & exact_l2) / (Q * K), 4
+                                ),
+                                "fanout": round(rows / (Q * n_corpus), 5),
+                                "secs": round(time.time() - t0, 3),
+                                "k": K,
+                                "q": Q,
+                            }
+                        )
+                    )
             for name, (fn, fan) in methods.items():
                 t0 = time.time()
                 got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
