@@ -54,7 +54,7 @@ from __future__ import annotations
 import os
 from typing import NamedTuple, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,11 +114,8 @@ def pq_codes(
     """(vec_id, code0..codeM-1, pcell) from an ``assign_cells`` frame —
     a PURE map-side projection: the codebook is metadata-scale and
     injected as literals (the plans/curation4.py PQ convention), so
-    encode adds ZERO exchanges at any corpus size.  Argmin per subspace
-    by (squared L2, centroid id) via struct sort — distances compared,
-    never emitted."""
-    cids = sorted(codebook)
-    if not cids:
+    encode adds ZERO exchanges at any corpus size."""
+    if not codebook:
         # stable schema, zero rows: with no codebook there is nothing
         # an ADC query could rank (mirrors _pq_codes_projection)
         return assigned.filter(F.lit(False)).select(
@@ -126,23 +123,58 @@ def pq_codes(
             *[F.lit(None).cast("long").alias(f"code{j}") for j in range(m)],
             F.lit(None).cast("string").alias("pcell"),
         )
-
-    def code(j: int):
-        sub = F.slice("v", j * subdim + 1, subdim)
-        cands = [
-            F.struct(
-                sqdist(sub, F.array(*[F.lit(x) for x in codebook[c][j * subdim : (j + 1) * subdim]])).alias("d"),
-                F.lit(int(c)).alias("c"),
-            )
-            for c in cids
-        ]
-        return F.array_sort(F.array(*cands))[0]["c"].cast("long")
-
     return assigned.select(
         "vec_id",
-        *[code(j).alias(f"code{j}") for j in range(m)],
+        *[pq_code_col(j, codebook, subdim).alias(f"code{j}") for j in range(m)],
         F.concat(F.lit("c"), F.col("cell").cast("string")).alias("pcell"),
     )
+
+
+def pq_code_col(j: int, codebook: dict[int, list[float]], subdim: int, v_col: str = "v") -> Column:
+    """The PQ encode expression for subspace ``j``: argmin by
+    (subspace squared L2, centroid id) via struct sort — struct
+    comparison is field-order lexicographic, so distances are compared,
+    never emitted.  THE single home of this fold-order-sensitive
+    expression (review r9): plans/curation4's query-local PQ encode and
+    the stored-index encode both call it, so tie-breaking and fold
+    order can never diverge between their shared oracles."""
+    cands = []
+    for c in sorted(codebook):
+        sub = F.slice(v_col, j * subdim + 1, subdim)
+        cv = F.array(*[F.lit(x) for x in codebook[c][j * subdim : (j + 1) * subdim]])
+        cands.append(F.struct(sqdist(sub, cv).alias("d"), F.lit(int(c)).alias("c")))
+    return F.array_sort(F.array(*cands))[0]["c"].cast("long")
+
+
+def adc_dist_expr(
+    qv: Sequence[float], codebook: dict[int, list[float]], m: int, subdim: int
+) -> Column:
+    """The ADC distance expression over ``code0..code{m-1}`` columns:
+    per-subspace LUT entries computed DRIVER-side with the shared
+    :func:`sqdist_py` fold and injected as array literals indexed by
+    the code column (array slot i = centroid id i; ids may in principle
+    be sparse, codes only ever hold real ids) — the scan projects M
+    small ints into a distance, no joins.  Shared by the query-local
+    sim_pq_adc_topk and the stored-index serve (review r9)."""
+    cids = sorted(codebook)
+    dist = None
+    for j in range(m):
+        lut = F.array(
+            *[
+                F.lit(
+                    sqdist_py(
+                        qv[j * subdim : (j + 1) * subdim],
+                        codebook[i][j * subdim : (j + 1) * subdim],
+                    )
+                    if i in codebook
+                    else None
+                ).cast("double")
+                for i in range(max(cids) + 1)
+            ]
+        )
+        term = F.element_at(lut, F.col(f"code{j}").cast("int") + 1)
+        dist = term if dist is None else dist + term
+    return dist
 
 
 def ann_index_build(
@@ -208,6 +240,16 @@ def ann_index_update(
     index = load_ann_index(spark, out, m)
     cents = {r["cell"]: list(r["cv"]) for r in index.centroids.collect()}
     cbook = {r["cid"]: list(r["cv"]) for r in index.codebook.collect()}
+    if not cents or not cbook:
+        # an empty-corpus BUILD legitimately stores zero centroids, but
+        # an UPDATE against that index cannot encode anything — the
+        # silent alternative drops the whole batch while the caller
+        # believes it was indexed (review r9)
+        raise ValueError(
+            f"ann_index_update: the stored quantizer at {out} is empty "
+            "(centroids/codebook have no rows) — rebuild the index with "
+            "seed vectors before appending batches"
+        )
     v = _vec_frame(batch, id_col, vec_col)
     if validate_disjoint:
         overlap = (
@@ -310,34 +352,15 @@ def ann_adc_topk_from_store(
         return spark.createDataFrame([], empty)
     probes = probe_cells_py(qvecs, cents, nprobe)
     all_cells = sorted({f"c{c}" for cells in probes.values() for c in cells})
-    cids = sorted(cbook)
 
-    entries = []
-    for qid in sorted(qvecs):
-        dist = None
-        for j in range(m):
-            lut = F.array(
-                *[
-                    F.lit(
-                        sqdist_py(
-                            qvecs[qid][j * subdim : (j + 1) * subdim],
-                            cbook[i][j * subdim : (j + 1) * subdim],
-                        )
-                        if i in cbook
-                        else None
-                    ).cast("double")
-                    for i in range(max(cids) + 1)
-                ]
-            )
-            term = F.element_at(lut, F.col(f"code{j}").cast("int") + 1)
-            dist = term if dist is None else dist + term
-        entries.append(
-            F.struct(
-                F.lit(qid).cast("long").alias("query_id"),
-                dist.alias("dist"),
-                F.array(*[F.lit(f"c{c}") for c in probes[qid]]).alias("cells"),
-            )
+    entries = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            adc_dist_expr(qvecs[qid], cbook, m, subdim).alias("dist"),
+            F.array(*[F.lit(f"c{c}") for c in probes[qid]]).alias("cells"),
         )
+        for qid in sorted(qvecs)
+    ]
 
     pruned = index.codes.filter(F.col("pcell").isin(all_cells))
     scored = (

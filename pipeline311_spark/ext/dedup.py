@@ -1350,9 +1350,19 @@ def gram_log_append_batch(
     """Append one micro-batch's per-doc DISTINCT gram rows (the stored-
     table contract of :func:`minhash_pairs_from_grams`) — the
     ``foreachBatch`` body.  Idempotent under replay: each write
-    dynamically overwrites ONLY its own ``batch_id`` partition."""
+    dynamically overwrites ONLY its own ``batch_id`` partition.
+
+    Recovers a crashed compaction swap FIRST (review r9): an append
+    landing in the between-renames window (live dir absent, the only
+    copy in ``.compact.old``) would otherwise resurrect a partial live
+    dir holding just this batch — served silently, and the next
+    compaction would delete the orphaned ``.old`` with every pre-crash
+    batch in it."""
     import os
 
+    from pipeline311_spark.ext.artifact import recover_swap
+
+    recover_swap(os.path.join(store_dir, "grams"))
     gh = _gram_hash_table(batch_df, id_col, text_col, n, distinct=True)
     (
         gh.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))

@@ -340,7 +340,16 @@ def bm25_index_append_batch(
     body).  Doc ids must be disjoint across batches (file-split or
     keyed sources give this for free).  Idempotent under replay: every
     write dynamically overwrites ONLY the ``batch_id=<n>`` partition it
-    produces, so re-delivering a batch rewrites the same rows."""
+    produces, so re-delivering a batch rewrites the same rows.
+
+    Recovers a crashed compaction swap on each artifact FIRST (review
+    r9): appending into the between-renames window would resurrect a
+    partial live dir and orphan the pre-crash log in ``.compact.old``,
+    which the next compaction deletes — silent data loss."""
+    from pipeline311_spark.ext.artifact import recover_swap
+
+    for sub in ("postings", "term_stats", "corpus_stats"):
+        recover_swap(os.path.join(index_dir, sub))
     bid = F.lit(int(batch_id)).cast("long")
     postings = build_bm25_postings(batch_df, id_col, text_col)
 

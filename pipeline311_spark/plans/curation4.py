@@ -488,22 +488,14 @@ def _pq_codes_projection(e, cents):
             *[F.lit(None).cast("long").alias(f"code{j}") for j in range(_PQ_M)],
         )
 
-    def code(j: int):
-        from pipeline311_spark.ext.similarity import sqdist
-
-        lo = j * _PQ_SUBDIM + 1
-        sub = F.slice("v", lo, _PQ_SUBDIM)
-        cands = []
-        for c in cids:
-            cv = F.array(*[F.lit(x) for x in cents[c][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM]])
-            d = sqdist(sub, cv)
-            cands.append(F.struct(d.alias("d"), F.lit(int(c)).alias("c")))
-        # argmin by (distance, centroid id): struct sort is field-order
-        # lexicographic — distances are compared, never emitted
-        return F.array_sort(F.array(*cands))[0]["c"].cast("long")
+    # the argmin-by-(distance, centroid id) struct-sort expression has
+    # ONE home — the stored-index module — so the query-local and
+    # stored-index encodes can never diverge (review r9)
+    from pipeline311_spark.ext.ann_store import pq_code_col
 
     return e.select(
-        "vec_id", *[code(j).alias(f"code{j}") for j in range(_PQ_M)]
+        "vec_id",
+        *[pq_code_col(j, cents, _PQ_SUBDIM).alias(f"code{j}") for j in range(_PQ_M)],
     )
 
 
@@ -597,40 +589,19 @@ def q_pq_adc_topk(spark, sf_dir):
         )
     codes = _pq_codes_projection(e, cents)
 
-    def lut_entry(qv, cid, j):
-        # plain left-to-right accumulation from 0.0 — the exact fold
-        # order of the oracle's list_reduce(list_prepend(0.0, ...))
-        acc = 0.0
-        for x, y in zip(
-            qv[j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM],
-            cents[cid][j * _PQ_SUBDIM : (j + 1) * _PQ_SUBDIM],
-        ):
-            acc += (x - y) * (x - y)
-        return acc
+    # per-query LUT distance expression: ONE home in ext/ann_store.py
+    # (adc_dist_expr uses the same left-to-right driver fold as the
+    # oracle's list_reduce(list_prepend(0.0, ...)); review r9) — the
+    # stored-index serve builds the identical expression
+    from pipeline311_spark.ext.ann_store import adc_dist_expr
 
-    entries = []
-    for qid in sorted(qvecs):
-        # per-subspace LUT as a k-entry array literal indexed by the
-        # code column: the scan projects codes -> distance, no joins
-        dist = None
-        for j in range(_PQ_M):
-            # array slot i holds the LUT entry for centroid id i (ids
-            # may in principle be sparse; codes only ever hold real ids)
-            lut = F.array(
-                *[
-                    F.lit(lut_entry(qvecs[qid], i, j) if i in cents else None).cast(
-                        "double"
-                    )
-                    for i in range(max(cids) + 1)
-                ]
-            )
-            term = F.element_at(lut, F.col(f"code{j}").cast("int") + 1)
-            dist = term if dist is None else dist + term
-        entries.append(
-            F.struct(
-                F.lit(qid).cast("long").alias("query_id"), dist.alias("dist")
-            )
+    entries = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            adc_dist_expr(qvecs[qid], cents, _PQ_M, _PQ_SUBDIM).alias("dist"),
         )
+        for qid in sorted(qvecs)
+    ]
     # ONE corpus scan: explode the per-query (query_id, dist) structs
     # map-side instead of one encode pass per query branch (review r8)
     scored = (

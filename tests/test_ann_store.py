@@ -143,3 +143,14 @@ def test_store_queries_do_not_leak_tmp_dirs(spark):
         assert rows, name
     after = set(glob.glob(pat))
     assert after == before, f"leaked temp dirs: {sorted(after - before)}"
+
+
+def test_update_against_empty_quantizer_refuses(spark, tmp_path):
+    """An empty-corpus build stores zero centroids; an update against
+    it cannot encode anything and must refuse loudly instead of
+    silently dropping the batch (review r9)."""
+    e = _emb(spark)
+    out = str(tmp_path / "idx")
+    ann_index_build(spark, e.filter(F.lit(False)), out, n_cells=8, pq_k=4)
+    with pytest.raises(ValueError, match="quantizer .* is empty"):
+        ann_index_update(spark, out, e.filter(F.col("vec_id") < 5))

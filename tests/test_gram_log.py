@@ -98,3 +98,31 @@ def test_stream_query_leaves_no_tmp_dirs(spark):
     rows = REGISTRY["stream_minhash_maintain"].fn(spark, "/root/testdata/sf0.001").collect()
     assert rows
     assert set(glob.glob(pat)) == before
+
+
+def test_append_into_crashed_swap_window_recovers_first(spark, tmp_path):
+    """An append landing BETWEEN a compaction's two renames must
+    recover the swap before writing — otherwise it resurrects a live
+    dir holding only the new batch and the next compaction deletes the
+    orphaned pre-crash log (review r9)."""
+    store = str(tmp_path / "store")
+    gram_log_append_batch(_docs(spark, A), 0, store, n=5)
+    gram_log_append_batch(_docs(spark, B), 1, store, n=5)
+
+    # the between-renames window: live gone, .old holds everything
+    path = os.path.join(store, "grams")
+    os.rename(path, path + ".compact.old")
+
+    gram_log_append_batch(_docs(spark, C), 2, store, n=5)  # must recover
+
+    want = sorted(
+        map(
+            tuple,
+            _gram_hash_table(
+                _docs(spark, A + B + C), "doc_id", "text", 5, distinct=True
+            ).collect(),
+        )
+    )
+    assert _snap(spark, store) == want
+    gram_log_compact(spark, store)  # and compaction stays lossless
+    assert _snap(spark, store) == want

@@ -115,10 +115,13 @@ def main() -> None:
         for rep in range(2):  # interleaved: old,new,old,new
             for label, root in variants.items():
                 t = timed(root, name)
-                if isinstance(t, dict):
-                    best[label] = t
-                    continue
                 prev = best.get(label)
+                if isinstance(t, dict):
+                    # keep a valid earlier timing over a later transient
+                    # error — the ratio is the whole point (review r9)
+                    if not isinstance(prev, float):
+                        best[label] = t
+                    continue
                 best[label] = round(
                     t if not isinstance(prev, float) else min(prev, t), 3
                 )
