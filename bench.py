@@ -191,6 +191,7 @@ def main() -> None:
         "sim_ivfpq_incr_store",
         "dedup_cross_doc_spans",
         "stream_minhash_maintain",
+        "stream_ann_index_maintain",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -200,6 +200,19 @@ def ann_index_build(
     streams out partitioned by cell)."""
     v = _vec_frame(corpus, id_col, vec_col)
     seed_v = v if seeds is None else _vec_frame(seeds, id_col, vec_col)
+    cents, cbook = ann_quantizer_build(spark, seed_v, out, n_cells, pq_k)
+    _encode_write(spark, v, out, cents, cbook, m, subdim, mode="overwrite")
+
+
+def ann_quantizer_build(
+    spark: SparkSession, seed_v: DataFrame, out: str, n_cells: int, pq_k: int
+) -> tuple[dict, dict]:
+    """Train (seed-select) and WRITE only the two quantizer artifacts —
+    the prerequisite of streaming maintenance, where codes arrive from
+    micro-batches (:func:`ann_codes_append_batch`) and no one-shot
+    corpus encode ever runs.  ``seed_v`` is a (vec_id, v) frame; one
+    metadata-scale collect.  Returns the (centroids, codebook) dicts so
+    a same-process build can encode without re-reading them."""
     head = {
         r["vec_id"]: [float(x) for x in r["v"]]
         for r in seed_v.filter(F.col("vec_id") < max(n_cells, pq_k)).collect()
@@ -212,7 +225,7 @@ def ann_index_build(
     spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
-    _encode_write(spark, v, out, cents, cbook, m, subdim, mode="overwrite")
+    return cents, cbook
 
 
 def ann_index_update(
@@ -344,6 +357,16 @@ def ann_adc_topk_from_store(
     neighbor id); the double is compared, never emitted.  LUT entries
     are driver-side Python folds bit-identical to the oracle's
     ``list_reduce`` (the sim_pq_adc_topk precedent)."""
+    return _serve_adc_topk(
+        spark, out, index_codes=load_ann_index(spark, out, m).codes,
+        qvecs=qvecs, k=k, nprobe=nprobe, m=m, subdim=subdim,
+    )
+
+
+def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> DataFrame:
+    """The shared serve kernel (review r9: one home for the ranking):
+    driver-chosen probe cells -> pcell-pruned read of ``index_codes``
+    -> per-query LUT distance projection -> bounded top-k window."""
     empty = "query_id long, rank long, neighbor_id long"
     index = load_ann_index(spark, out, m)
     cents = {r["cell"]: list(r["cv"]) for r in index.centroids.collect()}
@@ -352,7 +375,6 @@ def ann_adc_topk_from_store(
         return spark.createDataFrame([], empty)
     probes = probe_cells_py(qvecs, cents, nprobe)
     all_cells = sorted({f"c{c}" for cells in probes.values() for c in cells})
-
     entries = [
         F.struct(
             F.lit(qid).cast("long").alias("query_id"),
@@ -361,8 +383,7 @@ def ann_adc_topk_from_store(
         )
         for qid in sorted(qvecs)
     ]
-
-    pruned = index.codes.filter(F.col("pcell").isin(all_cells))
+    pruned = index_codes.filter(F.col("pcell").isin(all_cells))
     scored = (
         pruned.select("vec_id", "pcell", F.explode(F.array(*entries)).alias("qd"))
         .filter(F.array_contains(F.col("qd.cells"), F.col("pcell")))
@@ -378,4 +399,136 @@ def ann_adc_topk_from_store(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance of the codes artifact: an append-only log of
+# batch deltas (the ext/artifact.py contract shared with the BM25 index
+# and the MinHash gram log).  The quantizer artifacts are FROZEN — a
+# stream maintains ONLY the codes table: each micro-batch is assigned +
+# encoded with the stored centroids/codebook and dynamically overwrites
+# its own batch_id partition (replay-idempotent); pcell stays a
+# partition column UNDER batch_id, so the pruned serve read keeps its
+# PartitionFilters across batch directories, and compaction folds the
+# accreted batch dirs into the batch_id=-1 base.
+# ---------------------------------------------------------------------------
+
+
+def _codes_log_schema(m: int) -> T.StructType:
+    return T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(f"code{j}", T.LongType()) for j in range(m)]
+        + [
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("pcell", T.StringType()),
+        ]
+    )
+
+
+def ann_codes_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out: str,
+    m: int = ANN_M,
+    subdim: int = ANN_SUBDIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The ``foreachBatch`` body: encode one micro-batch with the
+    STORED quantizer and append its code rows to the batch-id log.
+    Recovers a crashed compaction swap first (the appender contract,
+    review r9).  Raises if the quantizer is empty — a stream cannot
+    encode against an untrained index."""
+    from pipeline311_spark.ext.artifact import recover_swap
+
+    spark = batch_df.sparkSession
+    recover_swap(os.path.join(out, "codes"))
+    # read ONLY the quantizer artifacts: the codes dir does not exist
+    # yet on the first micro-batch, and DataFrameReader.parquet resolves
+    # its path eagerly
+    cents = {
+        r["cell"]: list(r["cv"])
+        for r in spark.read.schema(_centroid_schema("cell"))
+        .parquet(os.path.join(out, "centroids"))
+        .collect()
+    }
+    cbook = {
+        r["cid"]: list(r["cv"])
+        for r in spark.read.schema(_centroid_schema("cid"))
+        .parquet(os.path.join(out, "codebook"))
+        .collect()
+    }
+    if not cents or not cbook:
+        raise ValueError(
+            f"ann_codes_append_batch: the stored quantizer at {out} is empty "
+            "— build it (ann_index_build / the centroid+codebook artifacts) "
+            "before streaming batches"
+        )
+    centroids = spark.createDataFrame(
+        [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+    )
+    codes = pq_codes(
+        assign_cells(_vec_frame(batch_df, id_col, vec_col), centroids),
+        cbook,
+        m,
+        subdim,
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    (
+        codes.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "pcell")
+        .parquet(os.path.join(out, "codes"))
+    )
+
+
+def load_ann_codes_log(spark: SparkSession, out: str, m: int = ANN_M) -> DataFrame:
+    """Fold the codes log back to the serving view (vec_id, code*,
+    pcell): the union of batch partitions IS the merge (disjoint vec
+    ids).  Refuses loudly mid-compaction-swap."""
+    from pipeline311_spark.ext.artifact import read_log
+
+    return read_log(spark, os.path.join(out, "codes"), _codes_log_schema(m)).drop(
+        "batch_id"
+    )
+
+
+def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
+    """Fold the per-batch code partitions into the ``batch_id = -1``
+    base via the shared crash-recoverable swap."""
+    from pipeline311_spark.ext.artifact import compact_swap, read_log, recover_swap
+
+    path = os.path.join(out, "codes")
+    recover_swap(path)
+    if not os.path.isdir(path):
+        return
+    base = (
+        read_log(spark, path, _codes_log_schema(m))
+        .drop("batch_id")
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    compact_swap(
+        path,
+        lambda staging: base.write.mode("overwrite")
+        .partitionBy("batch_id", "pcell")
+        .parquet(staging),
+    )
+
+
+def ann_adc_topk_from_log(
+    spark: SparkSession,
+    out: str,
+    qvecs: dict[int, list[float]],
+    k: int,
+    nprobe: int,
+    m: int = ANN_M,
+    subdim: int = ANN_SUBDIM,
+) -> DataFrame:
+    """Serve top-k from the LOG-form codes store — identical ranking to
+    :func:`ann_adc_topk_from_store`, reading the batch_id-partitioned
+    layout (pcell pruning still reaches the scan: a second-level
+    partition column prunes across batch directories)."""
+    return _serve_adc_topk(
+        spark, out, index_codes=load_ann_codes_log(spark, out, m),
+        qvecs=qvecs, k=k, nprobe=nprobe, m=m, subdim=subdim,
     )

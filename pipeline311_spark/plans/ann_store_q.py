@@ -177,3 +177,56 @@ def q_ivfpq_incr_store(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "stream_ann_index_maintain",
+    _ivfpq_sql(),
+    covers=("ext:similarity", "ext:quantize", "T1", "K2"),
+)
+def q_stream_ann_index_maintain(spark, sf_dir):
+    """The dense-index maintenance loop as a REAL Structured Streaming
+    job — the third instance of the engine's delta-log cycle (BM25 r8,
+    MinHash grams r9): the FROZEN quantizer artifacts are built once,
+    the corpus arrives as a file stream (3 files, one micro-batch
+    each), every micro-batch is assigned + encoded via ``foreachBatch``
+    → :func:`pipeline311_spark.ext.ann_store.ann_codes_append_batch`
+    (dynamic overwrite of its own batch_id partition — replays are
+    idempotent), the code log is COMPACTED to its batch_id=-1 base, and
+    ADC top-k is served from the folded, pcell-pruned log.  Same oracle
+    as sim_ivfpq_from_store: a corpus streamed in three batches must
+    serve exactly what a one-shot build serves."""
+    from pipeline311_spark.ext.ann_store import (
+        ann_adc_topk_from_log,
+        ann_codes_append_batch,
+        ann_codes_compact,
+        ann_quantizer_build,
+    )
+    from pipeline311_spark.session import prep_session
+
+    prep_session(spark)  # streaming bypasses table(): pin tz/conf here
+    out = os.path.join(tempfile.gettempdir(), f"p311_ivfpqs_{uuid.uuid4().hex[:12]}")
+    src, idx, ckpt = (os.path.join(out, s) for s in ("src", "index", "ckpt"))
+    try:
+        e = emb_table(spark, sf_dir)
+        v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        ann_quantizer_build(spark, v, idx, n_cells=_ANN_CELLS, pq_k=_PQ_K)
+        e.select("vec_id", "embedding").repartition(3).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            e.select("vec_id", "embedding").schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: ann_codes_append_batch(batch, bid, idx)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ann_codes_compact(spark, idx)
+        return ann_adc_topk_from_log(
+            spark, idx, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
+        ).localCheckpoint(eager=True)  # materialize before the cleanup
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -154,3 +154,59 @@ def test_update_against_empty_quantizer_refuses(spark, tmp_path):
     ann_index_build(spark, e.filter(F.lit(False)), out, n_cells=8, pq_k=4)
     with pytest.raises(ValueError, match="quantizer .* is empty"):
         ann_index_update(spark, out, e.filter(F.col("vec_id") < 5))
+
+
+def test_codes_log_replay_idempotent_and_compacts_lossless(spark, tmp_path):
+    """The streamed codes log (third delta-log instance): replayed
+    micro-batches overwrite their own batch_id partition, compaction
+    folds to batch_id=-1 without changing the folded view, and the
+    log-form serve ranks identically to the one-shot store serve."""
+    from pipeline311_spark.ext.ann_store import (
+        ann_adc_topk_from_log,
+        ann_codes_append_batch,
+        ann_codes_compact,
+        ann_quantizer_build,
+        load_ann_codes_log,
+    )
+
+    e = _emb(spark)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = str(tmp_path / "idx")
+    ann_quantizer_build(spark, v, idx, n_cells=8, pq_k=4)
+
+    b0 = e.filter(F.col("vec_id") % 3 == 0)
+    b1 = e.filter(F.col("vec_id") % 3 == 1)
+    b2 = e.filter(F.col("vec_id") % 3 == 2)
+    for i, b in enumerate((b0, b1, b2)):
+        ann_codes_append_batch(b, i, idx)
+
+    def snap():
+        return sorted(map(tuple, load_ann_codes_log(spark, idx).collect()))
+
+    before = snap()
+    ann_codes_append_batch(b1, 1, idx)  # replay
+    assert snap() == before
+
+    ann_codes_compact(spark, idx)
+    assert snap() == before
+    bids = {
+        r["batch_id"]
+        for r in spark.read.parquet(os.path.join(idx, "codes"))
+        .select("batch_id").distinct().collect()
+    }
+    assert bids == {-1}
+
+    # log-form serve == store-form serve (same kernel, different layout)
+    store = str(tmp_path / "store")
+    ann_index_build(spark, e, store, n_cells=8, pq_k=4)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 3).collect()
+    }
+    got = sorted(
+        map(tuple, ann_adc_topk_from_log(spark, idx, qvecs, k=5, nprobe=2).collect())
+    )
+    want = sorted(
+        map(tuple, ann_adc_topk_from_store(spark, store, qvecs, k=5, nprobe=2).collect())
+    )
+    assert got == want and got
