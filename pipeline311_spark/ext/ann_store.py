@@ -532,3 +532,63 @@ def ann_adc_topk_from_log(
         spark, out, index_codes=load_ann_codes_log(spark, out, m),
         qvecs=qvecs, k=k, nprobe=nprobe, m=m, subdim=subdim,
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ codebook: k-means (Lloyd) per subspace with EXACT decimal
+# means.  The seed-centroid convention above keeps the DuckDB twins
+# bit-exact; training breaks SQL-expressibility, so its consumer query
+# is rows-only-gated and carries its own measured recall AUDIT instead
+# (the SCALE.md "trained centroids need the audit-based gate" note).
+# Determinism across runs/parallelism is still required
+# (tools/check_determinism.py): a naive float mean depends on
+# aggregation order, so per-dim sums are folded in DECIMAL (exact,
+# associative) and divided by the exact count — identical centroids on
+# every run, which makes codes, LUTs, and ranks identical too.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebook(
+    v: DataFrame,
+    pq_k: int,
+    m: int = ANN_M,
+    subdim: int = ANN_SUBDIM,
+    iters: int = 2,
+) -> dict[int, list[float]]:
+    """Lloyd-train the PQ codebook from the ``pq_k``-lowest-id seeds.
+    Per iteration: one corpus pass assigns every subvector to its
+    nearest entry (the shared :func:`pq_code_col` argmin), one
+    aggregate computes exact per-(subspace, entry, dim) decimal means
+    (m·k·subdim rows — metadata-scale, ONE collect per iteration), and
+    empty entries keep their previous value.  Scale: iterations are
+    O(corpus) passes with a metadata-sized shuffle, the standard
+    distributed-k-means shape."""
+    cbook = {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in v.filter(F.col("vec_id") < pq_k).collect()
+    }
+    if not cbook:
+        return cbook
+    for _ in range(iters):
+        coded = v.select(
+            "v", *[pq_code_col(j, cbook, subdim).alias(f"code{j}") for j in range(m)]
+        )
+        parts = None
+        for j in range(m):
+            p = coded.select(
+                F.lit(j).alias("j"),
+                F.col(f"code{j}").alias("cid"),
+                F.posexplode(F.slice("v", j * subdim + 1, subdim)).alias("d", "val"),
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        stats = parts.groupBy("j", "cid", "d").agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,15)"))
+                / F.count("*")
+            ).cast("double").alias("mean")
+        )
+        new_cbook = {c: list(vec) for c, vec in cbook.items()}
+        for r in stats.collect():  # m*k*subdim rows — metadata-scale
+            new_cbook[r["cid"]][r["j"] * subdim + r["d"]] = float(r["mean"])
+        cbook = new_cbook
+    return cbook

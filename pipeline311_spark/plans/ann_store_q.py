@@ -230,3 +230,85 @@ def q_stream_ann_index_maintain(spark, sf_dir):
         ).localCheckpoint(eager=True)  # materialize before the cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# Trained-codebook audit: k-means training breaks SQL-expressibility
+# (the oracle cannot re-derive Lloyd iterations), so this query is
+# rows-only-gated by design and its OUTPUT is the audit: measured
+# recall of trained-PQ ADC against the exact L2 ranker — the gate
+# SCALE.md prescribes for trained centroids.  Everything is still
+# cross-run deterministic (exact decimal means, shared argmin/LUT
+# expressions, integer overlap counts, recall = exact int division).
+_TRAIN_PQ_K = 16
+_TRAIN_ITERS = 2
+_AUDIT_K = 10
+
+
+@register(
+    "sim_ivfpq_trained_audit",
+    None,
+    covers=("ext:similarity", "ext:quantize", "A-class"),
+)
+def q_ivfpq_trained_audit(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from pipeline311_spark.ext.ann_store import (
+        adc_dist_expr,
+        pq_code_col,
+        pq_train_codebook,
+    )
+    from pipeline311_spark.ext.similarity import brute_force_topk
+
+    e = emb_table(spark, sf_dir)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cbook = pq_train_codebook(v, pq_k=_TRAIN_PQ_K, iters=_TRAIN_ITERS)
+    qvecs = _query_vecs(e)
+    if not cbook or not qvecs:
+        return spark.createDataFrame(
+            [], "query_id long, n_overlap long, recall double"
+        )
+    codes = v.select(
+        "vec_id",
+        *[pq_code_col(j, cbook, 16).alias(f"code{j}") for j in range(_PQ_M)],
+    )
+    entries = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            adc_dist_expr(qvecs[qid], cbook, _PQ_M, 16).alias("dist"),
+        )
+        for qid in sorted(qvecs)
+    ]
+    scored = (
+        codes.select("vec_id", F.explode(F.array(*entries)).alias("qd"))
+        .filter(F.col("vec_id") != F.col("qd.query_id"))
+        .select(
+            F.col("qd.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qd.dist").alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _AUDIT_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(
+        e,
+        e.filter(F.col("vec_id") < _ANN_Q),
+        k=_AUDIT_K,
+        metric="sqdist",
+    ).select("query_id", "neighbor_id")
+    hits = adc.select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("hit"))
+    return (
+        exact.join(
+            hits,
+            (exact["query_id"] == hits["aq"]) & (exact["neighbor_id"] == hits["hit"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_overlap"),
+            (F.count("hit").cast("double") / _AUDIT_K).alias("recall"),
+        )
+    )

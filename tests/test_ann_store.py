@@ -210,3 +210,54 @@ def test_codes_log_replay_idempotent_and_compacts_lossless(spark, tmp_path):
         map(tuple, ann_adc_topk_from_store(spark, store, qvecs, k=5, nprobe=2).collect())
     )
     assert got == want and got
+
+
+def test_pq_train_codebook_exact_means_and_empty_cluster_retention(spark):
+    """Lloyd training with exact decimal means: centroids equal the
+    per-cluster per-dim arithmetic mean of the assigned subvectors
+    (computed in Python over the same assignment), clusters that win no
+    vectors keep their previous entry, and two runs produce identical
+    codebooks (the determinism requirement for a registry query)."""
+    from pipeline311_spark.ext.ann_store import pq_train_codebook, sqdist_py
+
+    # 8 tiny 4-dim vectors, m=2 subspaces of 2 dims, k=2 seeds
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [1.0, 1.0, 11.0, 11.0]),
+        (2, [0.5, 0.5, 10.5, 10.5]),
+        (3, [0.2, 0.1, 10.2, 10.1]),
+        (4, [0.9, 0.8, 10.9, 10.8]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = pq_train_codebook(v, pq_k=2, m=2, subdim=2, iters=1)
+    assert set(got) == {0, 1}
+
+    # python twin of one Lloyd step over the same seed assignment
+    seeds = {0: rows[0][1], 1: rows[1][1]}
+    sums = {}
+    for _, vec in rows:
+        for j in range(2):
+            sub = vec[2 * j : 2 * j + 2]
+            cid = min(
+                (sqdist_py(sub, seeds[c][2 * j : 2 * j + 2]), c) for c in seeds
+            )[1]
+            s, n = sums.get((j, cid), ([0.0, 0.0], 0))
+            sums[(j, cid)] = ([s[0] + sub[0], s[1] + sub[1]], n + 1)
+    want = {c: list(seeds[c]) for c in seeds}
+    for (j, cid), (s, n) in sums.items():
+        want[cid][2 * j] = s[0] / n
+        want[cid][2 * j + 1] = s[1] / n
+    for c in want:
+        assert got[c] == pytest.approx(want[c], abs=1e-12)
+
+    # empty cluster: a far-away seed that wins nothing keeps its value
+    v2 = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [100.0, 100.0, 100.0, 100.0]), (2, [0.1, 0.1, 0.1, 0.1])],
+        "vec_id long, v array<double>",
+    )
+    got2 = pq_train_codebook(v2, pq_k=2, m=2, subdim=2, iters=1)
+    # cluster 1 only wins itself; cluster 0 absorbs vec 0 and 2
+    assert got2[1] == [100.0, 100.0, 100.0, 100.0]
+
+    # determinism across invocations
+    assert pq_train_codebook(v, pq_k=2, m=2, subdim=2, iters=1) == got
