@@ -253,17 +253,19 @@ def ann_index_update(
     index = load_ann_index(spark, out, m)
     cents = {r["cell"]: list(r["cv"]) for r in index.centroids.collect()}
     cbook = {r["cid"]: list(r["cv"]) for r in index.codebook.collect()}
+    v = _vec_frame(batch, id_col, vec_col)
     if not cents or not cbook:
+        if not v.take(1):
+            return  # empty increment against an empty index: a no-op day
         # an empty-corpus BUILD legitimately stores zero centroids, but
-        # an UPDATE against that index cannot encode anything — the
-        # silent alternative drops the whole batch while the caller
-        # believes it was indexed (review r9)
+        # an UPDATE with real vectors against that index cannot encode
+        # anything — the silent alternative drops the whole batch while
+        # the caller believes it was indexed (review r9)
         raise ValueError(
             f"ann_index_update: the stored quantizer at {out} is empty "
             "(centroids/codebook have no rows) — rebuild the index with "
             "seed vectors before appending batches"
         )
-    v = _vec_frame(batch, id_col, vec_col)
     if validate_disjoint:
         overlap = (
             index.codes.select("vec_id")
@@ -368,9 +370,21 @@ def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> Dat
     driver-chosen probe cells -> pcell-pruned read of ``index_codes``
     -> per-query LUT distance projection -> bounded top-k window."""
     empty = "query_id long, rank long, neighbor_id long"
-    index = load_ann_index(spark, out, m)
-    cents = {r["cell"]: list(r["cv"]) for r in index.centroids.collect()}
-    cbook = {r["cid"]: list(r["cv"]) for r in index.codebook.collect()}
+    # quantizer-only reads: the codes dir may legitimately not exist
+    # yet (an index whose stream saw zero batches), and
+    # DataFrameReader.parquet resolves its path eagerly
+    cents = {
+        r["cell"]: list(r["cv"])
+        for r in spark.read.schema(_centroid_schema("cell"))
+        .parquet(os.path.join(out, "centroids"))
+        .collect()
+    }
+    cbook = {
+        r["cid"]: list(r["cv"])
+        for r in spark.read.schema(_centroid_schema("cid"))
+        .parquet(os.path.join(out, "codebook"))
+        .collect()
+    }
     if not cents or not cbook or not qvecs:
         return spark.createDataFrame([], empty)
     probes = probe_cells_py(qvecs, cents, nprobe)
@@ -460,6 +474,8 @@ def ann_codes_append_batch(
         .collect()
     }
     if not cents or not cbook:
+        if not _vec_frame(batch_df, id_col, vec_col).take(1):
+            return  # empty micro-batch against an empty index: a no-op
         raise ValueError(
             f"ann_codes_append_batch: the stored quantizer at {out} is empty "
             "— build it (ann_index_build / the centroid+codebook artifacts) "

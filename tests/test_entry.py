@@ -34,8 +34,11 @@ def test_registry_contract(spark):
     # every oracle key has a query
     assert set(oracles) <= set(qs)
     # oracle coverage: only explicitly non-SQL ops may omit the oracle
+    # (multimodal returns arrays the hash can't canon; the trained-PQ
+    # audit's Lloyd iterations are not SQL-re-derivable — its OUTPUT is
+    # the audit, plans/ann_store_q.py)
     missing = set(qs) - set(oracles)
-    assert missing <= {"multimodal_image_features"}
+    assert missing <= {"multimodal_image_features", "sim_ivfpq_trained_audit"}
 
 
 @pytest.mark.parametrize("name", ["q01_pricing_summary", "k3_upsert_merge", "dedup_exact_groups"])
