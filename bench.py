@@ -61,10 +61,35 @@ def _calibrate() -> float:
     return round(best, 4)
 
 
+def _calibrate_parallel(workers: int = 8) -> float:
+    """The same loop fanned across processes — catches the contention
+    mode the single-core loop cannot: this VM has shown windows where
+    one core runs at full speed but 32-way Spark stages run 1.5-3x
+    slow (r9: headline 30 s with a clean 0.10 s single-core calib,
+    while an interleaved A/B minutes later reproduced r8 speeds)."""
+    import multiprocessing as mp
+
+    n = min(workers, os.cpu_count() or 1)
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(n) as pool:
+        pool.map(_spin, [2_000_000] * n)
+    return round(time.perf_counter() - t0, 4)
+
+
+def _spin(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return acc
+
+
 def _machine_state() -> dict[str, object]:
     """Load/uptime/calibration stamp (VERDICT r8 item 5): enough to
     adjudicate 'code regression vs noisy VM' without re-running."""
-    state: dict[str, object] = {"calib_loop_sec": _calibrate()}
+    state: dict[str, object] = {
+        "calib_loop_sec": _calibrate(),
+        "calib_parallel8_sec": _calibrate_parallel(),
+    }
     try:
         state["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
