@@ -261,3 +261,43 @@ def test_pq_train_codebook_exact_means_and_empty_cluster_retention(spark):
 
     # determinism across invocations
     assert pq_train_codebook(v, pq_k=2, m=2, subdim=2, iters=1) == got
+
+
+def test_codes_log_crashed_swap_refusal_recovery_and_append_window(spark, tmp_path):
+    """The codes log inherits the shared swap contract: mid-swap load
+    refuses loudly, compaction recovers, and an append landing in the
+    window recovers FIRST instead of orphaning the pre-crash log (the
+    gram-log tests, dense edition)."""
+    from pipeline311_spark.ext.ann_store import (
+        ann_codes_append_batch,
+        ann_codes_compact,
+        ann_quantizer_build,
+        load_ann_codes_log,
+    )
+
+    e = _emb(spark)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = str(tmp_path / "idx")
+    ann_quantizer_build(spark, v, idx, n_cells=8, pq_k=4)
+    b0 = e.filter(F.col("vec_id") % 2 == 0)
+    b1 = e.filter(F.col("vec_id") % 2 == 1)
+    ann_codes_append_batch(b0, 0, idx)
+
+    def snap():
+        return sorted(map(tuple, load_ann_codes_log(spark, idx).collect()))
+
+    before = snap()
+    path = os.path.join(idx, "codes")
+    os.rename(path, path + ".compact.old")  # the between-renames window
+    with pytest.raises(RuntimeError, match="mid-compaction-swap"):
+        load_ann_codes_log(spark, idx).collect()
+
+    ann_codes_append_batch(b1, 1, idx)  # must recover, not orphan b0
+    full = snap()
+    assert sorted(r[0] for r in full) == sorted(
+        r["vec_id"] for r in e.select("vec_id").collect()
+    )
+    assert before and set(map(tuple, before)) <= set(map(tuple, full))
+
+    ann_codes_compact(spark, idx)
+    assert snap() == full
