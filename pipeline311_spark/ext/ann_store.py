@@ -228,6 +228,51 @@ def ann_quantizer_build(
     return cents, cbook
 
 
+
+def _load_quantizer(
+    spark: SparkSession, out: str, use_cache: bool = False
+) -> tuple[dict[int, list[float]], dict[int, list[float]]]:
+    """Collect the two FROZEN metadata artifacts as driver dicts — the
+    ONE home of quantizer loading (review r9: three call sites carried
+    verbatim copies).  Reads only centroids/codebook, never the codes
+    dir (which may legitimately not exist yet — streaming indexes whose
+    first batch hasn't arrived; DataFrameReader.parquet resolves paths
+    eagerly).
+
+    ``use_cache=True`` (the per-micro-batch appender) memoizes on the
+    artifacts' write markers' mtime_ns, so a long-running stream pays
+    the two read+collect jobs once instead of per trigger while a
+    REBUILT quantizer at the same path still invalidates."""
+    cpath, bpath = os.path.join(out, "centroids"), os.path.join(out, "codebook")
+    key = None
+    if use_cache:
+        try:
+            key = (
+                out,
+                os.stat(os.path.join(cpath, "_SUCCESS")).st_mtime_ns,
+                os.stat(os.path.join(bpath, "_SUCCESS")).st_mtime_ns,
+            )
+        except OSError:
+            key = None
+        if key is not None and key in _QUANTIZER_CACHE:
+            return _QUANTIZER_CACHE[key]
+    cents = {
+        r["cell"]: list(r["cv"])
+        for r in spark.read.schema(_centroid_schema("cell")).parquet(cpath).collect()
+    }
+    cbook = {
+        r["cid"]: list(r["cv"])
+        for r in spark.read.schema(_centroid_schema("cid")).parquet(bpath).collect()
+    }
+    if key is not None:
+        _QUANTIZER_CACHE.clear()  # bounded: one live stream per process is the shape
+        _QUANTIZER_CACHE[key] = (cents, cbook)
+    return cents, cbook
+
+
+_QUANTIZER_CACHE: dict = {}
+
+
 def ann_index_update(
     spark: SparkSession,
     out: str,
@@ -251,8 +296,7 @@ def ann_index_update(
     ``bm25_index_update`` (ADVICE r8): an overlapping append would
     serve the same vec_id twice."""
     index = load_ann_index(spark, out, m)
-    cents = {r["cell"]: list(r["cv"]) for r in index.centroids.collect()}
-    cbook = {r["cid"]: list(r["cv"]) for r in index.codebook.collect()}
+    cents, cbook = _load_quantizer(spark, out)
     v = _vec_frame(batch, id_col, vec_col)
     if not cents or not cbook:
         if not v.take(1):
@@ -370,21 +414,7 @@ def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> Dat
     driver-chosen probe cells -> pcell-pruned read of ``index_codes``
     -> per-query LUT distance projection -> bounded top-k window."""
     empty = "query_id long, rank long, neighbor_id long"
-    # quantizer-only reads: the codes dir may legitimately not exist
-    # yet (an index whose stream saw zero batches), and
-    # DataFrameReader.parquet resolves its path eagerly
-    cents = {
-        r["cell"]: list(r["cv"])
-        for r in spark.read.schema(_centroid_schema("cell"))
-        .parquet(os.path.join(out, "centroids"))
-        .collect()
-    }
-    cbook = {
-        r["cid"]: list(r["cv"])
-        for r in spark.read.schema(_centroid_schema("cid"))
-        .parquet(os.path.join(out, "codebook"))
-        .collect()
-    }
+    cents, cbook = _load_quantizer(spark, out)
     if not cents or not cbook or not qvecs:
         return spark.createDataFrame([], empty)
     probes = probe_cells_py(qvecs, cents, nprobe)
@@ -458,21 +488,7 @@ def ann_codes_append_batch(
 
     spark = batch_df.sparkSession
     recover_swap(os.path.join(out, "codes"))
-    # read ONLY the quantizer artifacts: the codes dir does not exist
-    # yet on the first micro-batch, and DataFrameReader.parquet resolves
-    # its path eagerly
-    cents = {
-        r["cell"]: list(r["cv"])
-        for r in spark.read.schema(_centroid_schema("cell"))
-        .parquet(os.path.join(out, "centroids"))
-        .collect()
-    }
-    cbook = {
-        r["cid"]: list(r["cv"])
-        for r in spark.read.schema(_centroid_schema("cid"))
-        .parquet(os.path.join(out, "codebook"))
-        .collect()
-    }
+    cents, cbook = _load_quantizer(spark, out, use_cache=True)
     if not cents or not cbook:
         if not _vec_frame(batch_df, id_col, vec_col).take(1):
             return  # empty micro-batch against an empty index: a no-op
@@ -586,17 +602,30 @@ def pq_train_codebook(
     if not cbook:
         return cbook
     for _ in range(iters):
+        # ONE corpus pass per iteration (review r9: a union of m
+        # per-subspace branches re-scanned and re-encoded the corpus m
+        # times — Spark does not share a scan across union branches):
+        # all m (j, cid, subvector) assignments ride one struct array,
+        # exploded map-side
         coded = v.select(
-            "v", *[pq_code_col(j, cbook, subdim).alias(f"code{j}") for j in range(m)]
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            pq_code_col(j, cbook, subdim).alias("cid"),
+                            F.slice("v", j * subdim + 1, subdim).alias("sub"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("x")
         )
-        parts = None
-        for j in range(m):
-            p = coded.select(
-                F.lit(j).alias("j"),
-                F.col(f"code{j}").alias("cid"),
-                F.posexplode(F.slice("v", j * subdim + 1, subdim)).alias("d", "val"),
-            )
-            parts = p if parts is None else parts.unionByName(p)
+        parts = coded.select(
+            F.col("x.j").alias("j"),
+            F.col("x.cid").alias("cid"),
+            F.posexplode("x.sub").alias("d", "val"),
+        )
         stats = parts.groupBy("j", "cid", "d").agg(
             (
                 F.sum(F.col("val").cast("decimal(30,15)"))

@@ -37,7 +37,7 @@ from pipeline311_spark.ext.ann_store import (
     ann_index_update,
 )
 from pipeline311_spark.plans.common import emb_table
-from pipeline311_spark.plans.curation4 import _PQ_K, _PQ_M, _pq_sqdist_sql
+from pipeline311_spark.plans.curation4 import _PQ_K, _PQ_M, _PQ_SUBDIM, _pq_sqdist_sql
 from pipeline311_spark.plans.registry import register
 
 _ANN_CELLS = 8
@@ -261,7 +261,12 @@ def q_ivfpq_trained_audit(spark, sf_dir):
 
     e = emb_table(spark, sf_dir)
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cbook = pq_train_codebook(v, pq_k=_TRAIN_PQ_K, iters=_TRAIN_ITERS)
+    # ONE geometry for train, encode, and LUT (review r9: a hardcoded
+    # 16 here plus pq_train_codebook's defaults would silently encode
+    # with mismatched geometry if either module's constants moved)
+    cbook = pq_train_codebook(
+        v, pq_k=_TRAIN_PQ_K, m=_PQ_M, subdim=_PQ_SUBDIM, iters=_TRAIN_ITERS
+    )
     qvecs = _query_vecs(e)
     if not cbook or not qvecs:
         return spark.createDataFrame(
@@ -269,12 +274,12 @@ def q_ivfpq_trained_audit(spark, sf_dir):
         )
     codes = v.select(
         "vec_id",
-        *[pq_code_col(j, cbook, 16).alias(f"code{j}") for j in range(_PQ_M)],
+        *[pq_code_col(j, cbook, _PQ_SUBDIM).alias(f"code{j}") for j in range(_PQ_M)],
     )
     entries = [
         F.struct(
             F.lit(qid).cast("long").alias("query_id"),
-            adc_dist_expr(qvecs[qid], cbook, _PQ_M, 16).alias("dist"),
+            adc_dist_expr(qvecs[qid], cbook, _PQ_M, _PQ_SUBDIM).alias("dist"),
         )
         for qid in sorted(qvecs)
     ]
@@ -309,6 +314,9 @@ def q_ivfpq_trained_audit(spark, sf_dir):
         .groupBy("query_id")
         .agg(
             F.count("hit").cast("long").alias("n_overlap"),
-            (F.count("hit").cast("double") / _AUDIT_K).alias("recall"),
+            # denominator = the exact rows this query actually has, not
+            # the constant k: on a corpus with < k non-self vectors a
+            # perfect index must audit at 1.0, not |exact|/k (review r9)
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
     )

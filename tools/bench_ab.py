@@ -76,6 +76,11 @@ def main() -> None:
         sys.path.insert(0, REPO)
         from bench import _machine_state  # noqa: PLC0415
 
+    # stamp BEFORE the JVM exists: _calibrate_parallel fork()s a pool,
+    # and forking a multithreaded live-py4j driver can inherit a held
+    # lock and hang, losing the whole report (review r9)
+    machine = _machine_state()
+
     from pyspark.sql import SparkSession  # noqa: PLC0415
 
     spark = (
@@ -136,7 +141,7 @@ def main() -> None:
                 "old_ref": sha,
                 "sf_dir": sf_dir,
                 "queries": report,
-                "machine": _machine_state(),
+                "machine": machine,
             }
         )
     )
