@@ -238,6 +238,34 @@ def main() -> None:
             }
         )
     )
+    # A SHORT trailing summary (VERDICT r9 nit 1): the full line above
+    # overflows the driver's tail-capture window, so BENCH_r09 recorded
+    # "parsed": null and lost the headline total.  This last line is
+    # deliberately compact — same {metric, value, unit, queries, sf}
+    # shape, with per-FAMILY second sums (name prefix before the first
+    # '_') standing in for the per-query map — so whatever tail window
+    # the driver keeps always ends in one parseable record.
+    families: dict[str, float] = {}
+    for name, t in {**per_query, **extra}.items():
+        if isinstance(t, float):
+            fam = name.split("_", 1)[0]
+            families[fam] = round(families.get(fam, 0.0) + t, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": families,
+                "queries_are_family_sums": True,
+                "n_headline": len(per_query),
+                "n_extra": len(extra),
+                "sf": float(sf) if sf else sf_dir,
+                "calib_parallel8_sec": machine.get("calib_parallel8_sec"),
+                "loadavg": machine.get("loadavg"),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -27,10 +27,14 @@ Index contract (three parquet artifacts under one directory):
 
 Metric conventions (shared with the oracle twins, bit-identical):
 cell assignment and probing use FULL-dimension squared L2, PQ encode
-uses per-subspace squared L2 — every fold is the prepend-0.0 left
-fold of :func:`pipeline311_spark.ext.similarity.sqdist`, which DuckDB
-mirrors with ``list_reduce(list_prepend(0.0, ...))``.  All distances
-are COMPARED, never emitted (ranks + ids only reach hashed output).
+uses per-subspace squared L2 over the RESIDUAL ``v − centroid[cell]``
+(standard IVF-PQ, round 10 — the codebook covers only the within-cell
+spread, recovering most of the quantization loss at identical code
+size) — every fold is the prepend-0.0 left fold of
+:func:`pipeline311_spark.ext.similarity.sqdist`, which DuckDB mirrors
+with ``list_reduce(list_prepend(0.0, ...))``; the residual subtraction
+is elementwise IEEE double in both engines.  All distances are
+COMPARED, never emitted (ranks + ids only reach hashed output).
 
 Incremental maintenance (:func:`ann_index_update`): the coarse
 quantizer and codebook are FROZEN per corpus version (the production
@@ -90,15 +94,20 @@ def _codes_schema(m: int) -> T.StructType:
 
 
 def assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, v, cell): each vector joins its nearest coarse centroid
-    (min full-dim squared L2, ties broken by cell id).  Centroids are
-    broadcast — one corpus scan, no shuffle until the per-vector top-1
-    window (which AQE sizes off |cells|·|corpus| candidate rows, the
-    same shape as :func:`pipeline311_spark.ext.similarity.ivf_assign`).
-    Distances are compared, never emitted."""
+    """(vec_id, v, cell, cv): each vector joins its nearest coarse
+    centroid (min full-dim squared L2, ties broken by cell id), KEEPING
+    the winning centroid vector — residual encoding subtracts it, and
+    carrying it out of the already-broadcast join costs nothing at any
+    corpus size (the alternative, a literal cell→cv map in the encode
+    expression, blows up at the 2^12-2^16 cells a 100 TB corpus uses).
+    Centroids are broadcast — one corpus scan, no shuffle until the
+    per-vector top-1 window (which AQE sizes off |cells|·|corpus|
+    candidate rows, the same shape as
+    :func:`pipeline311_spark.ext.similarity.ivf_assign`).  Distances
+    are compared, never emitted."""
     c = F.broadcast(centroids.select("cell", "cv"))
     scored = ensure_parallelism(vectors.select("vec_id", "v")).join(c).select(
-        "vec_id", "v", "cell", sqdist(F.col("v"), F.col("cv")).alias("__d")
+        "vec_id", "v", "cell", "cv", sqdist(F.col("v"), F.col("cv")).alias("__d")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("__d").asc(), F.col("cell").asc())
     return (
@@ -114,7 +123,17 @@ def pq_codes(
     """(vec_id, code0..codeM-1, pcell) from an ``assign_cells`` frame —
     a PURE map-side projection: the codebook is metadata-scale and
     injected as literals (the plans/curation4.py PQ convention), so
-    encode adds ZERO exchanges at any corpus size."""
+    encode adds ZERO exchanges at any corpus size.
+
+    Since round 10 this is RESIDUAL encoding (standard IVF-PQ, VERDICT
+    r9 item 2): the code quantizes ``v − centroid[cell]``, not the raw
+    vector — the codebook only has to cover the within-cell spread, not
+    the whole embedding space, which the recall audit shows recovers
+    most of the quantization loss at identical code size (SCALE.md).
+    The subtraction is an elementwise double op (``zip_with``), so the
+    DuckDB twin's ``p[1] - p[2]`` is bit-identical and the exact oracle
+    gate survives.  Raw (non-residual) PQ remains available as the
+    cell-less query-local path (plans/curation4 sim_pq_*)."""
     if not codebook:
         # stable schema, zero rows: with no codebook there is nothing
         # an ADC query could rank (mirrors _pq_codes_projection)
@@ -123,9 +142,13 @@ def pq_codes(
             *[F.lit(None).cast("long").alias(f"code{j}") for j in range(m)],
             F.lit(None).cast("string").alias("pcell"),
         )
-    return assigned.select(
+    resid = assigned.withColumn("rv", F.zip_with("v", "cv", lambda a, b: a - b))
+    return resid.select(
         "vec_id",
-        *[pq_code_col(j, codebook, subdim).alias(f"code{j}") for j in range(m)],
+        *[
+            pq_code_col(j, codebook, subdim, v_col="rv").alias(f"code{j}")
+            for j in range(m)
+        ],
         F.concat(F.lit("c"), F.col("cell").cast("string")).alias("pcell"),
     )
 
@@ -211,14 +234,27 @@ def ann_quantizer_build(
     the prerequisite of streaming maintenance, where codes arrive from
     micro-batches (:func:`ann_codes_append_batch`) and no one-shot
     corpus encode ever runs.  ``seed_v`` is a (vec_id, v) frame; one
-    metadata-scale collect.  Returns the (centroids, codebook) dicts so
-    a same-process build can encode without re-reading them."""
-    head = {
-        r["vec_id"]: [float(x) for x in r["v"]]
-        for r in seed_v.filter(F.col("vec_id") < max(n_cells, pq_k)).collect()
-    }
-    cents = {i: vec for i, vec in head.items() if i < n_cells}
-    cbook = {i: vec for i, vec in head.items() if i < pq_k}
+    metadata-scale collect (orderBy+limit → TakeOrdered, no shuffle).
+    Returns the (centroids, codebook) dicts so a same-process build can
+    encode without re-reading them.
+
+    Seeds really are the N LOWEST ids (ADVICE r9: the old
+    ``vec_id < max(n_cells, pq_k)`` filter silently trained an
+    undersized or empty quantizer on a corpus with offset/sparse ids)
+    — and a non-empty seed frame that still yields no centroids is a
+    contract violation, not a valid empty index."""
+    n_seed = max(n_cells, pq_k)
+    ordered = sorted(
+        (r["vec_id"], [float(x) for x in r["v"]])
+        for r in seed_v.orderBy("vec_id").limit(n_seed).collect()
+    )
+    cents = dict(ordered[:n_cells])
+    cbook = dict(ordered[:pq_k])
+    if not cents and seed_v.take(1):
+        raise ValueError(
+            "ann_quantizer_build: a non-empty seed frame produced zero "
+            "centroids — n_cells/pq_k must be >= 1"
+        )
     spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
@@ -295,7 +331,6 @@ def ann_index_update(
     short-circuits) and raises on overlap — the same opt-in guard as
     ``bm25_index_update`` (ADVICE r8): an overlapping append would
     serve the same vec_id twice."""
-    index = load_ann_index(spark, out, m)
     cents, cbook = _load_quantizer(spark, out)
     v = _vec_frame(batch, id_col, vec_col)
     if not cents or not cbook:
@@ -311,6 +346,11 @@ def ann_index_update(
             "seed vectors before appending batches"
         )
     if validate_disjoint:
+        # load the codes view only here (ADVICE r9: an unconditional
+        # load eagerly resolves all three paths — extra listing work,
+        # and a hard failure on a quantizer-only store even for calls
+        # that never touch codes)
+        index = load_ann_index(spark, out, m)
         overlap = (
             index.codes.select("vec_id")
             .join(F.broadcast(v.select("vec_id").distinct()), "vec_id", "left_semi")
@@ -409,10 +449,28 @@ def ann_adc_topk_from_store(
     )
 
 
+#: Hard cap on the per-call query set of the ADC serve: each query adds
+#: nprobe per-cell LUTs of m*k literals to ONE expression tree, and the
+#: pruned-codes scan is exploded |queries|-fold — the bounded-query-set
+#: contract brute_force_topk documents, made structural (VERDICT r9
+#: nit 3: nothing stopped a 10^5-query caller from building a
+#: 10^5-literal plan).  Batch workloads beyond this should loop in
+#: caps, or rank via a join against a query TABLE instead of literals.
+SERVE_MAX_QUERIES = 128
+
+
 def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> DataFrame:
     """The shared serve kernel (review r9: one home for the ranking):
     driver-chosen probe cells -> pcell-pruned read of ``index_codes``
-    -> per-query LUT distance projection -> bounded top-k window."""
+    -> per-query LUT distance projection -> bounded top-k window.
+    ``qvecs`` is capped at :data:`SERVE_MAX_QUERIES` (driver-side
+    expression-tree cost is linear in it)."""
+    if len(qvecs) > SERVE_MAX_QUERIES:
+        raise ValueError(
+            f"ADC serve got {len(qvecs)} query vectors; the literal-LUT "
+            f"plan is bounded at {SERVE_MAX_QUERIES} per call — split the "
+            "query set, or join a query table instead"
+        )
     empty = "query_id long, rank long, neighbor_id long"
     cents, cbook = _load_quantizer(spark, out)
     if not cents or not cbook or not qvecs:
@@ -422,7 +480,9 @@ def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> Dat
     entries = [
         F.struct(
             F.lit(qid).cast("long").alias("query_id"),
-            adc_dist_expr(qvecs[qid], cbook, m, subdim).alias("dist"),
+            _residual_dist_case(
+                qvecs[qid], probes[qid], cents, cbook, m, subdim
+            ).alias("dist"),
             F.array(*[F.lit(f"c{c}") for c in probes[qid]]).alias("cells"),
         )
         for qid in sorted(qvecs)
@@ -444,6 +504,31 @@ def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> Dat
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def _residual_dist_case(
+    qv: Sequence[float],
+    cells: Sequence[int],
+    cents: dict[int, list[float]],
+    cbook: dict[int, list[float]],
+    m: int,
+    subdim: int,
+) -> Column:
+    """Residual-ADC distance for ONE query: codes quantize
+    ``v − centroid[cell]`` (:func:`pq_codes`), so the query-side LUT
+    must be built from the query's residual against the SAME cell —
+    a CASE over ``pcell`` with one :func:`adc_dist_expr` branch per
+    probed cell (nprobe branches of m·k literals; rows of un-probed
+    cells fall out of the surrounding ``cells`` filter, so the missing
+    ELSE is never observed).  Residuals subtract driver-side in plain
+    Python doubles — bit-identical to the twin's ``p[1] - p[2]``."""
+    expr = None
+    for c in cells:
+        rq = [a - b for a, b in zip(qv, cents[c])]
+        d = adc_dist_expr(rq, cbook, m, subdim)
+        cond = F.col("pcell") == f"c{c}"
+        expr = F.when(cond, d) if expr is None else expr.when(cond, d)
+    return expr
 
 
 # ---------------------------------------------------------------------------
@@ -628,12 +713,21 @@ def pq_train_codebook(
         )
         stats = parts.groupBy("j", "cid", "d").agg(
             (
-                F.sum(F.col("val").cast("decimal(30,15)"))
+                F.sum(F.col("val").cast("decimal(38,15)"))
                 / F.count("*")
             ).cast("double").alias("mean")
         )
         new_cbook = {c: list(vec) for c, vec in cbook.items()}
         for r in stats.collect():  # m*k*subdim rows — metadata-scale
+            if r["mean"] is None:
+                # a component outside decimal(38,15) (|v| >= 1e23) or an
+                # overflowed sum casts to NULL and would otherwise be
+                # silently dropped from the mean (ADVICE r9)
+                raise ValueError(
+                    "pq_train_codebook: exact-decimal mean overflowed for "
+                    f"(subspace={r['j']}, centroid={r['cid']}, dim={r['d']}) "
+                    "— embedding components must satisfy |v| < 1e23"
+                )
             new_cbook[r["cid"]][r["j"] * subdim + r["d"]] = float(r["mean"])
         cbook = new_cbook
     return cbook

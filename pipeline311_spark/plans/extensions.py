@@ -1368,7 +1368,9 @@ def q_norm_stats(spark, sf_dir):
 @register(
     "stream_minhash_maintain",
     _minhash_pairs_sql(),
-    covers=("ext:dedup", "T1", "K2"),
+    # ext:gram-log: the gram delta-log family's own tag (VERDICT r9
+    # nit 2 — forces this family into the driver's sampled head)
+    covers=("ext:dedup", "ext:gram-log", "T1", "K2"),
 )
 def q_stream_minhash_maintain(spark, sf_dir):
     """The gram-store maintenance loop as a REAL Structured Streaming

@@ -78,9 +78,11 @@ def test_serve_read_is_partition_pruned_to_probed_cells(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters: [pcell" in plan and " IN (c" in plan
     # the probed-cell restriction must reach the scan, and nothing else
-    # may rescan the corpus: exactly ONE parquet scan (the codes table;
-    # formatted explain prints each scan twice — tree line + detail)
-    assert plan.count("Scan parquet") == 2
+    # may rescan the corpus: exactly ONE parquet scan.  Count the
+    # per-scan 'Location:' detail entries, not the doubled tree+detail
+    # 'Scan parquet' lines (ADVICE r9: the doubling is a formatting
+    # artifact that an engine upgrade could change spuriously)
+    assert plan.count("Location:") == 1
     assert served.count() > 0
 
 
