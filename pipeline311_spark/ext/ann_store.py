@@ -599,30 +599,59 @@ def ann_codes_append_batch(
     )
 
 
+def ann_codes_delete_batch(
+    ids: DataFrame, batch_id: int, out: str, id_col: str = "vec_id"
+) -> None:
+    """Tombstone one batch of DELETED vec ids (VERDICT r9 item 1): code
+    rows are row-disjoint per vector, so deletion is a sibling
+    ``codes_deleted`` tombstone log — anti-joined by
+    :func:`load_ann_codes_log`, physically dropped at
+    :func:`ann_codes_compact`.  Replay-idempotent (each delete batch
+    overwrites its own tombstone partition); the quantizer artifacts
+    are untouched — deletion never retrains a frozen quantizer."""
+    from pipeline311_spark.ext.artifact import tombstone_append
+
+    tombstone_append(
+        ids.select(F.col(id_col).alias("vec_id")),
+        batch_id,
+        os.path.join(out, "codes_deleted"),
+        "vec_id",
+    )
+
+
 def load_ann_codes_log(spark: SparkSession, out: str, m: int = ANN_M) -> DataFrame:
     """Fold the codes log back to the serving view (vec_id, code*,
     pcell): the union of batch partitions IS the merge (disjoint vec
-    ids).  Refuses loudly mid-compaction-swap."""
-    from pipeline311_spark.ext.artifact import read_log
+    ids), minus tombstoned vectors (anti-join against the
+    metadata-scale deleted set; absent log = no-op — the pcell
+    PartitionFilters still reach the codes scan through the join's
+    left side).  Refuses loudly mid-compaction-swap."""
+    from pipeline311_spark.ext.artifact import apply_tombstones, read_log
 
-    return read_log(spark, os.path.join(out, "codes"), _codes_log_schema(m)).drop(
+    codes = read_log(spark, os.path.join(out, "codes"), _codes_log_schema(m)).drop(
         "batch_id"
     )
+    return apply_tombstones(spark, codes, os.path.join(out, "codes_deleted"), "vec_id")
 
 
 def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
     """Fold the per-batch code partitions into the ``batch_id = -1``
-    base via the shared crash-recoverable swap."""
-    from pipeline311_spark.ext.artifact import compact_swap, read_log, recover_swap
+    base via the shared crash-recoverable swap; tombstoned vectors are
+    physically dropped (the fold reads through
+    :func:`load_ann_codes_log`) and the tombstone log folded-but-
+    retained (ext/artifact.py module note)."""
+    from pipeline311_spark.ext.artifact import (
+        compact_swap,
+        compact_tombstones,
+        recover_swap,
+    )
 
     path = os.path.join(out, "codes")
     recover_swap(path)
     if not os.path.isdir(path):
         return
-    base = (
-        read_log(spark, path, _codes_log_schema(m))
-        .drop("batch_id")
-        .withColumn("batch_id", F.lit(-1).cast("long"))
+    base = load_ann_codes_log(spark, out, m).withColumn(
+        "batch_id", F.lit(-1).cast("long")
     )
     compact_swap(
         path,
@@ -630,6 +659,7 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
         .partitionBy("batch_id", "pcell")
         .parquet(staging),
     )
+    compact_tombstones(spark, os.path.join(out, "codes_deleted"), "vec_id")
 
 
 def ann_adc_topk_from_log(
@@ -663,6 +693,78 @@ def ann_adc_topk_from_log(
 # associative) and divided by the exact count — identical centroids on
 # every run, which makes codes, LUTs, and ranks identical too.
 # ---------------------------------------------------------------------------
+
+
+def ann_cells_train(
+    v: DataFrame, n_cells: int, dim: int, iters: int = 2
+) -> dict[int, list[float]]:
+    """Lloyd-train the IVF coarse cells (VERDICT r9 item 4: seed cells
+    leave cell balance untrained — a hot cell defeats nprobe pruning).
+    This IS :func:`pq_train_codebook` with ONE subspace spanning the
+    full dimension: same lowest-id seed convention, same exact-decimal
+    means (cross-run deterministic), same single-pass-per-iteration
+    shape.  Like codebook training it breaks SQL-expressibility, so its
+    consumers are audit-gated (sim_ivfpq_trained_audit), while the
+    registry's oracle-exact fixtures keep the seed convention."""
+    return pq_train_codebook(v, pq_k=n_cells, m=1, subdim=dim, iters=iters)
+
+
+def ann_index_build_trained(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out: str,
+    n_cells: int,
+    pq_k: int,
+    m: int = ANN_M,
+    subdim: int = ANN_SUBDIM,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The TRAINED-quantizer build: Lloyd-train the coarse cells on the
+    corpus, assign, Lloyd-train the PQ codebook on the RESIDUALS (the
+    codebook then models within-cell spread — the quantity residual
+    codes encode), write all three artifacts.  Serving is unchanged
+    (:func:`ann_adc_topk_from_store` — the store layout doesn't know or
+    care how its quantizer was trained; frozen-per-corpus-version and
+    incremental-append semantics carry over verbatim).  Cost:
+    2·``iters`` + 2 corpus passes, each a broadcast-join/projection
+    with a metadata-scale shuffle — the standard distributed k-means
+    shape."""
+    v = _vec_frame(corpus, id_col, vec_col)
+    first = v.select(F.size("v").alias("d")).take(1)
+    dim = int(first[0]["d"]) if first else m * subdim
+    cents = ann_cells_train(v, n_cells, dim, iters=iters)
+    centroids_df = spark.createDataFrame(
+        [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+    )
+    centroids_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "centroids")
+    )
+    if cents:
+        assigned = assign_cells(v, centroids_df)
+        resid = assigned.select(
+            "vec_id", F.zip_with("v", "cv", lambda a, b: a - b).alias("v")
+        )
+        cbook = pq_train_codebook(resid, pq_k=pq_k, m=m, subdim=subdim, iters=iters)
+    else:
+        cbook = {}
+    spark.createDataFrame(
+        [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+    _encode_write(spark, v, out, cents, cbook, m, subdim, mode="overwrite")
+
+
+def cell_balance_py(codes_pops: dict[str, int]) -> tuple[int, int]:
+    """(max, lower-median) cell population from a collected
+    {pcell: count} map — the skew statistic nprobe pruning's worst case
+    depends on (a hot cell makes every probe that hits it scan-heavy).
+    Driver-side over |cells| values — metadata-scale, deterministic
+    (integer counts, sorted fold)."""
+    if not codes_pops:
+        return (0, 0)
+    pops = sorted(codes_pops.values())
+    return (pops[-1], pops[(len(pops) - 1) // 2])
 
 
 def pq_train_codebook(

@@ -15,13 +15,32 @@ MinHash gram table (ext/dedup.py).  Both follow one contract:
 * **compact** (:func:`recover_swap` + :func:`compact_swap`): fold the
   accreted per-batch partitions into a single ``batch_id = -1`` base
   (real micro-batch ids are >= 0, so even a FRESH checkpoint restarting
-  at 0 can never overwrite the base).  Swap mechanics: write staging →
+  at 0 can never overwrite the base).  Compaction requires a QUIESCED
+  log — no uncommitted batch on any writing stream: folding eats the
+  per-batch partitions, so a pre-compaction batch replayed AFTER the
+  fold would re-add rows/deltas the base already contains (the same
+  reason a table OPTIMIZE coordinates with writers).  Every caller in
+  this repo compacts after ``awaitTermination``.  Swap mechanics: write staging →
   rename live to ``.old`` → rename staging to live → remove ``.old``
   (LOCAL-FS by design; an object-store deployment swaps via the table
   format's OPTIMIZE).  A crash between the two renames is recovered by
   the next :func:`recover_swap`; a crash AFTER the live rename but
   before cleanup leaves a stale non-empty ``.old`` which the next
   :func:`compact_swap` drops (live is authoritative — ADVICE r8).
+* **delete** (:func:`tombstone_append` + :func:`apply_tombstones`,
+  round 10 — VERDICT r9 item 1): row-disjoint artifacts (gram rows,
+  ANN code rows, BM25 postings) delete by TOMBSTONE — a sibling
+  batch-id log of deleted ids, anti-joined at read time and physically
+  dropped from the main artifact at compaction.  Tombstone rows are
+  RETAINED across compactions (folded to their own ``batch_id = -1``
+  base, :func:`compact_tombstones`): clearing them would let an
+  at-least-once REPLAY of a pre-delete append batch resurrect a
+  deleted row when append and delete arrive on separate streams with
+  separate checkpoints.  The corollary contract: ids are never reused
+  (already implied by the engine-wide disjoint-batch contract) — a
+  re-added document must carry a NEW id or the old tombstone masks it.
+  Tombstone volume is |deleted ids| — metadata-scale next to the
+  corpus-sized artifact it guards.
 """
 
 from __future__ import annotations
@@ -53,6 +72,73 @@ def recover_swap(path: str) -> None:
     old = path + ".compact.old"
     if os.path.isdir(old) and not os.path.isdir(path):
         os.rename(old, path)
+
+
+def tombstone_schema(id_field: str) -> T.StructType:
+    """(id, batch_id) — the tombstone log row."""
+    return T.StructType(
+        [
+            T.StructField(id_field, T.LongType()),
+            T.StructField("batch_id", T.LongType()),
+        ]
+    )
+
+
+def tombstone_append(ids: DataFrame, batch_id: int, path: str, id_field: str) -> None:
+    """Append one delete-batch of ids to the tombstone log at ``path``
+    — the delete-side ``foreachBatch`` body.  Same idempotence shape as
+    the data appenders: each write dynamically overwrites ONLY its own
+    ``batch_id`` partition, and a crashed compaction swap is recovered
+    FIRST (the appender contract, review r9)."""
+    from pyspark.sql import functions as F
+
+    recover_swap(path)
+    (
+        ids.select(F.col(id_field).cast("long").alias(id_field))
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def apply_tombstones(
+    spark: SparkSession, rows: DataFrame, path: str, id_field: str
+) -> DataFrame:
+    """``rows`` minus every id in the tombstone log at ``path`` — ONE
+    left-anti join against the (metadata-scale) deleted-id set; an
+    absent log folds to a no-op.  No broadcast hint: the deleted set is
+    usually tiny (AQE broadcasts it) but is not structurally bounded,
+    so the planner keeps the choice."""
+    ts = read_log(spark, path, tombstone_schema(id_field)).select(id_field)
+    # re-select: the USING-join floats the id column to the front, and
+    # artifact readers are column-ordered (explicit schemas)
+    return rows.join(ts, id_field, "left_anti").select(rows.columns)
+
+
+def compact_tombstones(spark: SparkSession, path: str, id_field: str) -> None:
+    """Fold the tombstone log to its ``batch_id = -1`` base, RETAINING
+    the ids (module note: retention is what keeps a replayed
+    pre-delete append batch from resurrecting deleted rows)."""
+    from pyspark.sql import functions as F
+
+    recover_swap(path)
+    if not os.path.isdir(path):
+        return
+    base = (
+        read_log(spark, path, tombstone_schema(id_field))
+        .select(id_field)
+        .distinct()
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    compact_swap(
+        path,
+        lambda staging: base.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(staging),
+    )
 
 
 def compact_swap(path: str, write_staging: Callable[[str], None]) -> None:

@@ -1373,36 +1373,73 @@ def gram_log_append_batch(
     )
 
 
+def gram_log_delete_batch(
+    ids: DataFrame, batch_id: int, store_dir: str, id_col: str = "doc_id"
+) -> None:
+    """Tombstone one batch of DELETED doc ids (VERDICT r9 item 1 — the
+    delete half of the gram-store lifecycle, the index-layer mirror of
+    the table-layer reconciliation the reference runs,
+    /root/reference/delete-removed-tickets.py:138-169).  Gram rows are
+    row-disjoint per doc, so deletion needs no stat folding: the ids
+    land in a sibling ``grams_deleted`` tombstone log (replay-
+    idempotent, same batch-partition contract as the appender) and
+    :func:`load_gram_log` anti-joins them out; compaction physically
+    drops them from the gram base."""
+    import os
+
+    from pipeline311_spark.ext.artifact import tombstone_append
+
+    tombstone_append(
+        ids.select(F.col(id_col).alias("doc")),
+        batch_id,
+        os.path.join(store_dir, "grams_deleted"),
+        "doc",
+    )
+
+
 def load_gram_log(spark, store_dir: str) -> DataFrame:
     """Fold the log back into the (doc, g) gram table: the union of
-    batch partitions is the merge (disjoint doc ids).  Refuses loudly
+    batch partitions is the merge (disjoint doc ids), minus the
+    tombstoned docs (one anti-join against the metadata-scale deleted
+    set; absent tombstone log = no-op).  Refuses loudly
     mid-compaction-swap (ext/artifact.py)."""
     import os
 
-    from pipeline311_spark.ext.artifact import read_log
+    from pipeline311_spark.ext.artifact import apply_tombstones, read_log
 
-    return read_log(
+    grams = read_log(
         spark, os.path.join(store_dir, "grams"), _gram_log_schema()
     ).drop("batch_id")
+    return apply_tombstones(
+        spark, grams, os.path.join(store_dir, "grams_deleted"), "doc"
+    )
 
 
 def gram_log_compact(spark, store_dir: str) -> None:
     """Fold the per-batch partitions into the single ``batch_id = -1``
     base (file-count pressure — the same reason bm25_index_compact
     exists); value-preserving, crash-recoverable via the shared
-    two-rename swap."""
+    two-rename swap.  Tombstoned docs are PHYSICALLY DROPPED from the
+    gram base (the fold reads through :func:`load_gram_log`); the
+    tombstone log itself is folded but retained (ext/artifact.py module
+    note: retention keeps replayed pre-delete append batches from
+    resurrecting deleted docs).  A crash between the two swaps is
+    value-preserving: grams-compacted + tombstones-unfolded anti-joins
+    ids that no longer exist."""
     import os
 
-    from pipeline311_spark.ext.artifact import compact_swap, read_log, recover_swap
+    from pipeline311_spark.ext.artifact import (
+        compact_swap,
+        compact_tombstones,
+        recover_swap,
+    )
 
     path = os.path.join(store_dir, "grams")
     recover_swap(path)
     if not os.path.isdir(path):
         return  # nothing ever appended
-    base = (
-        read_log(spark, path, _gram_log_schema())
-        .drop("batch_id")
-        .withColumn("batch_id", F.lit(-1).cast("long"))
+    base = load_gram_log(spark, store_dir).withColumn(
+        "batch_id", F.lit(-1).cast("long")
     )
     compact_swap(
         path,
@@ -1410,6 +1447,7 @@ def gram_log_compact(spark, store_dir: str) -> None:
         .partitionBy("batch_id")
         .parquet(staging),
     )
+    compact_tombstones(spark, os.path.join(store_dir, "grams_deleted"), "doc")
 
 
 # ---------------------------------------------------------------------------

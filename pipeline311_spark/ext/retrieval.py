@@ -205,6 +205,83 @@ def bm25_index_update(
     )
 
 
+def bm25_index_delete(
+    index: Bm25Index,
+    removed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    validate_contained: bool = False,
+) -> Bm25Index:
+    """Remove a batch of docs from the index — the exact DUAL of
+    :func:`bm25_index_update` (merge-by-SUBTRACTION, VERDICT r9 item 1:
+    this completes the reference's own delete-reconciliation lifecycle,
+    /root/reference/delete-removed-tickets.py:138-169, at the index
+    layer).  ``removed`` must carry the docs EXACTLY as indexed (same
+    text): the negative deltas are recomputed from it, which is the
+    only way n_docs can account for zero-token docs that left no
+    posting rows.  Ids must not repeat across delete batches (a
+    double-delete would double-subtract — the same contract as the
+    update path's disjointness).
+
+    * postings: anti-join on the removed doc ids — postings are
+      row-disjoint per doc, so no arithmetic is needed.
+    * term_stats: per-term df SUBTRACTION (a union with negated batch
+      df rows riding the same dimension-scale sum fold as the update),
+      dropping terms whose df reaches zero — a fresh build over the
+      remaining corpus has no such rows.
+    * corpus_stats: one negated one-row frame summed in.
+
+    ``validate_contained=True`` probes that every removed doc with
+    postings IS indexed (bounded by the batch side) and raises
+    otherwise — subtracting a never-indexed doc would silently corrupt
+    the stats.  Like the update guard, it cannot see zero-token docs.
+    """
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    removed_postings = persist_tracked(build_bm25_postings(removed, id_col, text_col))
+    if validate_contained:
+        missing = (
+            removed_postings.select("doc_id")
+            .distinct()
+            .join(index.postings.select("doc_id"), "doc_id", "left_anti")
+            .take(1)
+        )
+        if missing:
+            raise ValueError(
+                f"bm25_index_delete: doc_id {missing[0]['doc_id']} is not "
+                "indexed — subtracting it would corrupt term/corpus stats"
+            )
+    removed_ids = removed.select(F.col(id_col).alias("doc_id")).distinct()
+    # re-select: the USING-join floats doc_id to the front, and the
+    # postings contract (and its artifact read-back) is column-ordered
+    postings = index.postings.join(removed_ids, "doc_id", "left_anti").select(
+        index.postings.columns
+    )
+    term_stats = (
+        index.term_stats.unionByName(
+            bm25_term_stats(removed_postings).withColumn(
+                "df", (-F.col("df")).cast("long")
+            )
+        )
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    corpus_stats = (
+        index.corpus_stats.unionByName(
+            bm25_corpus_stats(removed, id_col, text_col).select(
+                (-F.col("n_docs")).cast("long").alias("n_docs"),
+                (-F.col("sum_dl")).cast("long").alias("sum_dl"),
+            )
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    return Bm25Index(postings=postings, term_stats=term_stats, corpus_stats=corpus_stats)
+
+
 def bm25_score_topk(
     hits: DataFrame,
     term_df: DataFrame,
@@ -367,6 +444,69 @@ def bm25_index_append_batch(
     _append(bm25_corpus_stats(batch_df, id_col, text_col), "corpus_stats")
 
 
+def bm25_index_delete_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """The delete-side ``foreachBatch`` body — the log form of
+    :func:`bm25_index_delete`.  ``batch_df`` carries the removed docs
+    EXACTLY as indexed (same text; the in-memory dual's docstring
+    explains why ids alone can't maintain n_docs).  Three writes:
+
+    * ``deleted_docs``: the doc-id tombstone log
+      (:func:`pipeline311_spark.ext.artifact.tombstone_append`) —
+      :func:`load_bm25_index` anti-joins it out of the postings fold.
+    * ``term_stats`` / ``corpus_stats``: NEGATIVE delta rows riding the
+      SAME sum folds the append deltas ride — written at batch id
+      ``-(batch_id + 2)``, the negative key-space, because a delete
+      stream checkpoints independently of the append stream: its
+      micro-batch numbering restarts at 0 and a raw id would
+      dynamically overwrite the append stream's partition (and ``-1``
+      is the compaction base).  The mapping is injective, so replayed
+      delete batches stay idempotent.
+
+    Recovers crashed compaction swaps on every artifact first (the
+    appender contract)."""
+    from pipeline311_spark.ext.artifact import recover_swap, tombstone_append
+
+    for sub in ("postings", "term_stats", "corpus_stats", "deleted_docs"):
+        recover_swap(os.path.join(index_dir, sub))
+    tombstone_append(
+        batch_df.select(F.col(id_col).alias("doc_id")),
+        batch_id,
+        os.path.join(index_dir, "deleted_docs"),
+        "doc_id",
+    )
+    neg_bid = F.lit(-(int(batch_id) + 2)).cast("long")
+    removed_postings = build_bm25_postings(batch_df, id_col, text_col)
+
+    def _append_neg(df: DataFrame, sub: str) -> None:
+        (
+            df.withColumn("batch_id", neg_bid)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(index_dir, sub))
+        )
+
+    _append_neg(
+        bm25_term_stats(removed_postings).withColumn(
+            "df", (-F.col("df")).cast("long")
+        ),
+        "term_stats",
+    )
+    _append_neg(
+        bm25_corpus_stats(batch_df, id_col, text_col).select(
+            (-F.col("n_docs")).cast("long").alias("n_docs"),
+            (-F.col("sum_dl")).cast("long").alias("sum_dl"),
+        ),
+        "corpus_stats",
+    )
+
+
 def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Log-dir read with explicit schema; a log NO batch ever wrote
     (empty source → zero micro-batches → the directory itself is
@@ -407,7 +547,7 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     # recover any crashed swap BEFORE reading: in that window the only
     # live copy of an artifact is its .old dir (and _read_log refuses
     # to serve it as empty)
-    for sub in ("postings", "term_stats", "corpus_stats"):
+    for sub in ("postings", "term_stats", "corpus_stats", "deleted_docs"):
         recover_swap(os.path.join(index_dir, sub))
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
@@ -425,12 +565,27 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
             .partitionBy("batch_id")
             .parquet(staging),
         )
+    # the fold above read THROUGH the tombstones (load_bm25_index), so
+    # deleted postings are physically gone from the base; the tombstone
+    # ids themselves are folded but retained (ext/artifact.py module
+    # note: a replayed pre-delete append batch must stay deleted)
+    from pipeline311_spark.ext.artifact import compact_tombstones
+
+    compact_tombstones(spark, os.path.join(index_dir, "deleted_docs"), "doc_id")
 
 
 def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:
     """Fold the append-only log back into the serving triple.  Explicit
     schemas: an index that never saw a batch (or an empty corpus) has
-    no part files to infer from."""
+    no part files to infer from.
+
+    Delete-awareness (round 10): postings anti-join the ``deleted_docs``
+    tombstone log (absent log = no-op); the term-df sum now nets the
+    delete batches' NEGATIVE deltas, dropping terms at df <= 0 (a fresh
+    build over the remaining corpus has no zero rows); corpus sums net
+    the negative one-row deltas for free."""
+    from pipeline311_spark.ext.artifact import apply_tombstones
+
     postings = _read_log(
         spark, os.path.join(index_dir, "postings"), _POSTINGS_LOG_SCHEMA
     )
@@ -441,8 +596,15 @@ def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:
         spark, os.path.join(index_dir, "corpus_stats"), _STATS_LOG_SCHEMA
     )
     return Bm25Index(
-        postings=postings.drop("batch_id"),
-        term_stats=term_log.groupBy("term").agg(F.sum("df").cast("long").alias("df")),
+        postings=apply_tombstones(
+            spark,
+            postings.drop("batch_id"),
+            os.path.join(index_dir, "deleted_docs"),
+            "doc_id",
+        ),
+        term_stats=term_log.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .filter(F.col("df") > 0),
         corpus_stats=stats_log.agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),

@@ -256,13 +256,18 @@ def q_stream_ann_index_maintain(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
-# Trained-codebook audit: k-means training breaks SQL-expressibility
+# Trained-quantizer audit: k-means training breaks SQL-expressibility
 # (the oracle cannot re-derive Lloyd iterations), so this query is
-# rows-only-gated by design and its OUTPUT is the audit: measured
-# recall of trained-PQ ADC against the exact L2 ranker — the gate
-# SCALE.md prescribes for trained centroids.  Everything is still
-# cross-run deterministic (exact decimal means, shared argmin/LUT
-# expressions, integer overlap counts, recall = exact int division).
+# rows-only-gated by design and its OUTPUT is the audit.  Since round
+# 10 it audits the FULL trained production shape (VERDICT r9 item 4):
+# Lloyd-trained coarse cells, Lloyd-trained codebook over the
+# RESIDUALS, residual codes stored and served through the real
+# pcell-pruned store path — reporting per-query recall against the
+# exact L2 ranker PLUS the cell-balance statistic (max/median cell
+# population) that bounds nprobe pruning's worst case.  Everything is
+# still cross-run deterministic (exact decimal means, shared
+# argmin/LUT expressions, integer overlap counts and populations,
+# recall = exact int division).
 _TRAIN_PQ_K = 16
 _TRAIN_ITERS = 2
 _AUDIT_K = 10
@@ -271,76 +276,72 @@ _AUDIT_K = 10
 @register(
     "sim_ivfpq_trained_audit",
     None,
-    covers=("ext:similarity", "ext:quantize", "A-class"),
+    covers=("ext:similarity", "ext:quantize", "ext:ann-train", "A-class"),
 )
 def q_ivfpq_trained_audit(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     from pipeline311_spark.ext.ann_store import (
-        adc_dist_expr,
-        pq_code_col,
-        pq_train_codebook,
+        ann_adc_topk_from_store,
+        ann_index_build_trained,
+        cell_balance_py,
+        load_ann_index,
     )
     from pipeline311_spark.ext.similarity import brute_force_topk
 
-    e = emb_table(spark, sf_dir)
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # ONE geometry for train, encode, and LUT (review r9: a hardcoded
-    # 16 here plus pq_train_codebook's defaults would silently encode
-    # with mismatched geometry if either module's constants moved)
-    cbook = pq_train_codebook(
-        v, pq_k=_TRAIN_PQ_K, m=_PQ_M, subdim=_PQ_SUBDIM, iters=_TRAIN_ITERS
+    out = os.path.join(tempfile.gettempdir(), f"p311_ivfpqt_{uuid.uuid4().hex[:12]}")
+    empty = (
+        "query_id long, n_overlap long, recall double, "
+        "max_cell long, med_cell long"
     )
-    qvecs = _query_vecs(e)
-    if not cbook or not qvecs:
-        return spark.createDataFrame(
-            [], "query_id long, n_overlap long, recall double"
+    try:
+        e = emb_table(spark, sf_dir)
+        qvecs = _query_vecs(e)
+        ann_index_build_trained(
+            spark, e, out,
+            n_cells=_ANN_CELLS, pq_k=_TRAIN_PQ_K,
+            m=_PQ_M, subdim=_PQ_SUBDIM, iters=_TRAIN_ITERS,
         )
-    codes = v.select(
-        "vec_id",
-        *[pq_code_col(j, cbook, _PQ_SUBDIM).alias(f"code{j}") for j in range(_PQ_M)],
-    )
-    entries = [
-        F.struct(
-            F.lit(qid).cast("long").alias("query_id"),
-            adc_dist_expr(qvecs[qid], cbook, _PQ_M, _PQ_SUBDIM).alias("dist"),
+        if not qvecs:
+            return spark.createDataFrame([], empty)
+        adc = ann_adc_topk_from_store(
+            spark, out, qvecs, k=_AUDIT_K, nprobe=_ANN_NPROBE
+        ).select("query_id", "neighbor_id")
+        # cell balance from the stored codes: |cells| counts, ONE
+        # metadata-scale collect
+        pops = {
+            r["pcell"]: r["n"]
+            for r in load_ann_index(spark, out)
+            .codes.groupBy("pcell")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        max_cell, med_cell = cell_balance_py(pops)
+        exact = brute_force_topk(
+            e,
+            e.filter(F.col("vec_id") < _ANN_Q),
+            k=_AUDIT_K,
+            metric="sqdist",
+        ).select("query_id", "neighbor_id")
+        hits = adc.select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("hit")
         )
-        for qid in sorted(qvecs)
-    ]
-    scored = (
-        codes.select("vec_id", F.explode(F.array(*entries)).alias("qd"))
-        .filter(F.col("vec_id") != F.col("qd.query_id"))
-        .select(
-            F.col("qd.query_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("qd.dist").alias("dist"),
+        return (
+            exact.join(
+                hits,
+                (exact["query_id"] == hits["aq"])
+                & (exact["neighbor_id"] == hits["hit"]),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("hit").cast("long").alias("n_overlap"),
+                # denominator = the exact rows this query actually has,
+                # not the constant k: on a corpus with < k non-self
+                # vectors a perfect index must audit at 1.0 (review r9)
+                (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+            )
+            .withColumn("max_cell", F.lit(max_cell).cast("long"))
+            .withColumn("med_cell", F.lit(med_cell).cast("long"))
+            .localCheckpoint(eager=True)  # materialize before the cleanup
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
-    adc = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _AUDIT_K)
-        .select("query_id", "neighbor_id")
-    )
-    exact = brute_force_topk(
-        e,
-        e.filter(F.col("vec_id") < _ANN_Q),
-        k=_AUDIT_K,
-        metric="sqdist",
-    ).select("query_id", "neighbor_id")
-    hits = adc.select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("hit"))
-    return (
-        exact.join(
-            hits,
-            (exact["query_id"] == hits["aq"]) & (exact["neighbor_id"] == hits["hit"]),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.count("hit").cast("long").alias("n_overlap"),
-            # denominator = the exact rows this query actually has, not
-            # the constant k: on a corpus with < k non-self vectors a
-            # perfect index must audit at 1.0, not |exact|/k (review r9)
-            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
-        )
-    )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -75,7 +75,10 @@ _BM25_QUERIES: tuple[tuple[int, str], ...] = (
 )
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(corpus_pred: str = "") -> str:
+    """``corpus_pred`` (e.g. ``" AND doc_id % 9 != 4"``) restricts the
+    indexed corpus — the delete-maintenance twins are the FULL build
+    over corpus-minus-deleted (round 10)."""
     from pipeline311_spark.plans.extensions import _ntok_sql, _tok_array_sql
 
     qvals = ", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QUERIES)
@@ -83,13 +86,13 @@ def _bm25_sql() -> str:
 WITH q(query_id, term) AS (VALUES {qvals}),
 dl AS (
   SELECT doc_id, CAST({_ntok_sql()} AS BIGINT) AS dl FROM documents
-  WHERE text IS NOT NULL),
+  WHERE text IS NOT NULL{corpus_pred}),
 stats AS (
   SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
 hits AS (
   SELECT query_id, term, doc_id, COUNT(*)::BIGINT AS tf
   FROM (SELECT doc_id, unnest(list_transform({_tok_array_sql()}, t -> lower(t))) AS tok
-        FROM documents WHERE text IS NOT NULL) x
+        FROM documents WHERE text IS NOT NULL{corpus_pred}) x
   JOIN q ON x.tok = q.term
   GROUP BY query_id, term, doc_id),
 df_t AS (
@@ -547,23 +550,19 @@ _RRF_QUERIES = 2  # fuses BM25 query ids {0,1} with query vectors {0,1}
 
 
 def _hybrid_rrf_sql() -> str:
-    from pipeline311_spark.plans.extensions import _cos_sql
+    # the dense ranker is the stored residual-IVF-PQ index's ADC top-k
+    # since round 10 (VERDICT r9 item 3) — the twin reuses the ONE
+    # parameterized ivfpq derivation (quantizer seeds, residual encode,
+    # probe cells, per-cell LUT ranking) at this query's fan-out
+    from pipeline311_spark.plans.ann_store_q import _ivfpq_sql
 
     return f"""
 WITH lex AS (
   SELECT query_id, doc_id, rank AS lex_rank FROM ({_bm25_sql()}) b
   WHERE query_id < {_RRF_QUERIES}),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_RRF_QUERIES}),
-scored AS (
-  SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_sim
-  FROM q JOIN e ON e.vec_id != query_id),
 dense AS (
-  SELECT query_id, neighbor_id AS doc_id, CAST(rn AS BIGINT) AS dense_rank
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
-        FROM scored) t
-  WHERE rn <= {_BM25_TOPK}),
+  SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+  FROM ({_ivfpq_sql(n_q=_RRF_QUERIES, k=_BM25_TOPK)}) iv),
 fused AS (
   SELECT COALESCE(l.query_id, d.query_id) AS query_id,
          COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -619,13 +618,25 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
 
 def hybrid_rrf_frame(spark, sf_dir, out):
     """The fused frame pre-checkpoint: lexical ranks served from the
-    BM25 store written under ``out``, dense from brute-force cosine.
-    Split out so the plan-shape test can inspect the REAL serve plan
-    (the query wrapper's localCheckpoint would hide it behind a
-    LogicalRDD scan)."""
+    BM25 store written under ``out``, dense ranks served from the
+    stored residual-IVF-PQ ANN index written under ``out/ann``
+    (VERDICT r9 item 3 — the last brute-force embedding scan in a
+    serving path; both rankers now read per-corpus-version artifacts,
+    and the serve plan touches neither corpus text nor corpus floats,
+    plan-asserted in tests/test_retrieval_store.py).  Split out so the
+    plan-shape test can inspect the REAL serve plan (the query
+    wrapper's localCheckpoint would hide it behind a LogicalRDD
+    scan)."""
+    import os
+
+    from pipeline311_spark.ext.ann_store import (
+        ann_adc_topk_from_store,
+        ann_index_build,
+    )
     from pipeline311_spark.ext.retrieval import bm25_topk, rrf_fuse
-    from pipeline311_spark.ext.similarity import brute_force_topk
+    from pipeline311_spark.plans.ann_store_q import _ANN_CELLS, _ANN_NPROBE
     from pipeline311_spark.plans.common import emb_table
+    from pipeline311_spark.plans.curation4 import _PQ_K
 
     # function-local import: retrieval2 imports this module at top level
     from pipeline311_spark.plans.retrieval2 import _query_frame, _stored_index
@@ -636,8 +647,18 @@ def hybrid_rrf_frame(spark, sf_dir, out):
         .select("query_id", "doc_id", "rank")
     )
     e = emb_table(spark, sf_dir)
-    dense = brute_force_topk(
-        e, e.filter(F.col("vec_id") < _RRF_QUERIES), k=_BM25_TOPK
+    ann_out = os.path.join(out, "ann")
+    ann_index_build(spark, e, ann_out, n_cells=_ANN_CELLS, pq_k=_PQ_K)
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["v"]]
+        for r in e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .filter(F.col("vec_id") < _RRF_QUERIES)
+        .collect()
+    }
+    dense = ann_adc_topk_from_store(
+        spark, ann_out, qvecs, k=_BM25_TOPK, nprobe=_ANN_NPROBE
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     # rrf_fuse sums the per-ranker 1/(C+r) terms in FIXED ranker order
     # (lex, dense) — the same expression order as the oracle twin, so

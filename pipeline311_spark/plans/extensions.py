@@ -77,10 +77,13 @@ def _tok_array_sql(expr: str = "text") -> str:
     )
 
 
-def _shingle_cte(n: int) -> str:
-    """CTEs norm/toks/sh: doc_id + exploded distinct word n-grams."""
+def _shingle_cte(n: int, corpus_where: str = "") -> str:
+    """CTEs norm/toks/sh: doc_id + exploded distinct word n-grams.
+    ``corpus_where`` (e.g. ``" WHERE doc_id % 9 != 4"``) restricts the
+    corpus — the delete-maintenance twins run the full pipeline over
+    corpus-minus-deleted (round 10)."""
     return f"""
-norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents{corpus_where}),
 toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -202,20 +205,21 @@ _MH_ROWS = _MH_K // _MH_BANDS
 # the n-gram oracle: group by the exact sorted gram-hash list, run the
 # LSH pipeline over representatives, expand + emit identical-group
 # pairs (see the note above _NGRAM_JACCARD_SQL).
-def _minhash_pairs_sql(extra_pred: str = "") -> str:
+def _minhash_pairs_sql(extra_pred: str = "", corpus_where: str = "") -> str:
     where_pred = f"WHERE TRUE{extra_pred}" if extra_pred else ""
     return f"""
-WITH {_minhash_pairs_cte()}
+WITH {_minhash_pairs_cte(corpus_where)}
 SELECT doc_a, doc_b, jaccard FROM allpairs {where_pred}
 """
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(corpus_where: str = "") -> str:
     """The MinHash pair pipeline as a bare CTE chain ending in
     ``allpairs`` (doc_a, doc_b, jaccard) — consumers append their own
     final SELECT (or further CTEs, e.g. the connected-components reach
     oracle in plans/curation4.py, which would otherwise have to
-    extract this by string surgery on the full query)."""
+    extract this by string surgery on the full query).
+    ``corpus_where`` restricts the corpus (delete-maintenance twins)."""
     from pipeline311_spark.ext.dedup import GRAM_BASE
 
     params = hash_params(_MH_K, _MH_SEED)
@@ -232,7 +236,7 @@ def _minhash_pairs_cte() -> str:
     gram = "th[i]"
     for j in range(1, _MH_N):
         gram = f"(({gram}) * {GRAM_BASE} + th[i+{j}]) % {MOD}"
-    return f"""{_shingle_cte(_MH_N)},
+    return f"""{_shingle_cte(_MH_N, corpus_where)},
 tokh AS (SELECT doc_id,
     list_transform(string_split(nt, ' '), t -> {portable_hash_sql('t')}) AS th
   FROM norm),

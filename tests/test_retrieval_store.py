@@ -436,10 +436,11 @@ def test_rrf_fuse_duplicate_pairs_contribute_best_rank(spark):
 
 
 def test_hybrid_rrf_serve_plan_reads_store_not_corpus_text(spark, tmp_path):
-    """retrieval_hybrid_rrf's lexical side must be SERVED from the
-    stored index (VERDICT r8 item 3): the fused frame's plan reads the
-    postings/corpus-stats parquet artifacts and the embeddings table —
-    the documents table and its tokenize subtree must be absent."""
+    """retrieval_hybrid_rrf must SERVE both rankers from stored
+    artifacts (VERDICT r8 item 3 lexical, r9 item 3 dense): the fused
+    frame's plan reads the postings/corpus-stats parquet artifacts and
+    the pcell-pruned ANN codes — the documents table, its tokenize
+    subtree, and any raw-embedding scan must be absent."""
     import io
     from contextlib import redirect_stdout
 
@@ -452,10 +453,14 @@ def test_hybrid_rrf_serve_plan_reads_store_not_corpus_text(spark, tmp_path):
     plan = buf.getvalue()
     # store artifacts by schema signature (location strings are
     # truncated under the default maxMetadataStringLength): the
-    # postings relation (term, doc_id, tf, dl) and the one-row
-    # corpus-stats relation (n_docs, sum_dl)
+    # postings relation (term, doc_id, tf, dl), the one-row
+    # corpus-stats relation (n_docs, sum_dl), and the ANN codes
+    # relation (vec_id, code0..)
     assert "Relation [term#" in plan and "Relation [n_docs#" in plan
+    assert "code0#" in plan
     assert "documents.parquet" not in plan and "Relation [doc_id#" not in plan
     # the tokenize subtree's signature projections
     assert "regexp_replace" not in plan and "split(" not in plan
+    # the dense serve reads M small ints per vector, never the floats
+    assert "embedding#" not in plan
     assert fused.count() > 0
