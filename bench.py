@@ -217,6 +217,13 @@ def main() -> None:
         "dedup_cross_doc_spans",
         "stream_minhash_maintain",
         "stream_ann_index_maintain",
+        # round-10 additions: deletion maintenance for the three stored
+        # index families, and the trained-quantizer audit
+        "text_bm25_delete_merge",
+        "text_bm25_delete_maintain",
+        "dedup_minhash_delete_maintain",
+        "sim_ivfpq_delete_store",
+        "sim_ivfpq_trained_audit",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

