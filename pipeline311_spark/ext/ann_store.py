@@ -214,8 +214,9 @@ def ann_index_build(
 ) -> None:
     """Build and WRITE the three artifacts.  ``seeds``: the quantizer
     training frame (coarse centroids = its ``n_cells`` lowest ids, PQ
-    codebook = its ``pq_k`` lowest — the deterministic data-derived
-    seed convention of sim_ivf_ann_topk / sim_pq_encode).  Defaults to
+    codebook = the residuals of the NEXT ``pq_k`` ids — the
+    deterministic data-derived seed convention, residual edition).
+    Defaults to
     the corpus itself; the incremental path passes the FULL corpus head
     explicitly so a base build and its updates share one frozen
     quantizer.  Cost: one seed collect (metadata-scale) + ONE corpus
@@ -243,7 +244,7 @@ def ann_quantizer_build(
     undersized or empty quantizer on a corpus with offset/sparse ids)
     — and a non-empty seed frame that still yields no centroids is a
     contract violation, not a valid empty index."""
-    n_seed = max(n_cells, pq_k)
+    n_seed = n_cells + pq_k
     ordered = sorted(
         (r["vec_id"], [float(x) for x in r["v"]])
         for r in seed_v.orderBy("vec_id").limit(n_seed).collect()
@@ -259,11 +260,16 @@ def ann_quantizer_build(
     # its own nearest coarse cell — a raw-space codebook under residual
     # encode is a unit-norm book quantizing near-zero vectors, and the
     # recall probe measured exactly that regression (m16/k16 0.33 →
-    # 0.17 before this fix).  Driver-side over the metadata-scale head;
-    # the nearest-cell fold is the probe_cells_py fold, the subtraction
-    # plain IEEE doubles — both bit-identical to the DuckDB twin.
+    # 0.17 before this fix).  The codebook draws the pq_k seeds AFTER
+    # the n_cells centroid seeds (DISJOINT head slices): a centroid
+    # seed's residual against itself is the zero vector, and a
+    # codebook of zeros codes every vector identically — the probe
+    # measured that degeneracy too.  Driver-side over the
+    # metadata-scale head; the nearest-cell fold is the probe_cells_py
+    # fold, the subtraction plain IEEE doubles — both bit-identical to
+    # the DuckDB twin.
     cbook = {}
-    for cid, vec in ordered[:pq_k]:
+    for cid, vec in ordered[n_cells : n_cells + pq_k]:
         cell = min((sqdist_py(vec, cv), c) for c, cv in cents.items())[1]
         cbook[cid] = [a - b for a, b in zip(vec, cents[cell])]
     spark.createDataFrame(

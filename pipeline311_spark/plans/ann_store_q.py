@@ -100,7 +100,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL),
 corp AS (SELECT * FROM e{where_corp}),
 coarse AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_ANN_CELLS}),
-cbseed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K}),
+cbseed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K} OFFSET {_ANN_CELLS}),
 cbassign AS (
   SELECT vec_id, cell FROM (
     SELECT s.vec_id, c.cell,
