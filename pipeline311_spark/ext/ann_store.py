@@ -174,28 +174,29 @@ def adc_dist_expr(
 ) -> Column:
     """The ADC distance expression over ``code0..code{m-1}`` columns:
     per-subspace LUT entries computed DRIVER-side with the shared
-    :func:`sqdist_py` fold and injected as array literals indexed by
-    the code column (array slot i = centroid id i; ids may in principle
-    be sparse, codes only ever hold real ids) — the scan projects M
-    small ints into a distance, no joins.  Shared by the query-local
-    sim_pq_adc_topk and the stored-index serve (review r9)."""
+    :func:`sqdist_py` fold and injected as a MAP literal keyed by
+    centroid id (exactly k entries per subspace — an array indexed by
+    id would carry max(id)+1 slots, and the residual seed convention
+    offsets codebook ids by n_cells, which at a production 2^16 cells
+    would pad every LUT with 65k NULL literals; review r10) — the scan
+    projects M small ints into a distance, no joins.  Shared by the
+    query-local sim_pq_adc_topk and the stored-index serve (review
+    r9)."""
     cids = sorted(codebook)
     dist = None
     for j in range(m):
-        lut = F.array(
-            *[
+        entries = []
+        for i in cids:
+            entries.append(F.lit(int(i)).cast("long"))
+            entries.append(
                 F.lit(
                     sqdist_py(
                         qv[j * subdim : (j + 1) * subdim],
                         codebook[i][j * subdim : (j + 1) * subdim],
                     )
-                    if i in codebook
-                    else None
                 ).cast("double")
-                for i in range(max(cids) + 1)
-            ]
-        )
-        term = F.element_at(lut, F.col(f"code{j}").cast("int") + 1)
+            )
+        term = F.element_at(F.create_map(*entries), F.col(f"code{j}").cast("long"))
         dist = term if dist is None else dist + term
     return dist
 
@@ -272,6 +273,16 @@ def ann_quantizer_build(
     for cid, vec in ordered[n_cells : n_cells + pq_k]:
         cell = min((sqdist_py(vec, cv), c) for c, cv in cents.items())[1]
         cbook[cid] = [a - b for a, b in zip(vec, cents[cell])]
+    if pq_k > 0 and not cbook and cents:
+        # fewer than n_cells + 1 seed vectors: the disjoint slice is
+        # empty and the index would silently encode nothing (review
+        # r10) — a partial (< pq_k) codebook is allowed, zero is not
+        raise ValueError(
+            f"ann_quantizer_build: the seed frame has only {len(ordered)} "
+            f"vectors — codebook seeds are drawn AFTER the {n_cells} "
+            "centroid seeds, so at least n_cells + 1 are needed (pass a "
+            "larger seed frame or lower n_cells/pq_k)"
+        )
     spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
@@ -665,6 +676,12 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
 
     path = os.path.join(out, "codes")
     recover_swap(path)
+    # the tombstone dir is READ below (through load_ann_codes_log), so
+    # a compaction crashed inside compact_tombstones must be recovered
+    # here too — otherwise every subsequent compact/load raises
+    # mid-compaction-swap forever (review r10: bm25_index_compact had
+    # this right, its two siblings did not)
+    recover_swap(os.path.join(out, "codes_deleted"))
     if not os.path.isdir(path):
         return
     base = load_ann_codes_log(spark, out, m).withColumn(
@@ -752,6 +769,14 @@ def ann_index_build_trained(
     first = v.select(F.size("v").alias("d")).take(1)
     dim = int(first[0]["d"]) if first else m * subdim
     cents = ann_cells_train(v, n_cells, dim, iters=iters)
+    if first and not cents:
+        # a non-empty corpus training zero cells writes an index that
+        # serves nothing (review r10 — the quantizer-build guard,
+        # trained edition)
+        raise ValueError(
+            "ann_index_build_trained: a non-empty corpus trained zero "
+            "cells — n_cells must be >= 1"
+        )
     centroids_df = spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     )
@@ -798,10 +823,16 @@ def pq_train_codebook(
     (m·k·subdim rows — metadata-scale, ONE collect per iteration), and
     empty entries keep their previous value.  Scale: iterations are
     O(corpus) passes with a metadata-sized shuffle, the standard
-    distributed-k-means shape."""
+    distributed-k-means shape.
+
+    Seeds are the ``pq_k`` LOWEST ids via orderBy+limit (review r10:
+    the old ``vec_id < pq_k`` filter silently trained nothing on a
+    corpus with offset/sparse ids — the exact ADVICE-r9 failure mode
+    fixed in ann_quantizer_build, inherited here by the trained
+    build)."""
     cbook = {
         r["vec_id"]: [float(x) for x in r["v"]]
-        for r in v.filter(F.col("vec_id") < pq_k).collect()
+        for r in v.orderBy("vec_id").limit(pq_k).collect()
     }
     if not cbook:
         return cbook

@@ -33,13 +33,18 @@ MinHash gram table (ext/dedup.py).  Both follow one contract:
   batch-id log of deleted ids, anti-joined at read time and physically
   dropped from the main artifact at compaction.  Tombstone rows are
   RETAINED across compactions (folded to their own ``batch_id = -1``
-  base, :func:`compact_tombstones`): clearing them would let an
-  at-least-once REPLAY of a pre-delete append batch resurrect a
-  deleted row when append and delete arrive on separate streams with
-  separate checkpoints.  The corollary contract: ids are never reused
-  (already implied by the engine-wide disjoint-batch contract) — a
-  re-added document must carry a NEW id or the old tombstone masks it.
-  Tombstone volume is |deleted ids| — metadata-scale next to the
+  base, :func:`compact_tombstones`).  What retention buys, precisely:
+  the QUIESCENCE contract above is the actual correctness guarantee —
+  if it is violated (compaction runs while the separate append stream
+  still has an uncommitted pre-delete batch, which later replays), the
+  replayed partition re-adds rows the base already holds, so
+  duplicates and double-counted stats occur REGARDLESS of tombstones;
+  retention merely narrows that blast radius by keeping deleted ids
+  deleted through it (review r10 — retention is belt-and-braces, not a
+  substitute for quiescence).  The corollary contract: ids are never
+  reused (already implied by the engine-wide disjoint-batch contract)
+  — a re-added document must carry a NEW id or the old tombstone masks
+  it.  Tombstone volume is |deleted ids| — metadata-scale next to the
   corpus-sized artifact it guards.
 """
 

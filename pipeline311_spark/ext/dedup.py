@@ -1436,6 +1436,11 @@ def gram_log_compact(spark, store_dir: str) -> None:
 
     path = os.path.join(store_dir, "grams")
     recover_swap(path)
+    # the tombstone dir is READ below (through load_gram_log): recover
+    # a compaction crashed inside compact_tombstones too, or every
+    # subsequent compact/load raises mid-compaction-swap forever
+    # (review r10)
+    recover_swap(os.path.join(store_dir, "grams_deleted"))
     if not os.path.isdir(path):
         return  # nothing ever appended
     base = load_gram_log(spark, store_dir).withColumn(

@@ -236,10 +236,16 @@ def bm25_index_delete(
     otherwise — subtracting a never-indexed doc would silently corrupt
     the stats.  Like the update guard, it cannot see zero-token docs.
     """
-    from pipeline311_spark.ext.cache import persist_tracked
-
-    removed_postings = persist_tracked(build_bm25_postings(removed, id_col, text_col))
+    removed_postings = build_bm25_postings(removed, id_col, text_col)
     if validate_contained:
+        # persist only here: the guard probe and the term-stats
+        # aggregation both read the batch postings — on the default
+        # path term_stats is the ONE consumer and a pin would be pure
+        # overhead (review r10; the update path's pin has two
+        # consumers)
+        from pipeline311_spark.ext.cache import persist_tracked
+
+        removed_postings = persist_tracked(removed_postings)
         missing = (
             removed_postings.select("doc_id")
             .distinct()

@@ -333,10 +333,42 @@ def test_trained_build_is_deterministic_and_serves_unchanged(spark, tmp_path):
     served = ann_adc_topk_from_store(spark, a, qvecs, k=5, nprobe=2)
     assert served.count() > 0
 
-    # frozen-trained quantizer: an append encodes with the STORED
-    # artifacts (residuals against trained cells) and lands in its
-    # cell partitions
-    n_before = ia.codes.count()
-    extra = e.limit(0)  # empty append: no-op day
-    ann_index_update(spark, a, extra)
-    assert load_ann_index(spark, a).codes.count() == n_before
+    # frozen-trained quantizer: an append must really ENCODE with the
+    # stored artifacts (review r10: an empty append exercised nothing)
+    # — build on corpus-minus-batch, append the batch, and the batch's
+    # stored code rows must equal a recompute from the loaded trained
+    # quantizer (residual assign+encode, the production path)
+    from pipeline311_spark.ext.ann_store import (
+        _centroid_schema,
+        _load_quantizer,
+        _vec_frame,
+        assign_cells,
+        pq_codes,
+    )
+
+    is_b = F.col("vec_id") % 7 == 3
+    c_dir = str(tmp_path / "c")
+    ann_index_build_trained(spark, e.filter(~is_b), c_dir, n_cells=8, pq_k=4, iters=1)
+    ann_index_update(spark, c_dir, e.filter(is_b))
+    cents, cbook = _load_quantizer(spark, c_dir)
+    cents_df = spark.createDataFrame(
+        sorted((int(i), vec) for i, vec in cents.items()), _centroid_schema("cell")
+    )
+    want = sorted(
+        map(
+            tuple,
+            pq_codes(
+                assign_cells(
+                    _vec_frame(e.filter(is_b), "vec_id", "embedding"), cents_df
+                ),
+                cbook,
+            ).collect(),
+        )
+    )
+    batch_ids = {r["vec_id"] for r in e.filter(is_b).select("vec_id").collect()}
+    got = sorted(
+        t
+        for t in map(tuple, load_ann_index(spark, c_dir).codes.collect())
+        if t[0] in batch_ids
+    )
+    assert got == want and got

@@ -106,11 +106,11 @@ def test_bm25_delete_log_replay_compaction_and_physical_drop(spark, tmp_path):
     assert not set(
         r["doc_id"] for r in raw.select("doc_id").distinct().collect()
     ) & deleted_ids
-    # tombstones retained (folded to the -1 base), so an UNCOMMITTED
-    # pre-delete append batch replaying on the separate append stream
-    # cannot resurrect the deleted docs (ext/artifact.py module note;
-    # compaction itself requires quiescence, so no post-compaction
-    # replay of already-committed batches exists)
+    # tombstones retained (folded to the -1 base): the quiescence
+    # contract is the real guarantee; retention narrows the blast
+    # radius of a violated one — deleted ids stay deleted even when a
+    # replayed pre-delete append duplicates other rows (ext/artifact.py
+    # module note, review r10)
     ts = spark.read.parquet(os.path.join(idx, "deleted_docs"))
     assert {r["batch_id"] for r in ts.select("batch_id").distinct().collect()} == {-1}
     assert {r["doc_id"] for r in ts.collect()} == deleted_ids
@@ -254,3 +254,48 @@ def test_serve_query_cap_refuses_loudly(spark, tmp_path):
     too_many = {i: [0.0] * 64 for i in range(SERVE_MAX_QUERIES + 1)}
     with pytest.raises(ValueError, match="bounded at"):
         ann_adc_topk_from_store(spark, out, too_many, k=5, nprobe=2)
+
+
+def test_compaction_recovers_crashed_tombstone_swap(spark, tmp_path):
+    """A compaction that crashed INSIDE compact_tombstones (tombstone
+    dir renamed to .compact.old, main artifact already folded) must be
+    recoverable by re-running the compaction — review r10: the gram and
+    codes compactors recovered only their main artifact, so the next
+    compact/load raised mid-compaction-swap forever."""
+    from pipeline311_spark.ext.ann_store import (
+        ann_codes_append_batch,
+        ann_codes_compact,
+        ann_codes_delete_batch,
+        ann_quantizer_build,
+        load_ann_codes_log,
+    )
+    from pipeline311_spark.ext.dedup import (
+        gram_log_append_batch,
+        gram_log_compact,
+        gram_log_delete_batch,
+        load_gram_log,
+    )
+
+    d = _docs(spark)
+    store = str(tmp_path / "grams")
+    gram_log_append_batch(d, 0, store)
+    gram_log_delete_batch(d.filter(_is_del()).select("doc_id"), 0, store)
+    want = _snap(load_gram_log(spark, store))
+    ts = os.path.join(store, "grams_deleted")
+    os.rename(ts, ts + ".compact.old")  # crash inside compact_tombstones
+    gram_log_compact(spark, store)  # must recover, fold, and succeed
+    assert _snap(load_gram_log(spark, store)) == want
+
+    e = _emb(spark)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = str(tmp_path / "ann")
+    ann_quantizer_build(spark, v, idx, n_cells=8, pq_k=4)
+    ann_codes_append_batch(e, 0, idx)
+    ann_codes_delete_batch(
+        e.filter(F.col("vec_id") % 9 == 4).select("vec_id"), 0, idx
+    )
+    want2 = _snap(load_ann_codes_log(spark, idx))
+    ts2 = os.path.join(idx, "codes_deleted")
+    os.rename(ts2, ts2 + ".compact.old")
+    ann_codes_compact(spark, idx)
+    assert _snap(load_ann_codes_log(spark, idx)) == want2
