@@ -93,6 +93,15 @@ STATIC = {
     "ext:versioning": ("plans/curation4.py (snapshot diff; dirty-shard incremental export report)", "tests/test_curation4.py"),
     "ext:quantize": ("ext/quantize.py int8 + plans/curation4.py PQ encode/ADC/recall", "tests/test_curation4.py (python replays)"),
     "ext:retrieval": ("stored BM25 index: postings/df/stats artifacts, incremental merge, vocabulary-pruned serve (ext/retrieval.py, plans/retrieval2.py); dense top-k; N-ranker RRF fusion (rrf_fuse); MMR rerank", "tests/test_retrieval_store.py, tests/test_curation3.py, tests/test_curation4.py"),
+    "ext:export": ("deterministic hash-shard export + dirty-shard incremental report (plans/curation3.py, plans/curation4.py)", "tests/test_curation3.py"),
+    "ext:sampling": ("ext/sampling.py (temperature/importance weighting, quota fill, per-key caps, two-phase running sums)", "tests/test_properties.py"),
+    "ext:ann-log": ("ANN codes as a batch_id delta log: foreachBatch append, compaction, pruned log serve (ext/ann_store.py)", "tests/test_ann_store.py"),
+    "ext:gram-log": ("MinHash gram table delta log: append/compact/serve cycle (ext/dedup.py)", "tests/test_gram_log.py"),
+    "ext:bm25-delete": ("BM25 merge-by-subtraction delete dual (ext/retrieval.bm25_index_delete)", "tests/test_index_delete.py"),
+    "ext:bm25-delete-log": ("BM25 log-form deletion: tombstones + negative stat deltas in the negative batch-id key-space (bm25_index_delete_batch)", "tests/test_index_delete.py"),
+    "ext:gram-delete": ("gram-log tombstone deletion + compaction drop (ext/dedup.gram_log_delete_batch)", "tests/test_index_delete.py"),
+    "ext:ann-delete": ("ANN codes-log tombstone deletion + compaction drop (ext/ann_store.ann_codes_delete_batch)", "tests/test_index_delete.py"),
+    "ext:ann-train": ("Lloyd-trained coarse cells + residual-trained codebook, cell-balance audit (ann_cells_train / ann_index_build_trained)", "tests/test_ann_store.py"),
     "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
     "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
 }
