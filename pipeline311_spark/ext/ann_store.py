@@ -376,6 +376,7 @@ def ann_index_update(
             "(centroids have no rows) — rebuild the index with seed "
             "vectors before appending batches"
         )
+    _warn_if_dead_codebook(cents, cbook, out, "ann_index_update")
     if validate_disjoint:
         # load the codes view only here (ADVICE r9: an unconditional
         # load eagerly resolves all three paths — extra listing work,
@@ -394,6 +395,27 @@ def ann_index_update(
                 "and the append would duplicate it"
             )
     _encode_write(spark, v, out, cents, cbook, m, subdim, mode="append")
+
+
+def _warn_if_dead_codebook(cents: dict, cbook: dict, out: str, who: str) -> None:
+    """An empty codebook with real centroids (the undersized-corpus
+    build degradation) encodes EVERY append to zero rows: value-correct
+    (fresh builds store zero codes too — parity holds, the hostile gate
+    depends on it) but operationally a dead store.  Warn loudly once
+    per process/location instead of staying silent (review r10 second
+    wave: the silent mode is the r9 guard's failure scenario, and a
+    hard raise here would re-break tiny-corpus parity)."""
+    if cents and not cbook:
+        import warnings
+
+        warnings.warn(
+            f"{who}: the stored codebook at {out} is empty (built from a "
+            "corpus smaller than n_cells + 1 seeds) — every append encodes "
+            "zero rows and the store serves nothing; rebuild with a larger "
+            "seed frame or smaller n_cells/pq_k",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _vec_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -615,6 +637,7 @@ def ann_codes_append_batch(
             "— build it (ann_index_build / the centroid+codebook artifacts) "
             "before streaming batches"
         )
+    _warn_if_dead_codebook(cents, cbook, out, "ann_codes_append_batch")
     centroids = spark.createDataFrame(
         [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     )
@@ -642,12 +665,12 @@ def ann_codes_delete_batch(
     :func:`ann_codes_compact`.  Replay-idempotent (each delete batch
     overwrites its own tombstone partition); the quantizer artifacts
     are untouched — deletion never retrains a frozen quantizer."""
-    from pipeline311_spark.ext.artifact import tombstone_append
+    from pipeline311_spark.ext.artifact import tombstone_append, tombstone_dir
 
     tombstone_append(
         ids.select(F.col(id_col).alias("vec_id")),
         batch_id,
-        os.path.join(out, "codes_deleted"),
+        tombstone_dir(os.path.join(out, "codes")),
         "vec_id",
     )
 
@@ -659,12 +682,15 @@ def load_ann_codes_log(spark: SparkSession, out: str, m: int = ANN_M) -> DataFra
     metadata-scale deleted set; absent log = no-op — the pcell
     PartitionFilters still reach the codes scan through the join's
     left side).  Refuses loudly mid-compaction-swap."""
-    from pipeline311_spark.ext.artifact import apply_tombstones, read_log
-
-    codes = read_log(spark, os.path.join(out, "codes"), _codes_log_schema(m)).drop(
-        "batch_id"
+    from pipeline311_spark.ext.artifact import (
+        apply_tombstones,
+        read_log,
+        tombstone_dir,
     )
-    return apply_tombstones(spark, codes, os.path.join(out, "codes_deleted"), "vec_id")
+
+    path = os.path.join(out, "codes")
+    codes = read_log(spark, path, _codes_log_schema(m)).drop("batch_id")
+    return apply_tombstones(spark, codes, tombstone_dir(path), "vec_id")
 
 
 def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
@@ -676,17 +702,16 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
     from pipeline311_spark.ext.artifact import (
         compact_swap,
         compact_tombstones,
-        recover_swap,
+        recover_log,
+        tombstone_dir,
     )
 
     path = os.path.join(out, "codes")
-    recover_swap(path)
-    # the tombstone dir is READ below (through load_ann_codes_log), so
-    # a compaction crashed inside compact_tombstones must be recovered
-    # here too — otherwise every subsequent compact/load raises
-    # mid-compaction-swap forever (review r10: bm25_index_compact had
-    # this right, its two siblings did not)
-    recover_swap(os.path.join(out, "codes_deleted"))
+    # recovers the tombstone sibling too — it is READ below (through
+    # load_ann_codes_log), and a compaction crashed inside
+    # compact_tombstones would otherwise brick every later compact/load
+    # (review r10)
+    recover_log(path)
     if not os.path.isdir(path):
         return
     base = load_ann_codes_log(spark, out, m).withColumn(
@@ -698,7 +723,7 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
         .partitionBy("batch_id", "pcell")
         .parquet(staging),
     )
-    compact_tombstones(spark, os.path.join(out, "codes_deleted"), "vec_id")
+    compact_tombstones(spark, tombstone_dir(path), "vec_id")
 
 
 def ann_adc_topk_from_log(

@@ -79,6 +79,23 @@ def recover_swap(path: str) -> None:
         os.rename(old, path)
 
 
+def tombstone_dir(path: str) -> str:
+    """THE naming convention binding an artifact log to its tombstone
+    sibling (``<log>_deleted``) — what lets :func:`recover_log` recover
+    both without each family hand-rolling the pair (review r10: two of
+    three compactors forgot the sibling and bricked themselves on a
+    crash inside compact_tombstones)."""
+    return path + "_deleted"
+
+
+def recover_log(path: str) -> None:
+    """Recover crashed compaction swaps on a log dir AND its tombstone
+    sibling — call before any read-for-compaction.  A fourth artifact
+    family using this entry point is correct by construction."""
+    recover_swap(path)
+    recover_swap(tombstone_dir(path))
+
+
 def tombstone_schema(id_field: str) -> T.StructType:
     """(id, batch_id) — the tombstone log row."""
     return T.StructType(

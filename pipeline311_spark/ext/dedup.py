@@ -1387,12 +1387,12 @@ def gram_log_delete_batch(
     drops them from the gram base."""
     import os
 
-    from pipeline311_spark.ext.artifact import tombstone_append
+    from pipeline311_spark.ext.artifact import tombstone_append, tombstone_dir
 
     tombstone_append(
         ids.select(F.col(id_col).alias("doc")),
         batch_id,
-        os.path.join(store_dir, "grams_deleted"),
+        tombstone_dir(os.path.join(store_dir, "grams")),
         "doc",
     )
 
@@ -1405,14 +1405,15 @@ def load_gram_log(spark, store_dir: str) -> DataFrame:
     mid-compaction-swap (ext/artifact.py)."""
     import os
 
-    from pipeline311_spark.ext.artifact import apply_tombstones, read_log
-
-    grams = read_log(
-        spark, os.path.join(store_dir, "grams"), _gram_log_schema()
-    ).drop("batch_id")
-    return apply_tombstones(
-        spark, grams, os.path.join(store_dir, "grams_deleted"), "doc"
+    from pipeline311_spark.ext.artifact import (
+        apply_tombstones,
+        read_log,
+        tombstone_dir,
     )
+
+    path = os.path.join(store_dir, "grams")
+    grams = read_log(spark, path, _gram_log_schema()).drop("batch_id")
+    return apply_tombstones(spark, grams, tombstone_dir(path), "doc")
 
 
 def gram_log_compact(spark, store_dir: str) -> None:
@@ -1431,16 +1432,16 @@ def gram_log_compact(spark, store_dir: str) -> None:
     from pipeline311_spark.ext.artifact import (
         compact_swap,
         compact_tombstones,
-        recover_swap,
+        recover_log,
+        tombstone_dir,
     )
 
     path = os.path.join(store_dir, "grams")
-    recover_swap(path)
-    # the tombstone dir is READ below (through load_gram_log): recover
-    # a compaction crashed inside compact_tombstones too, or every
-    # subsequent compact/load raises mid-compaction-swap forever
-    # (review r10)
-    recover_swap(os.path.join(store_dir, "grams_deleted"))
+    # recovers the tombstone sibling too — it is READ below (through
+    # load_gram_log), and a compaction crashed inside
+    # compact_tombstones would otherwise brick every later
+    # compact/load (review r10)
+    recover_log(path)
     if not os.path.isdir(path):
         return  # nothing ever appended
     base = load_gram_log(spark, store_dir).withColumn(
@@ -1452,7 +1453,7 @@ def gram_log_compact(spark, store_dir: str) -> None:
         .partitionBy("batch_id")
         .parquet(staging),
     )
-    compact_tombstones(spark, os.path.join(store_dir, "grams_deleted"), "doc")
+    compact_tombstones(spark, tombstone_dir(path), "doc")
 
 
 # ---------------------------------------------------------------------------

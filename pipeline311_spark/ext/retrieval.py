@@ -462,7 +462,8 @@ def bm25_index_delete_batch(
     EXACTLY as indexed (same text; the in-memory dual's docstring
     explains why ids alone can't maintain n_docs).  Three writes:
 
-    * ``deleted_docs``: the doc-id tombstone log
+    * ``postings_deleted`` (the shared ``tombstone_dir`` convention):
+      the doc-id tombstone log
       (:func:`pipeline311_spark.ext.artifact.tombstone_append`) —
       :func:`load_bm25_index` anti-joins it out of the postings fold.
     * ``term_stats`` / ``corpus_stats``: NEGATIVE delta rows riding the
@@ -476,14 +477,20 @@ def bm25_index_delete_batch(
 
     Recovers crashed compaction swaps on every artifact first (the
     appender contract)."""
-    from pipeline311_spark.ext.artifact import recover_swap, tombstone_append
+    from pipeline311_spark.ext.artifact import (
+        recover_log,
+        recover_swap,
+        tombstone_append,
+        tombstone_dir,
+    )
 
-    for sub in ("postings", "term_stats", "corpus_stats", "deleted_docs"):
+    recover_log(os.path.join(index_dir, "postings"))  # + tombstone sibling
+    for sub in ("term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
     tombstone_append(
         batch_df.select(F.col(id_col).alias("doc_id")),
         batch_id,
-        os.path.join(index_dir, "deleted_docs"),
+        tombstone_dir(os.path.join(index_dir, "postings")),
         "doc_id",
     )
     neg_bid = F.lit(-(int(batch_id) + 2)).cast("long")
@@ -548,12 +555,19 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     format's OPTIMIZE).  A crash between the two renames is recovered
     at the next call; :func:`_read_log` fails loudly in that window
     instead of silently serving an empty artifact."""
-    from pipeline311_spark.ext.artifact import compact_swap, recover_swap
+    from pipeline311_spark.ext.artifact import (
+        compact_swap,
+        recover_log,
+        recover_swap,
+        tombstone_dir,
+    )
 
     # recover any crashed swap BEFORE reading: in that window the only
     # live copy of an artifact is its .old dir (and _read_log refuses
-    # to serve it as empty)
-    for sub in ("postings", "term_stats", "corpus_stats", "deleted_docs"):
+    # to serve it as empty); recover_log covers the postings' tombstone
+    # sibling
+    recover_log(os.path.join(index_dir, "postings"))
+    for sub in ("term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
@@ -574,10 +588,12 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     # the fold above read THROUGH the tombstones (load_bm25_index), so
     # deleted postings are physically gone from the base; the tombstone
     # ids themselves are folded but retained (ext/artifact.py module
-    # note: a replayed pre-delete append batch must stay deleted)
+    # note)
     from pipeline311_spark.ext.artifact import compact_tombstones
 
-    compact_tombstones(spark, os.path.join(index_dir, "deleted_docs"), "doc_id")
+    compact_tombstones(
+        spark, tombstone_dir(os.path.join(index_dir, "postings")), "doc_id"
+    )
 
 
 def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:
@@ -585,12 +601,12 @@ def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:
     schemas: an index that never saw a batch (or an empty corpus) has
     no part files to infer from.
 
-    Delete-awareness (round 10): postings anti-join the ``deleted_docs``
-    tombstone log (absent log = no-op); the term-df sum now nets the
-    delete batches' NEGATIVE deltas, dropping terms at df <= 0 (a fresh
-    build over the remaining corpus has no zero rows); corpus sums net
-    the negative one-row deltas for free."""
-    from pipeline311_spark.ext.artifact import apply_tombstones
+    Delete-awareness (round 10): postings anti-join the
+    ``postings_deleted`` tombstone log (absent log = no-op); the
+    term-df sum now nets the delete batches' NEGATIVE deltas, dropping
+    terms at df <= 0 (a fresh build over the remaining corpus has no
+    zero rows); corpus sums net the negative one-row deltas for free."""
+    from pipeline311_spark.ext.artifact import apply_tombstones, tombstone_dir
 
     postings = _read_log(
         spark, os.path.join(index_dir, "postings"), _POSTINGS_LOG_SCHEMA
@@ -605,7 +621,7 @@ def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:
         postings=apply_tombstones(
             spark,
             postings.drop("batch_id"),
-            os.path.join(index_dir, "deleted_docs"),
+            tombstone_dir(os.path.join(index_dir, "postings")),
             "doc_id",
         ),
         term_stats=term_log.groupBy("term")

@@ -111,7 +111,7 @@ def test_bm25_delete_log_replay_compaction_and_physical_drop(spark, tmp_path):
     # radius of a violated one — deleted ids stay deleted even when a
     # replayed pre-delete append duplicates other rows (ext/artifact.py
     # module note, review r10)
-    ts = spark.read.parquet(os.path.join(idx, "deleted_docs"))
+    ts = spark.read.parquet(os.path.join(idx, "postings_deleted"))
     assert {r["batch_id"] for r in ts.select("batch_id").distinct().collect()} == {-1}
     assert {r["doc_id"] for r in ts.collect()} == deleted_ids
 
