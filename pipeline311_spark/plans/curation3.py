@@ -593,7 +593,13 @@ WHERE rn <= {_BM25_TOPK}
 @register(
     "retrieval_hybrid_rrf",
     _hybrid_rrf_sql(),
-    covers=("ext:similarity", "ext:text", "ext:retrieval", "O4", "J-class"),
+    # ext:hybrid-serve: both rankers artifact-served since r10 — its
+    # own tag so the set-cover pin keeps this changed family in the
+    # driver's sampled head (the VERDICT r9 nit-2 convention)
+    covers=(
+        "ext:similarity", "ext:text", "ext:retrieval", "ext:hybrid-serve",
+        "O4", "J-class",
+    ),
 )
 def q_retrieval_hybrid_rrf(spark, sf_dir):
     """Hybrid fusion with the lexical side served from the STORED BM25
