@@ -224,6 +224,7 @@ def main() -> None:
         "dedup_minhash_delete_maintain",
         "sim_ivfpq_delete_store",
         "sim_ivfpq_trained_audit",
+        "stream_bm25_delete_maintain",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -139,6 +139,65 @@ def q_bm25_delete_maintain(spark, sf_dir):
 
 
 @register(
+    "stream_bm25_delete_maintain",
+    _bm25_sql(corpus_pred=f" AND {_DEL_PRED_SQL}"),
+    covers=("ext:retrieval", "ext:bm25-delete-stream", "T1", "K2", "K8"),
+)
+def q_stream_bm25_delete_maintain(spark, sf_dir):
+    """The cross-stream story the delete design argues about, run for
+    REAL: an append stream (own checkpoint) builds the index from
+    micro-batches, then a SEPARATE delete stream (own checkpoint, its
+    micro-batch numbering restarting at 0) tombstones the removed docs
+    and writes their negative stat deltas through ``foreachBatch`` →
+    :func:`bm25_index_delete_batch` — the negative batch-id key-space
+    is what keeps its batch 0 from dynamically overwriting the append
+    stream's batch 0.  Compaction folds and physically drops; the serve
+    must equal a fresh build over the remaining corpus (same twin as
+    the batch-API delete queries)."""
+    from pipeline311_spark.session import prep_session
+
+    prep_session(spark)  # streaming bypasses table(): pin tz/conf here
+    out = os.path.join(tempfile.gettempdir(), f"p311_bm25ds_{uuid.uuid4().hex[:12]}")
+    src_add, src_del, idx, ck_add, ck_del = (
+        os.path.join(out, s) for s in ("add", "del", "index", "ck_add", "ck_del")
+    )
+    try:
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.repartition(2).write.mode("overwrite").parquet(src_add)
+        stream = spark.readStream.schema(d.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src_add)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: bm25_index_append_batch(batch, bid, idx)
+            )
+            .option("checkpointLocation", ck_add)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        d.filter(_is_deleted()).repartition(2).write.mode("overwrite").parquet(src_del)
+        dstream = spark.readStream.schema(d.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src_del)
+        q2 = (
+            dstream.writeStream.foreachBatch(
+                lambda batch, bid: bm25_index_delete_batch(batch, bid, idx)
+            )
+            .option("checkpointLocation", ck_del)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        bm25_index_compact(spark, idx)
+        return _drop_score(
+            bm25_topk(load_bm25_index(spark, idx), _query_frame(spark), k=_BM25_TOPK)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "dedup_minhash_delete_maintain",
     _minhash_pairs_sql(corpus_where=f" WHERE {_DEL_PRED_SQL}"),
     covers=("ext:dedup", "ext:gram-delete", "J3", "K8"),

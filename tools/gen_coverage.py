@@ -103,6 +103,7 @@ STATIC = {
     "ext:ann-delete": ("ANN codes-log tombstone deletion + compaction drop (ext/ann_store.ann_codes_delete_batch)", "tests/test_index_delete.py"),
     "ext:ann-train": ("Lloyd-trained coarse cells + residual-trained codebook, cell-balance audit (ann_cells_train / ann_index_build_trained)", "tests/test_ann_store.py"),
     "ext:hybrid-serve": ("hybrid RRF with BOTH rankers served from stored artifacts (BM25 store + ANN codes; plans/curation3.hybrid_rrf_frame)", "tests/test_retrieval_store.py (plan-asserted)"),
+    "ext:bm25-delete-stream": ("real two-stream lifecycle: independent append and delete Structured Streaming jobs (separate checkpoints) maintaining one BM25 index (plans/index_delete.py)", "tests/test_index_delete.py (negative key-space)"),
     "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
     "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
 }
