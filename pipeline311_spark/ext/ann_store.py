@@ -760,17 +760,25 @@ def ann_adc_topk_from_log(
 
 
 def ann_cells_train(
-    v: DataFrame, n_cells: int, dim: int, iters: int = 2
+    v: DataFrame,
+    n_cells: int,
+    dim: int,
+    iters: int = 2,
+    exact_decimals: int | None = None,
 ) -> dict[int, list[float]]:
     """Lloyd-train the IVF coarse cells (VERDICT r9 item 4: seed cells
     leave cell balance untrained — a hot cell defeats nprobe pruning).
     This IS :func:`pq_train_codebook` with ONE subspace spanning the
     full dimension: same lowest-id seed convention, same exact-decimal
     means (cross-run deterministic), same single-pass-per-iteration
-    shape.  Like codebook training it breaks SQL-expressibility, so its
-    consumers are audit-gated (sim_ivfpq_trained_audit), while the
-    registry's oracle-exact fixtures keep the seed convention."""
-    return pq_train_codebook(v, pq_k=n_cells, m=1, subdim=dim, iters=iters)
+    shape.  Multi-iteration training breaks SQL-expressibility, so its
+    consumers are audit-gated (sim_ivfpq_trained_audit) — but a SINGLE
+    Lloyd step in ``exact_decimals`` mode IS oracle-exact, and the
+    registry gates it bit-for-bit against DuckDB
+    (sim_ann_cells_train_step, VERDICT r10 item 1)."""
+    return pq_train_codebook(
+        v, pq_k=n_cells, m=1, subdim=dim, iters=iters, exact_decimals=exact_decimals
+    )
 
 
 def ann_index_build_trained(
@@ -845,6 +853,7 @@ def pq_train_codebook(
     m: int = ANN_M,
     subdim: int = ANN_SUBDIM,
     iters: int = 2,
+    exact_decimals: int | None = None,
 ) -> dict[int, list[float]]:
     """Lloyd-train the PQ codebook from the ``pq_k``-lowest-id seeds.
     Per iteration: one corpus pass assigns every subvector to its
@@ -859,7 +868,18 @@ def pq_train_codebook(
     the old ``vec_id < pq_k`` filter silently trained nothing on a
     corpus with offset/sparse ids — the exact ADVICE-r9 failure mode
     fixed in ann_quantizer_build, inherited here by the trained
-    build)."""
+    build).
+
+    ``exact_decimals`` (VERDICT r10 item 1): the default decimal(38,15)
+    mean fold is deterministic but NOT cross-engine bit-exact — Spark
+    casts double→decimal through the shortest decimal string (HALF_UP)
+    while DuckDB rounds the exact binary expansion, and the two can
+    disagree in the 15th place.  With ``exact_decimals=d`` set, values
+    are rounded to ``d`` decimals FIRST and summed as decimal(28,d) —
+    the q_kmeans_update-proven fold (plans/analytics13.py) where both
+    engines sum identical exact decimals and the only double op is one
+    division of bit-identical operands — so a one-step training query
+    can carry a bit-exact DuckDB twin (sim_ann_cells_train_step)."""
     cbook = {
         r["vec_id"]: [float(x) for x in r["v"]]
         for r in v.orderBy("vec_id").limit(pq_k).collect()
@@ -891,22 +911,36 @@ def pq_train_codebook(
             F.col("x.cid").alias("cid"),
             F.posexplode("x.sub").alias("d", "val"),
         )
-        stats = parts.groupBy("j", "cid", "d").agg(
-            (
-                F.sum(F.col("val").cast("decimal(38,15)"))
+        if exact_decimals is None:
+            mean_expr = (
+                F.sum(F.col("val").cast("decimal(38,15)")) / F.count("*")
+            ).cast("double")
+        else:
+            # oracle-exact fold: round → exact decimal sum → ONE double
+            # division (cast the sum to double BEFORE dividing — a
+            # decimal division has engine-specific result scale,
+            # whereas double/int division of identical operands is one
+            # unique IEEE result on both engines; q_kmeans_update)
+            mean_expr = (
+                F.sum(
+                    F.round("val", exact_decimals).cast(
+                        f"decimal(28,{exact_decimals})"
+                    )
+                ).cast("double")
                 / F.count("*")
-            ).cast("double").alias("mean")
-        )
+            ).cast("double")
+        stats = parts.groupBy("j", "cid", "d").agg(mean_expr.alias("mean"))
         new_cbook = {c: list(vec) for c, vec in cbook.items()}
         for r in stats.collect():  # m*k*subdim rows — metadata-scale
             if r["mean"] is None:
-                # a component outside decimal(38,15) (|v| >= 1e23) or an
+                # a component outside the decimal type's range or an
                 # overflowed sum casts to NULL and would otherwise be
                 # silently dropped from the mean (ADVICE r9)
+                bound = "1e23" if exact_decimals is None else f"1e{28 - exact_decimals}"
                 raise ValueError(
                     "pq_train_codebook: exact-decimal mean overflowed for "
                     f"(subspace={r['j']}, centroid={r['cid']}, dim={r['d']}) "
-                    "— embedding components must satisfy |v| < 1e23"
+                    f"— embedding components must satisfy |v| < {bound}"
                 )
             new_cbook[r["cid"]][r["j"] * subdim + r["d"]] = float(r["mean"])
         cbook = new_cbook

@@ -269,6 +269,88 @@ def q_stream_ann_index_maintain(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+# One ORACLE-EXACT Lloyd step of the coarse-cell trainer (VERDICT r10
+# item 1): the driver's set-cover sample must carry the ext:ann-train
+# tag, and until round 11 its only carrier was the rows-only audit
+# below — so every CORRECTNESS_r{N} recorded one structural
+# `err: no_oracle`.  A SINGLE training step IS SQL-re-derivable (the
+# q_kmeans_update precedent, plans/analytics13.py): seeds are the
+# n_cells lowest-id vectors, every vector joins its nearest seed
+# (exact double sqdist, ties to the lowest cell — the shared
+# pq_code_col argmin), and the new centroid is the exact-decimal mean
+# (round-6 → decimal(28,6) sum → ONE double division; see
+# pq_train_codebook's ``exact_decimals`` mode).  Registered BEFORE the
+# audit with the same covers set, so the greedy cover always picks
+# this oracled carrier and the rows-only audit stays registered for
+# measured-recall depth without riding the driver sample.
+_TRAIN_STEP_DECIMALS = 6
+
+
+def _cells_train_step_sql() -> str:
+    d = _TRAIN_STEP_DECIMALS
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+seeds AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_ANN_CELLS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_full_sql('e.v', 's.cv')}, s.cell) AS rn
+    FROM e CROSS JOIN seeds s) t
+  WHERE rn = 1),
+dims AS (
+  SELECT a.cell, e.vec_id, u.i AS dim, e.v[u.i] AS val
+  FROM e JOIN assign a USING (vec_id),
+       unnest(generate_series(1, len(e.v))) AS u(i)),
+means AS (
+  SELECT cell, dim,
+         CAST(CAST(sum(CAST(round(val, {d}) AS DECIMAL(28,{d}))) AS DOUBLE)
+              / count(*) AS DOUBLE) AS mv
+  FROM dims GROUP BY cell, dim),
+seeddims AS (
+  SELECT cell, u.i AS dim, cv[u.i] AS sv
+  FROM seeds, unnest(generate_series(1, len(cv))) AS u(i))
+SELECT CAST(sd.cell AS BIGINT) AS cell, CAST(sd.dim AS INT) AS dim,
+       CAST(coalesce(m.mv, sd.sv) AS DOUBLE) AS centroid
+FROM seeddims sd LEFT JOIN means m ON m.cell = sd.cell AND m.dim = sd.dim
+"""
+
+
+@register(
+    "sim_ann_cells_train_step",
+    _cells_train_step_sql(),
+    # the SAME covers set as the audit below + earlier registration:
+    # at every greedy-cover state this query's new-tag count equals the
+    # audit's, and ties break to registration order — so the oracled
+    # carrier is ALWAYS the one sampled (tests/test_entry.py pins it)
+    covers=("ext:similarity", "ext:quantize", "ext:ann-train", "A-class"),
+)
+def q_ann_cells_train_step(spark, sf_dir):
+    """ONE Lloyd iteration of :func:`ann_cells_train` in its
+    oracle-exact fold, emitted as (cell, dim, centroid) rows — the
+    bit-exact gate over the REAL trainer's assignment pass, empty-cell
+    carry-through, and mean fold.  Distributed shape is the trainer's
+    own: one corpus pass for the argmin assignment, one
+    map-side-combined aggregate of n_cells·dim exact-decimal means,
+    ONE metadata-scale collect (the trained centroids themselves)."""
+    from pipeline311_spark.ext.ann_store import ann_cells_train
+
+    e = emb_table(spark, sf_dir)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    first = v.select(F.size("v").alias("d")).take(1)
+    dim = int(first[0]["d"]) if first else _PQ_M * _PQ_SUBDIM
+    cents = ann_cells_train(
+        v, _ANN_CELLS, dim, iters=1, exact_decimals=_TRAIN_STEP_DECIMALS
+    )
+    rows = [
+        (int(c), i, float(x))
+        for c, vec in sorted(cents.items())
+        for i, x in enumerate(vec, start=1)
+    ]
+    return spark.createDataFrame(rows, "cell long, dim int, centroid double")
+
+
 # Trained-quantizer audit: k-means training breaks SQL-expressibility
 # (the oracle cannot re-derive Lloyd iterations), so this query is
 # rows-only-gated by design and its OUTPUT is the audit.  Since round

@@ -69,3 +69,12 @@ def test_driver_sample_spans_every_covers_tag():
     from pipeline311_spark import plans
 
     assert list(plans.queries()) == order
+    # every driver-sampled query must be HASH-checkable (VERDICT r10
+    # item 1: the rows-only trained audit rode the sample for two
+    # rounds as a structural `err: no_oracle`; the oracled one-step
+    # trainer is registered ahead of it with the same covers set so
+    # the greedy cover always picks the checkable carrier)
+    unoracled_head = [n for n in head if REGISTRY[n].oracle is None]
+    assert unoracled_head == [], f"rows-only queries in driver sample: {unoracled_head}"
+    assert "sim_ann_cells_train_step" in head
+    assert "sim_ivfpq_trained_audit" not in head
