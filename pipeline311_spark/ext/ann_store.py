@@ -517,7 +517,15 @@ def _serve_adc_topk(spark, out, index_codes, qvecs, k, nprobe, m, subdim) -> Dat
     driver-chosen probe cells -> pcell-pruned read of ``index_codes``
     -> per-query LUT distance projection -> bounded top-k window.
     ``qvecs`` is capped at :data:`SERVE_MAX_QUERIES` (driver-side
-    expression-tree cost is linear in it)."""
+    expression-tree cost is linear in it).
+
+    The cap is checked BEFORE the empty-store short-circuit —
+    deliberately (adjudicated ADVICE r10): the bound is a structural
+    contract on what a CALLER may ask per call, independent of store
+    state.  A caller holding an over-cap query set has a bug that an
+    accidentally-empty store should not mask with zero rows — the
+    pinned behavior (tests/test_ann_store.py) is that the refusal wins
+    even when the store is empty or quantizer-less."""
     if len(qvecs) > SERVE_MAX_QUERIES:
         raise ValueError(
             f"ADC serve got {len(qvecs)} query vectors; the literal-LUT "
@@ -616,16 +624,29 @@ def ann_codes_append_batch(
     subdim: int = ANN_SUBDIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_fresh_ids: bool = False,
 ) -> None:
     """The ``foreachBatch`` body: encode one micro-batch with the
     STORED quantizer and append its code rows to the batch-id log.
     Recovers a crashed compaction swap first (the appender contract,
     review r9).  Raises if the quantizer is empty — a stream cannot
-    encode against an untrained index."""
-    from pipeline311_spark.ext.artifact import recover_swap
+    encode against an untrained index.  ``validate_fresh_ids``
+    (ADVICE r10) refuses a re-appended tombstoned vec id — the
+    retained tombstone would mask its code row forever."""
+    from pipeline311_spark.ext.artifact import (
+        assert_fresh_ids,
+        recover_swap,
+        tombstone_dir,
+    )
 
     spark = batch_df.sparkSession
     recover_swap(os.path.join(out, "codes"))
+    if validate_fresh_ids:
+        assert_fresh_ids(
+            batch_df.select(F.col(id_col).alias("vec_id")),
+            tombstone_dir(os.path.join(out, "codes")),
+            "vec_id",
+        )
     cents, cbook = _load_quantizer(spark, out, use_cache=True)
     if not cents:
         # empty-CODEBOOK-with-centroids appends zero rows below, the
@@ -647,12 +668,15 @@ def ann_codes_append_batch(
         m,
         subdim,
     ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-    (
-        codes.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "pcell")
-        .parquet(os.path.join(out, "codes"))
-    )
+    from pipeline311_spark.ext.artifact import write_intent
+
+    with write_intent(out, f"append-{int(batch_id)}"):
+        (
+            codes.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "pcell")
+            .parquet(os.path.join(out, "codes"))
+        )
 
 
 def ann_codes_delete_batch(
@@ -665,14 +689,19 @@ def ann_codes_delete_batch(
     :func:`ann_codes_compact`.  Replay-idempotent (each delete batch
     overwrites its own tombstone partition); the quantizer artifacts
     are untouched — deletion never retrains a frozen quantizer."""
-    from pipeline311_spark.ext.artifact import tombstone_append, tombstone_dir
-
-    tombstone_append(
-        ids.select(F.col(id_col).alias("vec_id")),
-        batch_id,
-        tombstone_dir(os.path.join(out, "codes")),
-        "vec_id",
+    from pipeline311_spark.ext.artifact import (
+        tombstone_append,
+        tombstone_dir,
+        write_intent,
     )
+
+    with write_intent(out, f"delete-{int(batch_id)}"):
+        tombstone_append(
+            ids.select(F.col(id_col).alias("vec_id")),
+            batch_id,
+            tombstone_dir(os.path.join(out, "codes")),
+            "vec_id",
+        )
 
 
 def load_ann_codes_log(spark: SparkSession, out: str, m: int = ANN_M) -> DataFrame:
@@ -700,12 +729,15 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
     :func:`load_ann_codes_log`) and the tombstone log folded-but-
     retained (ext/artifact.py module note)."""
     from pipeline311_spark.ext.artifact import (
+        assert_quiesced,
         compact_swap,
         compact_tombstones,
         recover_log,
         tombstone_dir,
     )
 
+    # quiescence contract, enforced (VERDICT r10 item 3)
+    assert_quiesced(out)
     path = os.path.join(out, "codes")
     # recovers the tombstone sibling too — it is READ below (through
     # load_ann_codes_log), and a compaction crashed inside
@@ -840,7 +872,16 @@ def cell_balance_py(codes_pops: dict[str, int]) -> tuple[int, int]:
     {pcell: count} map — the skew statistic nprobe pruning's worst case
     depends on (a hot cell makes every probe that hits it scan-heavy).
     Driver-side over |cells| values — metadata-scale, deterministic
-    (integer counts, sorted fold)."""
+    (integer counts, sorted fold).
+
+    Caller contract (ADVICE r10): the map must cover the FULL trained
+    cell domain with explicit zeros for empty cells — a groupBy over
+    stored codes alone never emits a zero-population cell, which
+    biases the median upward and hides exactly the imbalance this
+    audit exists to expose (empty cells are wasted quantizer capacity
+    concentrated onto the hot ones).  Both callers fill from the
+    centroid set: plans/ann_store_q.q_ivfpq_trained_audit and
+    tools/recall_probe.py."""
     if not codes_pops:
         return (0, 0)
     pops = sorted(codes_pops.values())

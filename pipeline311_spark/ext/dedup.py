@@ -1346,11 +1346,14 @@ def gram_log_append_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    validate_fresh_ids: bool = False,
 ) -> None:
     """Append one micro-batch's per-doc DISTINCT gram rows (the stored-
     table contract of :func:`minhash_pairs_from_grams`) — the
     ``foreachBatch`` body.  Idempotent under replay: each write
     dynamically overwrites ONLY its own ``batch_id`` partition.
+    ``validate_fresh_ids`` (ADVICE r10) refuses a re-appended
+    tombstoned doc id — the retained tombstone would mask it forever.
 
     Recovers a crashed compaction swap FIRST (review r9): an append
     landing in the between-renames window (live dir absent, the only
@@ -1360,17 +1363,32 @@ def gram_log_append_batch(
     batch in it."""
     import os
 
-    from pipeline311_spark.ext.artifact import recover_swap
+    from pipeline311_spark.ext.artifact import (
+        assert_fresh_ids,
+        recover_swap,
+        tombstone_dir,
+    )
 
     recover_swap(os.path.join(store_dir, "grams"))
+    if validate_fresh_ids:
+        # the gram tombstone log's id field is "doc" (the gram table's
+        # own id column), not the caller-facing id_col
+        assert_fresh_ids(
+            batch_df.select(F.col(id_col).alias("doc")),
+            tombstone_dir(os.path.join(store_dir, "grams")),
+            "doc",
+        )
     gh = _gram_hash_table(batch_df, id_col, text_col, n, distinct=True)
-    (
-        gh.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(os.path.join(store_dir, "grams"))
-    )
+    from pipeline311_spark.ext.artifact import write_intent
+
+    with write_intent(store_dir, f"append-{int(batch_id)}"):
+        (
+            gh.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(store_dir, "grams"))
+        )
 
 
 def gram_log_delete_batch(
@@ -1387,14 +1405,19 @@ def gram_log_delete_batch(
     drops them from the gram base."""
     import os
 
-    from pipeline311_spark.ext.artifact import tombstone_append, tombstone_dir
-
-    tombstone_append(
-        ids.select(F.col(id_col).alias("doc")),
-        batch_id,
-        tombstone_dir(os.path.join(store_dir, "grams")),
-        "doc",
+    from pipeline311_spark.ext.artifact import (
+        tombstone_append,
+        tombstone_dir,
+        write_intent,
     )
+
+    with write_intent(store_dir, f"delete-{int(batch_id)}"):
+        tombstone_append(
+            ids.select(F.col(id_col).alias("doc")),
+            batch_id,
+            tombstone_dir(os.path.join(store_dir, "grams")),
+            "doc",
+        )
 
 
 def load_gram_log(spark, store_dir: str) -> DataFrame:
@@ -1430,12 +1453,15 @@ def gram_log_compact(spark, store_dir: str) -> None:
     import os
 
     from pipeline311_spark.ext.artifact import (
+        assert_quiesced,
         compact_swap,
         compact_tombstones,
         recover_log,
         tombstone_dir,
     )
 
+    # quiescence contract, enforced (VERDICT r10 item 3)
+    assert_quiesced(store_dir)
     path = os.path.join(store_dir, "grams")
     # recovers the tombstone sibling too — it is READ below (through
     # load_gram_log), and a compaction crashed inside

@@ -418,6 +418,7 @@ def bm25_index_append_batch(
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate_fresh_ids: bool = False,
 ) -> None:
     """Append one micro-batch's index deltas (the ``foreachBatch``
     body).  Doc ids must be disjoint across batches (file-split or
@@ -425,14 +426,32 @@ def bm25_index_append_batch(
     write dynamically overwrites ONLY the ``batch_id=<n>`` partition it
     produces, so re-delivering a batch rewrites the same rows.
 
+    ``validate_fresh_ids`` (ADVICE r10): semi-join the batch's ids
+    against the postings tombstone log and refuse a re-appended
+    deleted id — for BM25 specifically, a reused id is SILENTLY
+    inconsistent (tombstone masks its postings forever, but the
+    append's positive stat deltas still skew n_docs/avgdl/idf).  The
+    update-maintenance path turns it on (plans/index_update.py).
+
     Recovers a crashed compaction swap on each artifact FIRST (review
     r9): appending into the between-renames window would resurrect a
     partial live dir and orphan the pre-crash log in ``.compact.old``,
     which the next compaction deletes — silent data loss."""
-    from pipeline311_spark.ext.artifact import recover_swap
+    from pipeline311_spark.ext.artifact import (
+        assert_fresh_ids,
+        recover_swap,
+        tombstone_dir,
+        write_intent,
+    )
 
     for sub in ("postings", "term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
+    if validate_fresh_ids:
+        assert_fresh_ids(
+            batch_df.select(F.col(id_col).alias("doc_id")),
+            tombstone_dir(os.path.join(index_dir, "postings")),
+            "doc_id",
+        )
     bid = F.lit(int(batch_id)).cast("long")
     postings = build_bm25_postings(batch_df, id_col, text_col)
 
@@ -445,9 +464,13 @@ def bm25_index_append_batch(
             .parquet(os.path.join(index_dir, sub))
         )
 
-    _append(postings, "postings")
-    _append(bm25_term_stats(postings), "term_stats")
-    _append(bm25_corpus_stats(batch_df, id_col, text_col), "corpus_stats")
+    # quiescence intent spans all three artifact writes: a crash
+    # mid-triple leaves the marker, and compaction refuses until this
+    # batch replays (ext/artifact.py, VERDICT r10 item 3)
+    with write_intent(index_dir, f"append-{int(batch_id)}"):
+        _append(postings, "postings")
+        _append(bm25_term_stats(postings), "term_stats")
+        _append(bm25_corpus_stats(batch_df, id_col, text_col), "corpus_stats")
 
 
 def bm25_index_delete_batch(
@@ -482,42 +505,113 @@ def bm25_index_delete_batch(
         recover_swap,
         tombstone_append,
         tombstone_dir,
+        write_intent,
     )
 
     recover_log(os.path.join(index_dir, "postings"))  # + tombstone sibling
     for sub in ("term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
-    tombstone_append(
-        batch_df.select(F.col(id_col).alias("doc_id")),
-        batch_id,
-        tombstone_dir(os.path.join(index_dir, "postings")),
-        "doc_id",
-    )
-    neg_bid = F.lit(-(int(batch_id) + 2)).cast("long")
-    removed_postings = build_bm25_postings(batch_df, id_col, text_col)
+    neg_bid_int = -(int(batch_id) + 2)
+    if neg_bid_int in _folded_delete_batches(index_dir):
+        # ADVICE r10: this delete batch's negative stat deltas were
+        # already FOLDED into the compaction base — replaying it would
+        # re-subtract df/n_docs/sum_dl the base has netted (the
+        # tombstone half is retention-protected, the stat half was
+        # not).  Skip the whole write: the tombstone ids live on in
+        # the folded tombstone base, so skipping keeps the replay
+        # idempotent instead of corrupting.
+        import warnings
 
-    def _append_neg(df: DataFrame, sub: str) -> None:
-        (
-            df.withColumn("batch_id", neg_bid)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(index_dir, sub))
+        warnings.warn(
+            f"bm25_index_delete_batch: delete batch {int(batch_id)} "
+            f"(key-space id {neg_bid_int}) was already folded by a "
+            f"compaction of {index_dir} — skipping the replayed write "
+            "(its deltas are in the base; re-applying would double-subtract)",
+            stacklevel=2,
+        )
+        return
+    with write_intent(index_dir, f"delete-{int(batch_id)}"):
+        tombstone_append(
+            batch_df.select(F.col(id_col).alias("doc_id")),
+            batch_id,
+            tombstone_dir(os.path.join(index_dir, "postings")),
+            "doc_id",
+        )
+        neg_bid = F.lit(neg_bid_int).cast("long")
+        removed_postings = build_bm25_postings(batch_df, id_col, text_col)
+
+        def _append_neg(df: DataFrame, sub: str) -> None:
+            (
+                df.withColumn("batch_id", neg_bid)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(os.path.join(index_dir, sub))
+            )
+
+        _append_neg(
+            bm25_term_stats(removed_postings).withColumn(
+                "df", (-F.col("df")).cast("long")
+            ),
+            "term_stats",
+        )
+        _append_neg(
+            bm25_corpus_stats(batch_df, id_col, text_col).select(
+                (-F.col("n_docs")).cast("long").alias("n_docs"),
+                (-F.col("sum_dl")).cast("long").alias("sum_dl"),
+            ),
+            "corpus_stats",
         )
 
-    _append_neg(
-        bm25_term_stats(removed_postings).withColumn(
-            "df", (-F.col("df")).cast("long")
-        ),
-        "term_stats",
-    )
-    _append_neg(
-        bm25_corpus_stats(batch_df, id_col, text_col).select(
-            (-F.col("n_docs")).cast("long").alias("n_docs"),
-            (-F.col("sum_dl")).cast("long").alias("sum_dl"),
-        ),
-        "corpus_stats",
-    )
+
+def _folded_marker_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_folded_delete_batches.txt")
+
+
+def _folded_delete_batches(index_dir: str) -> set[int]:
+    """The negative-key-space batch ids whose stat deltas a past
+    compaction has folded into the base (ADVICE r10): a delete batch
+    replayed AFTER its fold must be SKIPPED, because its negative
+    df/n_docs/sum_dl rows would be re-applied on top of a base that
+    already netted them.  (The append side needs no such marker: a
+    replayed append batch rewrites its own still-live partition or —
+    post-compaction — recreates rows the tombstone-retention design
+    already reasons about under the quiescence contract; only the
+    delete side subtracts, so only it double-damages.)
+
+    Corollary: a deliberately FRESH delete stream (new checkpoint)
+    over a compacted index must not recycle folded batch ids — give it
+    a disjoint id range, or clear this marker together with the old
+    checkpoint; the skip warns loudly so the mistake is visible."""
+    p = _folded_marker_path(index_dir)
+    if not os.path.isfile(p):
+        return set()
+    with open(p) as f:
+        return {int(x) for x in f.read().split()}
+
+
+def _record_folded_delete_batches(index_dir: str) -> None:
+    """Called at the START of compaction, before any fold: records the
+    union of previously folded ids and every negative batch partition
+    currently in the log.  Marker-first ordering is crash-safe — the
+    recorded batches' partitions are already durably in the log, so a
+    replay skipped after a marker write that preceded a crashed fold
+    loses nothing (the partitions it would have rewritten still
+    exist)."""
+    ts = os.path.join(index_dir, "term_stats")
+    neg: set[int] = set()
+    if os.path.isdir(ts):
+        for name in os.listdir(ts):
+            if name.startswith("batch_id=-"):
+                bid = int(name.split("=", 1)[1])
+                if bid <= -2:  # -1 is the compaction base, never a delete
+                    neg.add(bid)
+    folded = _folded_delete_batches(index_dir) | neg
+    if folded:
+        tmp = _folded_marker_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(str(b) for b in sorted(folded)))
+        os.replace(tmp, _folded_marker_path(index_dir))
 
 
 def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -556,12 +650,17 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     at the next call; :func:`_read_log` fails loudly in that window
     instead of silently serving an empty artifact."""
     from pipeline311_spark.ext.artifact import (
+        assert_quiesced,
         compact_swap,
         recover_log,
         recover_swap,
         tombstone_dir,
     )
 
+    # enforce the quiescence contract FIRST (VERDICT r10 item 3): an
+    # in-flight batch write means folding would eat partitions whose
+    # batch will later replay on top of the base
+    assert_quiesced(index_dir)
     # recover any crashed swap BEFORE reading: in that window the only
     # live copy of an artifact is its .old dir (and _read_log refuses
     # to serve it as empty); recover_log covers the postings' tombstone
@@ -569,6 +668,9 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     recover_log(os.path.join(index_dir, "postings"))
     for sub in ("term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
+    # record the delete batches this fold will absorb BEFORE folding
+    # (ADVICE r10 — see _folded_delete_batches for the ordering proof)
+    _record_folded_delete_batches(index_dir)
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
         return  # nothing ever appended — no log to fold

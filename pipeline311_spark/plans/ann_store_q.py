@@ -36,7 +36,7 @@ from pipeline311_spark.ext.ann_store import (
     ann_index_build,
     ann_index_update,
 )
-from pipeline311_spark.plans.common import emb_table
+from pipeline311_spark.plans.common import emb_table, materialize
 from pipeline311_spark.plans.curation4 import _PQ_K, _PQ_M, _PQ_SUBDIM, _pq_sqdist_sql
 from pipeline311_spark.plans.registry import register
 
@@ -61,13 +61,21 @@ def _sqdist_full_sql(a: str, b: str) -> str:
     )
 
 
-def _ivfpq_sql(n_q: int = _ANN_Q, k: int = _ANN_K, corpus_pred: str = "") -> str:
+def _ivfpq_sql(
+    n_q: int = _ANN_Q,
+    k: int = _ANN_K,
+    corpus_pred: str = "",
+    corpus_sql: str | None = None,
+) -> str:
     """The residual-IVF-PQ twin, parameterized so the hybrid-fusion and
     delete-maintenance queries reuse the ONE derivation: quantizer seeds
     come from the lowest ids of the FULL corpus (the frozen-per-corpus-
     version contract — deletion never retrains), queries from the full
     corpus head; ``corpus_pred`` restricts only what is INDEXED
-    (assign/encode/serve).  Codes quantize the residual
+    (assign/encode/serve), and ``corpus_sql`` replaces the indexed
+    corpus outright (must select ``vec_id, v`` — the round-11
+    update-maintenance twin swaps in originals-minus-changed plus the
+    changed vectors' new-id revisions).  Codes quantize the residual
     ``v − centroid[cell]``; codebook seeds therefore enter in RESIDUAL
     space (each seed minus its nearest coarse cell — cbseed/cbassign/cb
     below), and the LUT is built per (query, probed cell) from the
@@ -95,10 +103,11 @@ def _ivfpq_sql(n_q: int = _ANN_Q, k: int = _ANN_K, corpus_pred: str = "") -> str
     for j in range(_PQ_M):
         dist = f"({dist} + t{j}.l{j})" if dist else f"t{j}.l{j}"
     where_corp = f" WHERE {corpus_pred}" if corpus_pred else ""
+    corp_body = corpus_sql or f"SELECT * FROM e{where_corp}"
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL),
-corp AS (SELECT * FROM e{where_corp}),
+corp AS ({corp_body}),
 coarse AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT {_ANN_CELLS}),
 cbseed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_PQ_K} OFFSET {_ANN_CELLS}),
 cbassign AS (
@@ -184,7 +193,7 @@ def q_ivfpq_from_store(spark, sf_dir):
         ann_index_build(spark, e, out, n_cells=_ANN_CELLS, pq_k=_PQ_K)
         return ann_adc_topk_from_store(
             spark, out, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
-        ).localCheckpoint(eager=True)  # materialize before the cleanup
+        ).transform(materialize)  # materialize before the cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -208,7 +217,7 @@ def q_ivfpq_incr_store(spark, sf_dir):
         ann_index_update(spark, out, e.filter(is_batch))
         return ann_adc_topk_from_store(
             spark, out, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -264,7 +273,7 @@ def q_stream_ann_index_maintain(spark, sf_dir):
         ann_codes_compact(spark, idx)
         return ann_adc_topk_from_log(
             spark, idx, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
-        ).localCheckpoint(eager=True)  # materialize before the cleanup
+        ).transform(materialize)  # materialize before the cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -401,15 +410,21 @@ def q_ivfpq_trained_audit(spark, sf_dir):
             spark, out, qvecs, k=_AUDIT_K, nprobe=_ANN_NPROBE
         ).select("query_id", "neighbor_id")
         # cell balance from the stored codes: |cells| counts, ONE
-        # metadata-scale collect
+        # metadata-scale collect — filled to the FULL trained cell
+        # domain with explicit zeros (ADVICE r10: a groupBy over codes
+        # never emits an empty cell, which biased med_cell upward and
+        # hid the very imbalance the audit measures)
+        idx = load_ann_index(spark, out)
         pops = {
             r["pcell"]: r["n"]
-            for r in load_ann_index(spark, out)
-            .codes.groupBy("pcell")
+            for r in idx.codes.groupBy("pcell")
             .agg(F.count("*").cast("long").alias("n"))
             .collect()
         }
-        max_cell, med_cell = cell_balance_py(pops)
+        cells = [r["cell"] for r in idx.centroids.select("cell").collect()]
+        max_cell, med_cell = cell_balance_py(
+            {f"c{c}": pops.get(f"c{c}", 0) for c in cells}
+        )
         exact = brute_force_topk(
             e,
             e.filter(F.col("vec_id") < _ANN_Q),
@@ -436,7 +451,7 @@ def q_ivfpq_trained_audit(spark, sf_dir):
             )
             .withColumn("max_cell", F.lit(max_cell).cast("long"))
             .withColumn("med_cell", F.lit(med_cell).cast("long"))
-            .localCheckpoint(eager=True)  # materialize before the cleanup
+            .transform(materialize)  # materialize before the cleanup
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -31,6 +31,41 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# ---------------------------------------------------------------------------
+# Plan capture (VERDICT r10 item 5): store-serving queries must
+# localCheckpoint before their tmp artifacts are cleaned up, which
+# replaces the returned frame's lineage with a LogicalRDD scan — so the
+# generated PLANS.md audit was all-zero exactly for the ~20 most
+# interesting queries (every *_from_store / stream_* / hybrid).  All
+# registry checkpoint sites now route through :func:`materialize`;
+# tools/gen_plan_report.py flips ``_PLAN_CAPTURE`` to a list and reads
+# the REAL pre-checkpoint formatted plan recorded here while the
+# artifacts still exist.
+# ---------------------------------------------------------------------------
+
+_PLAN_CAPTURE: list[str] | None = None
+
+
+def formatted_plan(df: DataFrame) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with the plan-audit hook: when
+    capture is on, record the frame's real formatted plan BEFORE the
+    checkpoint erases its lineage.  Used via ``.transform(materialize)``
+    so call sites stay chainable."""
+    if _PLAN_CAPTURE is not None:
+        _PLAN_CAPTURE.append(formatted_plan(df))
+    return df.localCheckpoint(eager=True)
+
+
 def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with NULL vectors dropped — the engine-wide
     convention: a NULL embedding is a failed/absent encode and takes

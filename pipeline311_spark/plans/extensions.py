@@ -36,7 +36,7 @@ from pipeline311_spark.ext.textstats import (
     quality_score,
     token_count,
 )
-from pipeline311_spark.plans.common import emb_table, table
+from pipeline311_spark.plans.common import emb_table, materialize, table
 from pipeline311_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -77,13 +77,18 @@ def _tok_array_sql(expr: str = "text") -> str:
     )
 
 
-def _shingle_cte(n: int, corpus_where: str = "") -> str:
+def _shingle_cte(n: int, corpus_where: str = "", corpus_sql: str | None = None) -> str:
     """CTEs norm/toks/sh: doc_id + exploded distinct word n-grams.
     ``corpus_where`` (e.g. ``" WHERE doc_id % 9 != 4"``) restricts the
     corpus — the delete-maintenance twins run the full pipeline over
-    corpus-minus-deleted (round 10)."""
+    corpus-minus-deleted (round 10).  ``corpus_sql`` replaces the
+    corpus source outright (must select ``doc_id, text``) — the
+    update-maintenance twins re-derive from the post-update corpus
+    (round 11)."""
+    corpus = corpus_sql or "SELECT doc_id, text FROM documents"
     return f"""
-norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents{corpus_where}),
+corpus0 AS ({corpus}),
+norm AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM corpus0{corpus_where}),
 toks AS (SELECT doc_id, string_split(nt, ' ') AS tk FROM norm),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -205,15 +210,17 @@ _MH_ROWS = _MH_K // _MH_BANDS
 # the n-gram oracle: group by the exact sorted gram-hash list, run the
 # LSH pipeline over representatives, expand + emit identical-group
 # pairs (see the note above _NGRAM_JACCARD_SQL).
-def _minhash_pairs_sql(extra_pred: str = "", corpus_where: str = "") -> str:
+def _minhash_pairs_sql(
+    extra_pred: str = "", corpus_where: str = "", corpus_sql: str | None = None
+) -> str:
     where_pred = f"WHERE TRUE{extra_pred}" if extra_pred else ""
     return f"""
-WITH {_minhash_pairs_cte(corpus_where)}
+WITH {_minhash_pairs_cte(corpus_where, corpus_sql)}
 SELECT doc_a, doc_b, jaccard FROM allpairs {where_pred}
 """
 
 
-def _minhash_pairs_cte(corpus_where: str = "") -> str:
+def _minhash_pairs_cte(corpus_where: str = "", corpus_sql: str | None = None) -> str:
     """The MinHash pair pipeline as a bare CTE chain ending in
     ``allpairs`` (doc_a, doc_b, jaccard) — consumers append their own
     final SELECT (or further CTEs, e.g. the connected-components reach
@@ -236,7 +243,7 @@ def _minhash_pairs_cte(corpus_where: str = "") -> str:
     gram = "th[i]"
     for j in range(1, _MH_N):
         gram = f"(({gram}) * {GRAM_BASE} + th[i+{j}]) % {MOD}"
-    return f"""{_shingle_cte(_MH_N, corpus_where)},
+    return f"""{_shingle_cte(_MH_N, corpus_where, corpus_sql)},
 tokh AS (SELECT doc_id,
     list_transform(string_split(nt, ' '), t -> {portable_hash_sql('t')}) AS th
   FROM norm),
@@ -333,7 +340,7 @@ def q_minhash_from_store(spark, sf_dir):
         stored = spark.read.schema(frame.schema).parquet(out)
         return minhash_pairs_from_grams(
             stored, k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED, persist=False
-        ).localCheckpoint(eager=True)  # materialize before the cleanup
+        ).transform(materialize)  # materialize before the cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -1427,6 +1434,6 @@ def q_stream_minhash_maintain(spark, sf_dir):
             load_gram_log(spark, store),
             k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED,
             persist=False,
-        ).localCheckpoint(eager=True)  # materialize before the cleanup
+        ).transform(materialize)  # materialize before the cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -59,7 +59,7 @@ from pipeline311_spark.plans.ann_store_q import (
     _ivfpq_sql,
     _query_vecs,
 )
-from pipeline311_spark.plans.common import emb_table, table
+from pipeline311_spark.plans.common import emb_table, materialize, table
 from pipeline311_spark.plans.curation3 import _bm25_sql
 from pipeline311_spark.plans.extensions import (
     _MH_BANDS,
@@ -107,7 +107,7 @@ def q_bm25_delete_merge(spark, sf_dir):
         pruned = bm25_index_delete(index, removed, "doc_id", "text")
         return _drop_score(
             bm25_topk(pruned, _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -133,7 +133,7 @@ def q_bm25_delete_maintain(spark, sf_dir):
         bm25_index_compact(spark, out)
         return _drop_score(
             bm25_topk(load_bm25_index(spark, out), _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -192,7 +192,7 @@ def q_stream_bm25_delete_maintain(spark, sf_dir):
         bm25_index_compact(spark, idx)
         return _drop_score(
             bm25_topk(load_bm25_index(spark, idx), _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -229,7 +229,7 @@ def q_minhash_delete_maintain(spark, sf_dir):
             load_gram_log(spark, out),
             k=_MH_K, bands=_MH_BANDS, threshold=_MH_THRESHOLD, seed=_MH_SEED,
             persist=False,
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -269,6 +269,6 @@ def q_ivfpq_delete_store(spark, sf_dir):
         ann_codes_compact(spark, out)
         return ann_adc_topk_from_log(
             spark, out, _query_vecs(e), k=_ANN_K, nprobe=_ANN_NPROBE
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -53,7 +53,7 @@ from pipeline311_spark.ext.retrieval import (
     build_bm25_postings,
     rrf_fuse,
 )
-from pipeline311_spark.plans.common import emb_table, table
+from pipeline311_spark.plans.common import emb_table, materialize, table
 from pipeline311_spark.plans.curation3 import (
     _BM25_QUERIES,
     _BM25_TOPK,
@@ -110,7 +110,7 @@ def q_bm25_from_store(spark, sf_dir):
         index = _stored_index(spark, sf_dir, out)
         return _drop_score(
             bm25_topk(index, _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)  # materialize before the cleanup below
+        ).transform(materialize)  # materialize before the cleanup below
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -136,7 +136,7 @@ def q_bm25_incr_store(spark, sf_dir):
         merged = bm25_index_update(base_index, batch, "doc_id", "text")
         return _drop_score(
             bm25_topk(merged, _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -218,7 +218,7 @@ def q_bm25_partitioned_store(spark, sf_dir):
         )
         return _drop_score(
             bm25_topk(index, _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -294,7 +294,7 @@ def _stream_maintained_topk(spark, sf_dir, compact: bool):
             bm25_index_compact(spark, idx)
         return _drop_score(
             bm25_topk(load_bm25_index(spark, idx), _query_frame(spark), k=_BM25_TOPK)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -410,6 +410,6 @@ def q_retrieval_rrf_recency(spark, sf_dir):
         )
         return rrf_fuse(
             [("lex", lex), ("dense", dense), ("rec", rec)], k=_BM25_TOPK, c=_RRF_C
-        ).localCheckpoint(eager=True)  # materialize before the store cleanup
+        ).transform(materialize)  # materialize before the store cleanup
     finally:
         shutil.rmtree(out, ignore_errors=True)

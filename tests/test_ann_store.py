@@ -398,3 +398,29 @@ def test_tiny_corpus_degrades_to_empty_serve_not_crash(spark, tmp_path):
     ann_index_update(spark, out, _emb(spark).filter(F.col("vec_id") == 7))
     assert load_ann_index(spark, out).codes.count() == 0
     ann_codes_append_batch(_emb(spark).filter(F.col("vec_id") == 8), 0, out)
+
+
+def test_serve_query_cap_wins_over_empty_store(spark, tmp_path):
+    """Adjudicated ADVICE r10: the SERVE_MAX_QUERIES refusal is a
+    structural contract on the caller and fires even when the store is
+    empty or quantizer-less — an over-cap query set is a caller bug
+    that an accidentally-empty store must not mask with zero rows."""
+    import pytest
+
+    from pipeline311_spark.ext.ann_store import (
+        SERVE_MAX_QUERIES,
+        ann_adc_topk_from_store,
+    )
+
+    out = str(tmp_path / "idx")
+    # a store built over an EMPTY corpus: artifacts exist, quantizer
+    # and codes are empty — the zero-row short-circuit's home turf
+    ann_index_build(spark, _emb(spark).filter(F.col("vec_id") < 0), out,
+                    n_cells=8, pq_k=4)
+    too_many = {i: [0.0] * 64 for i in range(SERVE_MAX_QUERIES + 1)}
+    with pytest.raises(ValueError, match="bounded at"):
+        ann_adc_topk_from_store(spark, out, too_many, k=5, nprobe=2)
+    # an in-cap query set against the same empty store keeps the
+    # zero-row contract
+    few = {i: [0.0] * 64 for i in range(2)}
+    assert ann_adc_topk_from_store(spark, out, few, k=5, nprobe=2).count() == 0

@@ -1,0 +1,136 @@
+"""Runtime enforcement of the artifact-log quiescence contract
+(round 11, VERDICT r10 item 3) and the folded-delete-batch replay
+guard (ADVICE r10): compaction must REFUSE while any batch write is in
+flight, a crashed writer's leftover marker must block compaction until
+the batch replays (and self-heal when it does), and a delete batch
+replayed after its fold must be skipped with a warning instead of
+double-subtracting the stats the base already netted."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline311_spark.ext.artifact import (
+    assert_quiesced,
+    intent_dir,
+    write_intent,
+)
+from pipeline311_spark.ext.retrieval import (
+    bm25_index_append_batch,
+    bm25_index_compact,
+    bm25_index_delete_batch,
+    load_bm25_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def _touch_marker(root: str, key: str) -> str:
+    os.makedirs(intent_dir(root), exist_ok=True)
+    marker = os.path.join(intent_dir(root), key)
+    with open(marker, "w"):
+        pass
+    return marker
+
+
+def test_write_intent_lifecycle(tmp_path):
+    root = str(tmp_path / "log")
+    # clean write: marker exists during, gone after
+    with write_intent(root, "append-0"):
+        assert os.listdir(intent_dir(root)) == ["append-0"]
+        assert_quiesced_raises = False
+        try:
+            assert_quiesced(root)
+        except RuntimeError:
+            assert_quiesced_raises = True
+        assert assert_quiesced_raises
+    assert os.listdir(intent_dir(root)) == []
+    assert_quiesced(root)  # no-op when clean
+    # crashed write: the marker survives the exception...
+    with pytest.raises(RuntimeError, match="boom"):
+        with write_intent(root, "append-1"):
+            raise RuntimeError("boom")
+    with pytest.raises(RuntimeError, match="in-flight batch"):
+        assert_quiesced(root)
+    # ...and the batch's REPLAY (same deterministic key) self-heals it
+    with write_intent(root, "append-1"):
+        pass
+    assert_quiesced(root)
+
+
+def test_bm25_compaction_refuses_inflight_writer(spark, tmp_path):
+    out = str(tmp_path / "bm25")
+    d = _docs(spark)
+    for i in range(2):
+        bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == i), i, out)
+    marker = _touch_marker(out, "append-7")
+    with pytest.raises(RuntimeError, match="in-flight batch"):
+        bm25_index_compact(spark, out)
+    os.remove(marker)  # writer commits → compaction proceeds
+    bm25_index_compact(spark, out)
+    assert load_bm25_index(spark, out).postings.count() > 0
+
+
+def test_gram_and_ann_compaction_refuse_inflight_writer(spark, tmp_path):
+    from pipeline311_spark.ext.ann_store import (
+        ann_codes_append_batch,
+        ann_codes_compact,
+        ann_quantizer_build,
+    )
+    from pipeline311_spark.ext.dedup import gram_log_append_batch, gram_log_compact
+
+    groot = str(tmp_path / "grams")
+    d = _docs(spark).limit(50)
+    gram_log_append_batch(d, 0, groot)
+    _touch_marker(groot, "delete-3")
+    with pytest.raises(RuntimeError, match="in-flight batch"):
+        gram_log_compact(spark, groot)
+
+    aroot = str(tmp_path / "ann")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ann_quantizer_build(spark, v, aroot, n_cells=4, pq_k=4)
+    ann_codes_append_batch(e, 0, aroot)
+    _touch_marker(aroot, "append-9")
+    with pytest.raises(RuntimeError, match="in-flight batch"):
+        ann_codes_compact(spark, aroot)
+
+
+def test_folded_delete_batch_replay_is_skipped(spark, tmp_path):
+    """ADVICE r10: a pre-compaction delete batch replayed AFTER
+    bm25_index_compact must not re-subtract df/n_docs/sum_dl the
+    folded base already netted — the replay is skipped with a loud
+    warning, and the served index is bit-identical."""
+    out = str(tmp_path / "bm25")
+    d = _docs(spark)
+    for i in range(2):
+        bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == i), i, out)
+    deleted = d.filter(F.col("doc_id") % 9 == 4)
+    bm25_index_delete_batch(deleted, 0, out)
+    bm25_index_compact(spark, out)
+
+    def snap():
+        ix = load_bm25_index(spark, out)
+        return (
+            sorted(map(tuple, ix.term_stats.collect())),
+            sorted(map(tuple, ix.corpus_stats.collect())),
+        )
+
+    before = snap()
+    with pytest.warns(UserWarning, match="already folded"):
+        bm25_index_delete_batch(deleted, 0, out)  # the post-fold replay
+    assert snap() == before
+    # a genuinely NEW delete batch (fresh id) still applies
+    more = d.filter(F.col("doc_id") % 9 == 5)
+    bm25_index_delete_batch(more, 1, out)
+    after = load_bm25_index(spark, out).corpus_stats.collect()[0]
+    assert after["n_docs"] < before[1][0][0]

@@ -214,7 +214,11 @@ def main() -> None:
                         "count", "n"
                     ).collect()
                 }
-                max_cell, med_cell = cell_balance_py(sizes)
+                # fill to the full trained cell domain with zeros
+                # (ADVICE r10 — empty cells are the skew signal)
+                max_cell, med_cell = cell_balance_py(
+                    {f"c{c}": sizes.get(f"c{c}", 0) for c in cents}
+                )
                 for np_ in (2, 4):
                     probes = probe_cells_py(qvecs, cents, np_)
                     rows = sum(
