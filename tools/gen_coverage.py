@@ -15,58 +15,58 @@ from pipeline311_spark import plans  # noqa: E402
 # operator id -> (engine location, notes/tests)
 STATIC = {
     "S1": ("sources/readers.py read_parquet; sources/salesforce_sim.py (Python DataSource, paginated + pushFilters)", "tests/test_connector_plans.py"),
-    "S2": ("df.count() / a5_count_probes", ""),
+    "S2": ("df.count() / a5_count_probes", "oracle gate (a5_count_probes); tests/test_empty_increment.py"),
     "S3": ("operators/joins.py anti_join (chunked IN-list collapsed)", "tests/test_operators.py"),
     "S4": ("sources/readers.py read_jdbc (partitioned scan, predicate pushdown, explicit predicates)", "tests/test_jdbc.py (embedded Derby: PushedFilters verified)"),
     "S5": ("operators/joins.py semi_join + sources/validate.py assert_single_row_per_key", "tests/test_operators.py"),
     "S6": ("sources/validate.py validate_columns/validate_schema (df.schema)", "tests/test_operators.py"),
-    "S7": ("DataFrame.filter (generic where-clause scan)", ""),
-    "S8": ("operators/aggregates.py max_watermark", ""),
-    "S9": ("sources/readers.py read_csv (explicit schema)", ""),
-    "S10": ("operators/backfill.py partition_window_filter", ""),
-    "K1": ("sinks/writers.py write_csv", ""),
-    "K2": ("df.write.parquet('s3a://...') — same line, S3A path (no S3 in container)", ""),
+    "S7": ("DataFrame.filter (generic where-clause scan)", "tests/test_connector_plans.py (filter pushdown plan-asserted)"),
+    "S8": ("operators/aggregates.py max_watermark", "tests/test_connector_plans.py (watermark scan); oracle gate (a1_max_watermark)"),
+    "S9": ("sources/readers.py read_csv (explicit schema)", "oracle gate (s9_csv_roundtrip write+read-back); tests/test_empty_increment.py"),
+    "S10": ("operators/backfill.py partition_window_filter", "oracle gate (t2_backfill_window); tests/test_pipeline_e2e.py"),
+    "K1": ("sinks/writers.py write_csv", "oracle gate (s9_csv_roundtrip: write_csv is the writer under test)"),
+    "K2": ("df.write.parquet('s3a://...') — same line, S3A path (no S3 in container)", "oracle gate (export_hash_shards + ~20 store queries); no S3 endpoint in container"),
     "K3": ("operators/merge.py upsert (window-dedup MERGE); merge_incremental_partitioned (partition-pruned warehouse MERGE)", "tests/test_operators.py, tests/test_merge_partitioned.py"),
     "K4": ("operators/merge.py merge_with_surrogate + incremental watermark", "tests/test_operators.py"),
     "K5": ("sinks/writers.py batched_foreach_writer (50-row batches, retry ladder)", "tests/test_streaming_sinks.py + oracle gate (k5_batched_writer_roundtrip)"),
     "K6": ("same writer; delete batches = key-list sends", "tests/test_streaming_sinks.py"),
     "K7": ("operators/merge.py upsert == delete-then-add semantics", "tests/test_operators.py"),
     "K8": ("operators/reconcile.py reconcile_deletes (tombstone archive)", "tests/test_operators.py"),
-    "K9": ("sinks/writers.py overwrite_reload", ""),
-    "K10": ("N/A — stale/broken seed path in reference (SURVEY §2.9.4)", ""),
-    "P13": ("functions/text.py ago_sanitize", ""),
-    "P14": ("coalesce/nullif edge conventions (plans/pipeline_clean.py gold projection)", ""),
-    "P15": ("functions/timeparse.py utc_string_relocalize (fixes reference bug §2.9.3)", ""),
-    "P16": ("functions/timeparse.py to_local_string", ""),
-    "P17": ("df.toDF(*lowered) — p1_rename_projection", ""),
-    "P18": ("functions/geo.py esri_point_feature", ""),
-    "P19": ("functions/geo.py reproject_identity (4326->4326; pandas_udf+pyproj if ever real)", ""),
-    "F1": ("operators/filters.py static_source_filter", ""),
-    "F2": ("operators/filters.py time_range", ""),
+    "K9": ("sinks/writers.py overwrite_reload", "oracle gate (k9_truncate_reload write+read-back)"),
+    "K10": ("N/A — stale/broken seed path in reference (SURVEY §2.9.4)", "N/A — dead code in the reference itself (SURVEY §2.9.4)"),
+    "P13": ("functions/text.py ago_sanitize", "oracle gate (pipeline_gold_projection, text_pii_redaction)"),
+    "P14": ("coalesce/nullif edge conventions (plans/pipeline_clean.py gold projection)", "tests/test_canon_safety.py; oracle gate (pipeline_gold_projection)"),
+    "P15": ("functions/timeparse.py utc_string_relocalize (fixes reference bug §2.9.3)", "tests/test_functions_misc.py (utc_string_relocalize)"),
+    "P16": ("functions/timeparse.py to_local_string", "tests/test_functions_misc.py (to_local_string); oracle gate (p16_dst_offset_format)"),
+    "P17": ("df.toDF(*lowered) — p1_rename_projection", "oracle gate (p1_rename_projection)"),
+    "P18": ("functions/geo.py esri_point_feature", "tests/test_functions_misc.py + tests/test_geo.py"),
+    "P19": ("functions/geo.py reproject_identity (4326->4326; pandas_udf+pyproj if ever real)", "tests/test_geo.py (round-trip + known-point fixtures)"),
+    "F1": ("operators/filters.py static_source_filter", "oracle gate (f1_static_filter); tests/test_empty_increment.py"),
+    "F2": ("operators/filters.py time_range", "tests/test_operators.py (time_range); oracle gate (f2_time_range)"),
     "F3": ("operators/filters.py watermark_filter(inclusive=False)", "tests/test_operators.py"),
     "F4": ("operators/filters.py watermark_filter(inclusive=True)", "tests/test_operators.py"),
-    "F5": ("scalar-subquery watermark (f3_f4 query)", ""),
-    "F6": ("key predicate / point lookup -> join (S5)", ""),
-    "F7": ("operators/filters.py key_in", ""),
-    "F8": ("isin / semi-join", ""),
+    "F5": ("scalar-subquery watermark (f3_f4 query)", "oracle gate (q11/q15/q17 scalar subqueries)"),
+    "F6": ("key predicate / point lookup -> join (S5)", "oracle gate (j4_semi_probe); tests/test_operators.py (semi_join)"),
+    "F7": ("operators/filters.py key_in", "oracle gate (f8_in_list, q19)"),
+    "F8": ("isin / semi-join", "oracle gate (f8_in_list)"),
     "J1": ("operators/merge.py upsert", "tests/test_operators.py"),
     "J2": ("operators/merge.py upsert (viewer variant w/ surrogate)", "tests/test_operators.py"),
     "J3": ("operators/joins.py anti_join; operators/reconcile.py", "tests/test_operators.py"),
     "J4": ("operators/joins.py semi_join / exists_probe", "tests/test_operators.py"),
-    "A1": ("operators/aggregates.py max_watermark", ""),
-    "A2": ("same (source-agnostic)", ""),
-    "A3": ("operators/aggregates.py coalesced_max_watermark", ""),
-    "A4": ("df.count()", ""),
-    "A5": ("operators/aggregates.py count_matched", ""),
+    "A1": ("operators/aggregates.py max_watermark", "tests/test_connector_plans.py; oracle gate (a1_max_watermark)"),
+    "A2": ("same (source-agnostic)", "same scan, source-agnostic (a1_max_watermark)"),
+    "A3": ("operators/aggregates.py coalesced_max_watermark", "oracle gate (a3_coalesced_watermark incl. empty-source NULL fold)"),
+    "A4": ("df.count()", "oracle gate (a5_count_probes)"),
+    "A5": ("operators/aggregates.py count_matched", "oracle gate (a5_count_probes); tests/test_operators.py"),
     "A6": ("sources/validate.py dup_guard", "tests/test_operators.py"),
-    "A7": ("merge result counts", ""),
-    "O1": ("df.orderBy asc", ""),
-    "O2": ("df.orderBy desc", ""),
-    "O3": ("exceptAll/subtract/intersect", ""),
-    "O4": ("df.limit / deterministic top-k", ""),
+    "A7": ("merge result counts", "oracle gate (a5_count_probes; merge rowcounts in tests/test_operators.py)"),
+    "O1": ("df.orderBy asc", "oracle gate (q01 + every ORDER BY twin)"),
+    "O2": ("df.orderBy desc", "oracle gate (o2_desc_scan_order)"),
+    "O3": ("exceptAll/subtract/intersect", "oracle gate (q_setops, q_except_all, corpus_version_diff)"),
+    "O4": ("df.limit / deterministic top-k", "oracle gate (q_topk_orders + every top-k twin)"),
     "O5": ("operators/merge.py latest_per_key (row_number window)", "tests/test_operators.py"),
     "T1": ("streaming/incremental.py IncrementalRunner + stream_merge", "tests/test_streaming_sinks.py"),
-    "T2": ("operators/backfill.py", ""),
+    "T2": ("operators/backfill.py", "oracle gate (t2_backfill_window); tests/test_pipeline_e2e.py"),
     "T3": ("sinks/writers.py batched_foreach_writer batch_size", "tests/test_streaming_sinks.py"),
     "T4": ("same writer: max_tries/backoff retry envelope", "tests/test_streaming_sinks.py"),
     "T5": ("operators/telemetry.py observed (df.observe metrics) + Spark UI", "tests/test_operators.py"),
@@ -104,8 +104,12 @@ STATIC = {
     "ext:ann-train": ("Lloyd-trained coarse cells + residual-trained codebook, cell-balance audit (ann_cells_train / ann_index_build_trained)", "tests/test_ann_store.py"),
     "ext:hybrid-serve": ("hybrid RRF with BOTH rankers served from stored artifacts (BM25 store + ANN codes; plans/curation3.hybrid_rrf_frame)", "tests/test_retrieval_store.py (plan-asserted)"),
     "ext:bm25-delete-stream": ("real two-stream lifecycle: independent append and delete Structured Streaming jobs (separate checkpoints) maintaining one BM25 index (plans/index_delete.py)", "tests/test_index_delete.py (negative key-space)"),
-    "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", ""),
-    "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", ""),
+    "P-class": ("functions/cleaning.py + timeparse.py + geo.py + text.py — the P1-P19 kernel family as one projection (plans/pipeline_clean.py)", "tests/test_cleaning.py; oracle gate (pipeline_clean_cases, pipeline_gold_projection)"),
+    "ext:bm25-update": ("BM25 document update = delete old id + fresh-id-guarded re-append + compact (plans/index_update.py)", "tests/test_index_update.py"),
+    "ext:gram-update": ("gram-log document update under the id-reuse contract (plans/index_update.py)", "tests/test_index_update.py"),
+    "ext:ann-update": ("ANN codes document update under the frozen quantizer (plans/index_update.py)", "tests/test_index_update.py"),
+    "A-class": ("groupBy/rollup/cube/distinct aggregates (Spark-native)", "oracle gate (54 aggregate queries); tests/test_canon_safety.py (decimal folds)"),
+    "J-class": ("equi/semi/anti joins, Catalyst-chosen strategy", "oracle gate (19 join queries); tests/test_connector_plans.py (broadcast/SMJ audit)"),
 }
 
 
