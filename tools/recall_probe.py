@@ -39,6 +39,47 @@ IVF_C = 16
 IVF_NPROBE = 2
 
 
+def _clustered_embeddings(spark, n: int, g: int = 8, dim: int = DIM, spread: float = 0.08):
+    """Deterministic mixture-of-Gaussians-ish corpus (VERDICT r10
+    item 6): the amplified sf0.1 vectors are near-uniform — the EASY
+    case for cell balance — so the trained-vs-seeded comparison needs
+    a fixture with real cluster structure AND real skew.  Cluster
+    centers and per-point noise come from a classic 31-bit LCG
+    (x → 1103515245·x + 12345 mod 2³¹) evaluated as Column math
+    (operands stay ≲ 2²¹ so the multiply never overflows ANSI bigint).
+    The corpus is SOURCE-ORDERED: the entire first half of the id
+    space is cluster 0, the second half spreads over the remaining
+    g−1 — the production hazard this fixture models is head-of-corpus
+    seed selection on a corpus grouped by source, which lands EVERY
+    seed centroid inside one cluster (the first probe cut used
+    interleaved ids and measured nothing: density-proportional seeds
+    already balance — data-drawn seeds are only pathological when the
+    draw order correlates with the structure)."""
+    from pyspark.sql import functions as F
+
+    def lcg01(x):  # x: small non-negative int Column -> [0, 1)
+        return (
+            F.pmod(x * F.lit(1103515245) + F.lit(12345), F.lit(2147483648))
+            / F.lit(2147483648.0)
+        )
+
+    ids = spark.range(n).select(F.col("id").cast("long").alias("vec_id"))
+    head = F.col("vec_id") < n // 2
+    cluster = F.when(head, F.lit(0)).otherwise(
+        (F.col("vec_id") % F.lit(g - 1)) + 1
+    )
+    d = F.sequence(F.lit(0), F.lit(dim - 1))
+    emb = F.transform(
+        d,
+        lambda i: (
+            (lcg01(cluster * dim + i) * 2 - 1)  # the cluster center
+            + (lcg01((F.col("vec_id") % 1_000_000) * dim + i + F.lit(31)) * 2 - 1)
+            * F.lit(spread)
+        ).cast("float"),
+    )
+    return ids.select("vec_id", emb.alias("embedding"))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -264,6 +305,92 @@ def main() -> None:
                             "recall_at_k": round(len(got & exact) / (Q * K), 4),
                             "fanout": round(fan(), 5),
                             "secs": secs,
+                            "k": K,
+                            "q": Q,
+                        }
+                    )
+                )
+        # Clustered-skew fixture (VERDICT r10 item 6): the sweep above
+        # runs on near-uniform vectors, where seed cells already
+        # balance; THIS block is the regime Lloyd training exists for —
+        # a hot cluster holding half the corpus.  Same store path, same
+        # exact-L2 baseline, seeded vs trained side by side.
+        from pipeline311_spark.ext.ann_store import (
+            ann_adc_topk_from_store,
+            ann_index_build,
+            ann_index_build_trained,
+            cell_balance_py,
+            load_ann_index,
+        )
+        from pipeline311_spark.ext.similarity import brute_force_topk
+
+        cpath = os.path.join(tmp, "clustered")
+        _clustered_embeddings(spark, 8192).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        n_corpus = corpus.count()
+        queries = corpus.filter(F.col("vec_id") < Q)
+        exact_l2 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(corpus, queries, k=K, metric="sqdist").collect()
+        }
+        qvecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in queries.collect()
+        }
+        from pipeline311_spark.ext.ann_store import probe_cells_py
+
+        for label, trained in (("seeded", False), ("trained", True)):
+            store = os.path.join(tmp, f"clustered_{label}")
+            if trained:
+                ann_index_build_trained(
+                    spark, corpus, store,
+                    n_cells=IVF_C, pq_k=16, m=4, subdim=16, iters=2,
+                )
+            else:
+                ann_index_build(
+                    spark, corpus, store, n_cells=IVF_C, pq_k=16, m=4, subdim=16
+                )
+            idx = load_ann_index(spark, store, m=4)
+            cents = {r["cell"]: list(r["cv"]) for r in idx.centroids.collect()}
+            sizes = {
+                r["pcell"]: r["n"]
+                for r in idx.codes.groupBy("pcell").count()
+                .withColumnRenamed("count", "n").collect()
+            }
+            max_cell, med_cell = cell_balance_py(
+                {f"c{c}": sizes.get(f"c{c}", 0) for c in cents}
+            )
+            n_empty = sum(1 for c in cents if sizes.get(f"c{c}", 0) == 0)
+            for np_ in (2, 4):
+                probes = probe_cells_py(qvecs, cents, np_)
+                rows = sum(
+                    sizes.get(f"c{c}", 0)
+                    for cells in probes.values()
+                    for c in cells
+                )
+                t0 = time.time()
+                got = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in ann_adc_topk_from_store(
+                        spark, store, qvecs, k=K, nprobe=np_, m=4, subdim=16
+                    ).collect()
+                }
+                print(
+                    json.dumps(
+                        {
+                            "fixture": "clustered_hotcell",
+                            "n_corpus": n_corpus,
+                            "method": f"ivfpq_{label}_np{np_}",
+                            "recall_at_k_vs_exact_l2": round(
+                                len(got & exact_l2) / (Q * K), 4
+                            ),
+                            "fanout": round(rows / (Q * n_corpus), 5),
+                            "max_cell": max_cell,
+                            "med_cell": med_cell,
+                            "n_empty_cells": n_empty,
+                            "secs": round(time.time() - t0, 3),
                             "k": K,
                             "q": Q,
                         }
