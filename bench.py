@@ -45,6 +45,13 @@ HEADLINE = [
 ]
 
 
+def _errline(e: BaseException, width: int = 200) -> str:
+    """First line of an exception message, safe for empty messages
+    (review r11: a bare AssertionError's str() is "" and splitlines()[0]
+    raised INSIDE the error handler, killing the whole bench)."""
+    return (str(e).splitlines() or [""])[0][:width]
+
+
 def _calibrate() -> float:
     """Fixed CPU-bound loop, best of 3 — a machine-speed yardstick that
     rides every BENCH json so cross-session comparisons can be
@@ -112,8 +119,6 @@ def _store_phases(spark, sf_dir: str) -> dict[str, object]:
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as F
-
     out: dict[str, object] = {}
 
     def run(family, build, serve):
@@ -128,7 +133,7 @@ def _store_phases(spark, sf_dir: str) -> dict[str, object]:
             serve(tmp, handle)
             out[family] = {"build": t_build, "serve": round(time.time() - t0, 3)}
         except Exception as e:  # noqa: BLE001 — isolate per family
-            out[family] = {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"}
+            out[family] = {"err": f"{type(e).__name__}: {_errline(e)}"}
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -263,7 +268,7 @@ def main() -> None:
             try:
                 spec.fn(spark, sf_dir).count()
             except Exception as e:
-                return {"err": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"}
+                return {"err": f"{type(e).__name__}: {_errline(e)}"}
             best = min(best, time.time() - t0)
         return round(best, 3)
 
@@ -340,6 +345,12 @@ def main() -> None:
         "sim_ivfpq_delete_store",
         "sim_ivfpq_trained_audit",
         "stream_bm25_delete_maintain",
+        # round-11 additions: document-update maintenance for the three
+        # stored index families, and the oracle-exact one-step trainer
+        "text_bm25_update_maintain",
+        "dedup_minhash_update_maintain",
+        "sim_ivfpq_update_store",
+        "sim_ann_cells_train_step",
     ):
         spec = plans.REGISTRY.get(name)
         if spec is None:

@@ -635,12 +635,28 @@ def ann_codes_append_batch(
     retained tombstone would mask its code row forever."""
     from pipeline311_spark.ext.artifact import (
         assert_fresh_ids,
+        folded_batches,
         recover_swap,
+        skip_if_replayed,
         tombstone_dir,
     )
 
     spark = batch_df.sparkSession
     recover_swap(os.path.join(out, "codes"))
+    if int(batch_id) in folded_batches(out):
+        # post-fold replay guard (review r11): replayed code rows
+        # duplicate base rows and a duplicated neighbor eats a top-k
+        # slot at serve; skip replays, let fresh id-space recycling
+        # (disjoint vec ids) proceed
+        if skip_if_replayed(
+            batch_df.select(F.col(id_col).alias("vec_id")),
+            out,
+            batch_id,
+            load_ann_codes_log(spark, out, m),
+            "vec_id",
+            "ann_codes_append_batch",
+        ):
+            return
     if validate_fresh_ids:
         assert_fresh_ids(
             batch_df.select(F.col(id_col).alias("vec_id")),
@@ -738,6 +754,10 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
 
     # quiescence contract, enforced (VERDICT r10 item 3)
     assert_quiesced(out)
+    # record the batches this fold absorbs BEFORE folding (review r11)
+    from pipeline311_spark.ext.artifact import record_folded_batches
+
+    record_folded_batches(out, "codes")
     path = os.path.join(out, "codes")
     # recovers the tombstone sibling too — it is READ below (through
     # load_ann_codes_log), and a compaction crashed inside

@@ -118,6 +118,84 @@ def assert_quiesced(root: str) -> None:
         )
 
 
+def folded_marker_path(root: str) -> str:
+    return os.path.join(root, "_folded_batches.txt")
+
+
+def folded_batches(root: str) -> set[int]:
+    """Batch ids (BOTH polarities — appends at >= 0, BM25 deletes in
+    the negative key-space) that a past compaction of the family
+    rooted at ``root`` has absorbed into its ``batch_id = -1`` base.
+    A batch replayed AFTER its fold re-adds rows/deltas the base
+    already contains — appends double-ADD exactly as deletes
+    double-subtract (review r11: the first cut guarded only the delete
+    side) — so appenders and deleters consult this set and, when their
+    batch id is in it, distinguish a true at-least-once REPLAY (batch
+    content already present in the folded artifact → skip with a loud
+    warning) from a deliberately FRESH stream recycling the id space
+    after compaction (disjoint content → proceed: its rows are new,
+    and dynamic overwrite of the long-gone partition is harmless).
+    The content probe runs ONLY when the batch id is in the folded
+    set, so steady-state batches never pay it."""
+    p = folded_marker_path(root)
+    if not os.path.isfile(p):
+        return set()
+    with open(p) as f:
+        return {int(x) for x in f.read().split()}
+
+
+def record_folded_batches(root: str, log_subdir: str) -> None:
+    """Called at the START of compaction, BEFORE any fold: unions the
+    batch-id partitions currently in ``root/log_subdir`` (and, via
+    :func:`folded_batches`, everything previously recorded) into the
+    marker.  Marker-first ordering is crash-safe — the recorded
+    batches' partitions are already durably in the log, so a replay
+    skipped after a marker write that preceded a crashed fold loses
+    nothing (the partitions it would have rewritten still exist)."""
+    d = os.path.join(root, log_subdir)
+    seen: set[int] = set()
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.startswith("batch_id="):
+                bid = int(name.split("=", 1)[1])
+                if bid != -1:  # -1 is the base itself, never a batch
+                    seen.add(bid)
+    folded = folded_batches(root) | seen
+    if folded:
+        tmp = folded_marker_path(root) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(str(b) for b in sorted(folded)))
+        os.replace(tmp, folded_marker_path(root))
+
+
+def skip_if_replayed(
+    batch_ids: DataFrame, root: str, batch_id: int, folded_rows: DataFrame,
+    id_field: str, who: str,
+) -> bool:
+    """The post-fold replay guard's shared decision: returns True (and
+    warns) when this batch is a replay of one a compaction already
+    folded — any id overlap between the batch and ``folded_rows``
+    counts, because fresh batches are id-disjoint by the engine-wide
+    contract, so overlap can only mean replay (or an id-collision that
+    is illegal anyway).  Empty batches skip too: an empty replayed
+    partition adds nothing.  Callers invoke this ONLY when
+    ``batch_id`` is already in :func:`folded_batches`."""
+    import warnings
+
+    ids = batch_ids.select(id_field)
+    overlap = ids.join(folded_rows.select(id_field), id_field, "left_semi").take(1)
+    if overlap or not ids.take(1):
+        warnings.warn(
+            f"{who}: batch {int(batch_id)} was already folded by a compaction "
+            f"of {root} and its content is present in the base — skipping the "
+            "replayed write (re-applying would double-count); a deliberately "
+            "fresh stream recycling this batch id must carry disjoint ids",
+            stacklevel=3,
+        )
+        return True
+    return False
+
+
 def read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Log-dir read with explicit schema; absent dir folds to an empty
     frame UNLESS it is mid-compaction-swap, which fails loudly."""

@@ -1365,11 +1365,28 @@ def gram_log_append_batch(
 
     from pipeline311_spark.ext.artifact import (
         assert_fresh_ids,
+        folded_batches,
         recover_swap,
+        skip_if_replayed,
         tombstone_dir,
     )
 
     recover_swap(os.path.join(store_dir, "grams"))
+    if int(batch_id) in folded_batches(store_dir):
+        # post-fold replay guard (review r11): a replayed append
+        # recreates gram rows the folded base already holds —
+        # duplicates are MIN-idempotent for signatures but inflate any
+        # set-size denominator downstream; skip replays, let fresh
+        # id-space recycling (disjoint docs) proceed
+        if skip_if_replayed(
+            batch_df.select(F.col(id_col).alias("doc")),
+            store_dir,
+            batch_id,
+            load_gram_log(batch_df.sparkSession, store_dir),
+            "doc",
+            "gram_log_append_batch",
+        ):
+            return
     if validate_fresh_ids:
         # the gram tombstone log's id field is "doc" (the gram table's
         # own id column), not the caller-facing id_col
@@ -1462,6 +1479,10 @@ def gram_log_compact(spark, store_dir: str) -> None:
 
     # quiescence contract, enforced (VERDICT r10 item 3)
     assert_quiesced(store_dir)
+    # record the batches this fold absorbs BEFORE folding (review r11)
+    from pipeline311_spark.ext.artifact import record_folded_batches
+
+    record_folded_batches(store_dir, "grams")
     path = os.path.join(store_dir, "grams")
     # recovers the tombstone sibling too — it is READ below (through
     # load_gram_log), and a compaction crashed inside

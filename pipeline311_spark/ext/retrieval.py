@@ -439,13 +439,33 @@ def bm25_index_append_batch(
     which the next compaction deletes — silent data loss."""
     from pipeline311_spark.ext.artifact import (
         assert_fresh_ids,
+        folded_batches,
         recover_swap,
+        skip_if_replayed,
         tombstone_dir,
         write_intent,
     )
 
     for sub in ("postings", "term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
+    if int(batch_id) in folded_batches(index_dir):
+        # post-fold replay guard (review r11: appends double-ADD stats
+        # exactly as deletes double-subtract — the first cut guarded
+        # only the delete side).  Content probe: replayed batches
+        # overlap the folded postings; a fresh stream recycling the id
+        # space carries disjoint ids and proceeds.  (A replayed batch
+        # of ONLY zero-token docs leaves no postings to overlap and
+        # slips through to double-count n_docs — the residual window,
+        # documented; real batches carry tokens.)
+        if skip_if_replayed(
+            batch_df.select(F.col(id_col).alias("doc_id")),
+            index_dir,
+            batch_id,
+            load_bm25_index(batch_df.sparkSession, index_dir).postings,
+            "doc_id",
+            "bm25_index_append_batch",
+        ):
+            return
     if validate_fresh_ids:
         assert_fresh_ids(
             batch_df.select(F.col(id_col).alias("doc_id")),
@@ -501,10 +521,14 @@ def bm25_index_delete_batch(
     Recovers crashed compaction swaps on every artifact first (the
     appender contract)."""
     from pipeline311_spark.ext.artifact import (
+        folded_batches,
+        read_log,
         recover_log,
         recover_swap,
+        skip_if_replayed,
         tombstone_append,
         tombstone_dir,
+        tombstone_schema,
         write_intent,
     )
 
@@ -512,24 +536,28 @@ def bm25_index_delete_batch(
     for sub in ("term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
     neg_bid_int = -(int(batch_id) + 2)
-    if neg_bid_int in _folded_delete_batches(index_dir):
+    if neg_bid_int in folded_batches(index_dir):
         # ADVICE r10: this delete batch's negative stat deltas were
         # already FOLDED into the compaction base — replaying it would
         # re-subtract df/n_docs/sum_dl the base has netted (the
         # tombstone half is retention-protected, the stat half was
-        # not).  Skip the whole write: the tombstone ids live on in
-        # the folded tombstone base, so skipping keeps the replay
-        # idempotent instead of corrupting.
-        import warnings
-
-        warnings.warn(
-            f"bm25_index_delete_batch: delete batch {int(batch_id)} "
-            f"(key-space id {neg_bid_int}) was already folded by a "
-            f"compaction of {index_dir} — skipping the replayed write "
-            "(its deltas are in the base; re-applying would double-subtract)",
-            stacklevel=2,
-        )
-        return
+        # not).  Content probe against the tombstone base: a true
+        # replay's ids are already tombstoned (skip — the base netted
+        # its deltas); a fresh delete stream recycling the id space
+        # carries not-yet-deleted ids and proceeds.
+        if skip_if_replayed(
+            batch_df.select(F.col(id_col).alias("doc_id")),
+            index_dir,
+            batch_id,
+            read_log(
+                batch_df.sparkSession,
+                tombstone_dir(os.path.join(index_dir, "postings")),
+                tombstone_schema("doc_id"),
+            ),
+            "doc_id",
+            "bm25_index_delete_batch",
+        ):
+            return
     with write_intent(index_dir, f"delete-{int(batch_id)}"):
         tombstone_append(
             batch_df.select(F.col(id_col).alias("doc_id")),
@@ -562,56 +590,6 @@ def bm25_index_delete_batch(
             ),
             "corpus_stats",
         )
-
-
-def _folded_marker_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "_folded_delete_batches.txt")
-
-
-def _folded_delete_batches(index_dir: str) -> set[int]:
-    """The negative-key-space batch ids whose stat deltas a past
-    compaction has folded into the base (ADVICE r10): a delete batch
-    replayed AFTER its fold must be SKIPPED, because its negative
-    df/n_docs/sum_dl rows would be re-applied on top of a base that
-    already netted them.  (The append side needs no such marker: a
-    replayed append batch rewrites its own still-live partition or —
-    post-compaction — recreates rows the tombstone-retention design
-    already reasons about under the quiescence contract; only the
-    delete side subtracts, so only it double-damages.)
-
-    Corollary: a deliberately FRESH delete stream (new checkpoint)
-    over a compacted index must not recycle folded batch ids — give it
-    a disjoint id range, or clear this marker together with the old
-    checkpoint; the skip warns loudly so the mistake is visible."""
-    p = _folded_marker_path(index_dir)
-    if not os.path.isfile(p):
-        return set()
-    with open(p) as f:
-        return {int(x) for x in f.read().split()}
-
-
-def _record_folded_delete_batches(index_dir: str) -> None:
-    """Called at the START of compaction, before any fold: records the
-    union of previously folded ids and every negative batch partition
-    currently in the log.  Marker-first ordering is crash-safe — the
-    recorded batches' partitions are already durably in the log, so a
-    replay skipped after a marker write that preceded a crashed fold
-    loses nothing (the partitions it would have rewritten still
-    exist)."""
-    ts = os.path.join(index_dir, "term_stats")
-    neg: set[int] = set()
-    if os.path.isdir(ts):
-        for name in os.listdir(ts):
-            if name.startswith("batch_id=-"):
-                bid = int(name.split("=", 1)[1])
-                if bid <= -2:  # -1 is the compaction base, never a delete
-                    neg.add(bid)
-    folded = _folded_delete_batches(index_dir) | neg
-    if folded:
-        tmp = _folded_marker_path(index_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join(str(b) for b in sorted(folded)))
-        os.replace(tmp, _folded_marker_path(index_dir))
 
 
 def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
@@ -668,9 +646,12 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     recover_log(os.path.join(index_dir, "postings"))
     for sub in ("term_stats", "corpus_stats"):
         recover_swap(os.path.join(index_dir, sub))
-    # record the delete batches this fold will absorb BEFORE folding
-    # (ADVICE r10 — see _folded_delete_batches for the ordering proof)
-    _record_folded_delete_batches(index_dir)
+    # record EVERY batch this fold will absorb — appends and deletes —
+    # BEFORE folding (ADVICE r10 + review r11; marker-first ordering is
+    # crash-safe, see ext/artifact.record_folded_batches)
+    from pipeline311_spark.ext.artifact import record_folded_batches
+
+    record_folded_batches(index_dir, "term_stats")
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
         return  # nothing ever appended — no log to fold

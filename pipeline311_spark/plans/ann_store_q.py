@@ -102,6 +102,11 @@ def _ivfpq_sql(
     dist = ""
     for j in range(_PQ_M):
         dist = f"({dist} + t{j}.l{j})" if dist else f"t{j}.l{j}"
+    if corpus_pred and corpus_sql:
+        # _bm25_sql applies pred ON TOP of a replaced corpus; this twin
+        # would silently drop the pred — refuse the ambiguous combo
+        # until a caller defines its meaning (review r11)
+        raise ValueError("_ivfpq_sql: pass corpus_pred OR corpus_sql, not both")
     where_corp = f" WHERE {corpus_pred}" if corpus_pred else ""
     corp_body = corpus_sql or f"SELECT * FROM e{where_corp}"
     return f"""

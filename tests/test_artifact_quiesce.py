@@ -134,3 +134,68 @@ def test_folded_delete_batch_replay_is_skipped(spark, tmp_path):
     bm25_index_delete_batch(more, 1, out)
     after = load_bm25_index(spark, out).corpus_stats.collect()[0]
     assert after["n_docs"] < before[1][0][0]
+
+
+def test_folded_append_batch_replay_is_skipped(spark, tmp_path):
+    """Review r11 (the first guard cut was delete-only): an append
+    batch replayed AFTER compaction folded it would double-ADD its
+    postings and df/n_docs/sum_dl exactly as a replayed delete
+    double-subtracts — the content-based guard skips the replay, while
+    a deliberately fresh stream recycling the folded batch id with
+    DISJOINT ids proceeds."""
+    out = str(tmp_path / "bm25")
+    d = _docs(spark)
+    half = d.filter(F.col("doc_id") < 500)
+    for i in range(2):
+        bm25_index_append_batch(half.filter(F.col("doc_id") % 2 == i), i, out)
+    bm25_index_compact(spark, out)
+
+    def snap():
+        ix = load_bm25_index(spark, out)
+        return (
+            sorted(map(tuple, ix.postings.collect())),
+            sorted(map(tuple, ix.corpus_stats.collect())),
+        )
+
+    before = snap()
+    with pytest.warns(UserWarning, match="already folded"):
+        bm25_index_append_batch(half.filter(F.col("doc_id") % 2 == 0), 0, out)
+    assert snap() == before
+    # fresh id-space recycling: batch id 0 again, but DISJOINT docs —
+    # the documented post-compaction fresh-checkpoint workflow
+    fresh = d.filter((F.col("doc_id") >= 500) & (F.col("doc_id") < 600))
+    bm25_index_append_batch(fresh, 0, out)
+    after = load_bm25_index(spark, out).corpus_stats.collect()[0]
+    assert after["n_docs"] == before[1][0][0] + fresh.filter(
+        F.col("text").isNotNull()
+    ).count()
+
+
+def test_folded_ann_append_replay_is_skipped(spark, tmp_path):
+    """The same post-fold replay guard on the ANN codes log: a
+    replayed code batch would duplicate base rows and a duplicated
+    neighbor eats a top-k slot at serve."""
+    from pipeline311_spark.ext.ann_store import (
+        ann_codes_append_batch,
+        ann_codes_compact,
+        ann_quantizer_build,
+        load_ann_codes_log,
+    )
+
+    out = str(tmp_path / "ann")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ann_quantizer_build(spark, v, out, n_cells=4, pq_k=4)
+    ann_codes_append_batch(e.filter(F.col("vec_id") < 200), 0, out)
+    ann_codes_compact(spark, out)
+    n = load_ann_codes_log(spark, out).count()
+    with pytest.warns(UserWarning, match="already folded"):
+        ann_codes_append_batch(e.filter(F.col("vec_id") < 200), 0, out)
+    assert load_ann_codes_log(spark, out).count() == n
+    # disjoint vec ids under the recycled batch id proceed
+    ann_codes_append_batch(
+        e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 0, out
+    )
+    assert load_ann_codes_log(spark, out).count() > n

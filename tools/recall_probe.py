@@ -80,6 +80,72 @@ def _clustered_embeddings(spark, n: int, g: int = 8, dim: int = DIM, spread: flo
     return ids.select("vec_id", emb.alias("embedding"))
 
 
+
+def _measure_ivfpq_store(
+    spark, store, label, qvecs, exact_l2, n_corpus, pq_m, pq_sub, tag
+):
+    """Shared read-out for ONE built IVF-PQ store (review r11: the
+    clustered fixture had copy-pasted this ~40-line body from the
+    amplified sweep, and the two had already drifted — only the copy
+    reported n_empty_cells): cell balance over the FULL trained cell
+    domain (zero-filled, ADVICE r10), then recall/fan-out/secs at
+    nprobe 2 and 4.  ``tag`` carries the caller's context fields
+    (factor / fixture name)."""
+    import json as _json
+    import time as _time
+
+    from pipeline311_spark.ext.ann_store import (
+        ann_adc_topk_from_store,
+        cell_balance_py,
+        load_ann_index,
+        probe_cells_py,
+    )
+
+    idx = load_ann_index(spark, store, m=pq_m)
+    cents = {r["cell"]: list(r["cv"]) for r in idx.centroids.collect()}
+    sizes = {
+        r["pcell"]: r["n"]
+        for r in idx.codes.groupBy("pcell").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    max_cell, med_cell = cell_balance_py(
+        {f"c{c}": sizes.get(f"c{c}", 0) for c in cents}
+    )
+    n_empty = sum(1 for c in cents if sizes.get(f"c{c}", 0) == 0)
+    for np_ in (2, 4):
+        probes = probe_cells_py(qvecs, cents, np_)
+        rows = sum(
+            sizes.get(f"c{c}", 0) for cells in probes.values() for c in cells
+        )
+        t0 = _time.time()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_adc_topk_from_store(
+                spark, store, qvecs, k=K, nprobe=np_, m=pq_m, subdim=pq_sub
+            ).collect()
+        }
+        print(
+            _json.dumps(
+                {
+                    **tag,
+                    "n_corpus": n_corpus,
+                    "method": f"{label}_np{np_}",
+                    "recall_at_k_vs_exact_l2": round(
+                        len(got & exact_l2) / (Q * K), 4
+                    ),
+                    "fanout": round(rows / (Q * n_corpus), 5),
+                    "max_cell": max_cell,
+                    "med_cell": med_cell,
+                    "n_empty_cells": n_empty,
+                    "secs": round(_time.time() - t0, 3),
+                    "k": K,
+                    "q": Q,
+                }
+            )
+        )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -208,12 +274,8 @@ def main() -> None:
             # fan-out counts code rows actually read from the probed
             # cell partitions.
             from pipeline311_spark.ext.ann_store import (
-                ann_adc_topk_from_store,
                 ann_index_build,
                 ann_index_build_trained,
-                cell_balance_py,
-                load_ann_index,
-                probe_cells_py,
             )
 
             exact_l2 = {
@@ -247,51 +309,10 @@ def main() -> None:
                     ann_index_build(
                         spark, corpus, store, n_cells=IVF_C, pq_k=pq_k, m=pq_m, subdim=pq_sub
                     )
-                idx = load_ann_index(spark, store, m=pq_m)
-                cents = {r["cell"]: list(r["cv"]) for r in idx.centroids.collect()}
-                sizes = {
-                    r["pcell"]: r["n"]
-                    for r in idx.codes.groupBy("pcell").count().withColumnRenamed(
-                        "count", "n"
-                    ).collect()
-                }
-                # fill to the full trained cell domain with zeros
-                # (ADVICE r10 — empty cells are the skew signal)
-                max_cell, med_cell = cell_balance_py(
-                    {f"c{c}": sizes.get(f"c{c}", 0) for c in cents}
+                _measure_ivfpq_store(
+                    spark, store, label, qvecs, exact_l2, n_corpus,
+                    pq_m, pq_sub, tag={"factor": m},
                 )
-                for np_ in (2, 4):
-                    probes = probe_cells_py(qvecs, cents, np_)
-                    rows = sum(
-                        sizes.get(f"c{c}", 0)
-                        for cells in probes.values()
-                        for c in cells
-                    )
-                    t0 = time.time()
-                    got = {
-                        (r["query_id"], r["neighbor_id"])
-                        for r in ann_adc_topk_from_store(
-                            spark, store, qvecs, k=K, nprobe=np_, m=pq_m, subdim=pq_sub
-                        ).collect()
-                    }
-                    print(
-                        json.dumps(
-                            {
-                                "factor": m,
-                                "n_corpus": n_corpus,
-                                "method": f"{label}_np{np_}",
-                                "recall_at_k_vs_exact_l2": round(
-                                    len(got & exact_l2) / (Q * K), 4
-                                ),
-                                "fanout": round(rows / (Q * n_corpus), 5),
-                                "max_cell": max_cell,
-                                "med_cell": med_cell,
-                                "secs": round(time.time() - t0, 3),
-                                "k": K,
-                                "q": Q,
-                            }
-                        )
-                    )
             for name, (fn, fan) in methods.items():
                 t0 = time.time()
                 got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
@@ -316,11 +337,8 @@ def main() -> None:
         # a hot cluster holding half the corpus.  Same store path, same
         # exact-L2 baseline, seeded vs trained side by side.
         from pipeline311_spark.ext.ann_store import (
-            ann_adc_topk_from_store,
             ann_index_build,
             ann_index_build_trained,
-            cell_balance_py,
-            load_ann_index,
         )
         from pipeline311_spark.ext.similarity import brute_force_topk
 
@@ -339,8 +357,6 @@ def main() -> None:
             r["vec_id"]: [float(x) for x in r["embedding"]]
             for r in queries.collect()
         }
-        from pipeline311_spark.ext.ann_store import probe_cells_py
-
         for label, trained in (("seeded", False), ("trained", True)):
             store = os.path.join(tmp, f"clustered_{label}")
             if trained:
@@ -352,50 +368,10 @@ def main() -> None:
                 ann_index_build(
                     spark, corpus, store, n_cells=IVF_C, pq_k=16, m=4, subdim=16
                 )
-            idx = load_ann_index(spark, store, m=4)
-            cents = {r["cell"]: list(r["cv"]) for r in idx.centroids.collect()}
-            sizes = {
-                r["pcell"]: r["n"]
-                for r in idx.codes.groupBy("pcell").count()
-                .withColumnRenamed("count", "n").collect()
-            }
-            max_cell, med_cell = cell_balance_py(
-                {f"c{c}": sizes.get(f"c{c}", 0) for c in cents}
+            _measure_ivfpq_store(
+                spark, store, f"ivfpq_{label}", qvecs, exact_l2, n_corpus,
+                4, 16, tag={"fixture": "clustered_hotcell"},
             )
-            n_empty = sum(1 for c in cents if sizes.get(f"c{c}", 0) == 0)
-            for np_ in (2, 4):
-                probes = probe_cells_py(qvecs, cents, np_)
-                rows = sum(
-                    sizes.get(f"c{c}", 0)
-                    for cells in probes.values()
-                    for c in cells
-                )
-                t0 = time.time()
-                got = {
-                    (r["query_id"], r["neighbor_id"])
-                    for r in ann_adc_topk_from_store(
-                        spark, store, qvecs, k=K, nprobe=np_, m=4, subdim=16
-                    ).collect()
-                }
-                print(
-                    json.dumps(
-                        {
-                            "fixture": "clustered_hotcell",
-                            "n_corpus": n_corpus,
-                            "method": f"ivfpq_{label}_np{np_}",
-                            "recall_at_k_vs_exact_l2": round(
-                                len(got & exact_l2) / (Q * K), 4
-                            ),
-                            "fanout": round(rows / (Q * n_corpus), 5),
-                            "max_cell": max_cell,
-                            "med_cell": med_cell,
-                            "n_empty_cells": n_empty,
-                            "secs": round(time.time() - t0, 3),
-                            "k": K,
-                            "q": Q,
-                        }
-                    )
-                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
