@@ -647,14 +647,28 @@ def ann_codes_append_batch(
         # post-fold replay guard (review r11): replayed code rows
         # duplicate base rows and a duplicated neighbor eats a top-k
         # slot at serve; skip replays, let fresh id-space recycling
-        # (disjoint vec ids) proceed
+        # (disjoint vec ids) proceed.  Probe = RAW codes ∪ tombstones
+        # minus this batch's own partition (skip_if_replayed) — the
+        # masked serving view would hide a folded-then-fully-deleted
+        # batch and let its replay recreate forever-masked rows.
+        from pipeline311_spark.ext.artifact import read_log, tombstone_schema
+
+        c_path = os.path.join(out, "codes")
+        probe = read_log(spark, c_path, _codes_log_schema(m)).select(
+            "vec_id", "batch_id"
+        ).unionByName(
+            read_log(
+                spark, tombstone_dir(c_path), tombstone_schema("vec_id")
+            ).select("vec_id", "batch_id")
+        )
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("vec_id")),
             out,
             batch_id,
-            load_ann_codes_log(spark, out, m),
+            probe,
             "vec_id",
             "ann_codes_append_batch",
+            own_batch_ids=(int(batch_id),),
         ):
             return
     if validate_fresh_ids:

@@ -137,11 +137,16 @@ def folded_batches(root: str) -> set[int]:
     and dynamic overwrite of the long-gone partition is harmless).
     The content probe runs ONLY when the batch id is in the folded
     set, so steady-state batches never pay it."""
-    p = folded_marker_path(root)
-    if not os.path.isfile(p):
-        return set()
-    with open(p) as f:
-        return {int(x) for x in f.read().split()}
+    out: set[int] = set()
+    for p in (folded_marker_path(root),
+              os.path.join(root, "_folded_delete_batches.txt")):
+        # the second name is the round-10 marker (delete-only guard):
+        # an index compacted under that version must keep its folded
+        # delete ids protected across the rename (review r11)
+        if os.path.isfile(p):
+            with open(p) as f:
+                out.update(int(x) for x in f.read().split())
+    return out
 
 
 def record_folded_batches(root: str, log_subdir: str) -> None:
@@ -170,7 +175,7 @@ def record_folded_batches(root: str, log_subdir: str) -> None:
 
 def skip_if_replayed(
     batch_ids: DataFrame, root: str, batch_id: int, folded_rows: DataFrame,
-    id_field: str, who: str,
+    id_field: str, who: str, own_batch_ids: tuple[int, ...],
 ) -> bool:
     """The post-fold replay guard's shared decision: returns True (and
     warns) when this batch is a replay of one a compaction already
@@ -179,11 +184,34 @@ def skip_if_replayed(
     contract, so overlap can only mean replay (or an id-collision that
     is illegal anyway).  Empty batches skip too: an empty replayed
     partition adds nothing.  Callers invoke this ONLY when
-    ``batch_id`` is already in :func:`folded_batches`."""
+    ``batch_id`` is already in :func:`folded_batches`.
+
+    Two probe rules both matter (review r11, second wave):
+
+    * ``folded_rows`` must be the RAW log UNION the tombstone log, not
+      the tombstone-masked serving view — a folded batch whose docs
+      were all subsequently deleted is invisible in the masked view,
+      and its replay would re-add positive stat deltas the base
+      already netted (BM25) or permanently recreate masked rows
+      (gram/ANN).  Deleted-or-live, a replayed id is ALWAYS in raw ∪
+      tombstones.
+    * rows in the batch's OWN partitions (``own_batch_ids`` — the raw
+      batch id, and for BM25 deletes also the negative key-space id)
+      are EXCLUDED before probing: a fresh stream recycling a folded
+      id that crashed mid-multi-artifact-write must see its partial
+      first attempt as its own, so the healing replay rewrites it (and
+      clears the intent marker) instead of being misclassified as a
+      post-fold replay and skipped forever.  Fold moves rows to
+      ``batch_id = -1``, so true replays stay detectable."""
     import warnings
 
+    from pyspark.sql import functions as F
+
     ids = batch_ids.select(id_field)
-    overlap = ids.join(folded_rows.select(id_field), id_field, "left_semi").take(1)
+    others = folded_rows.filter(
+        ~F.col("batch_id").isin([int(b) for b in own_batch_ids])
+    ).select(id_field)
+    overlap = ids.join(others, id_field, "left_semi").take(1)
     if overlap or not ids.take(1):
         warnings.warn(
             f"{who}: batch {int(batch_id)} was already folded by a compaction "

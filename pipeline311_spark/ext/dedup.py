@@ -1377,14 +1377,28 @@ def gram_log_append_batch(
         # recreates gram rows the folded base already holds —
         # duplicates are MIN-idempotent for signatures but inflate any
         # set-size denominator downstream; skip replays, let fresh
-        # id-space recycling (disjoint docs) proceed
+        # id-space recycling (disjoint docs) proceed.  Probe = RAW
+        # grams ∪ tombstones minus this batch's own partition
+        # (skip_if_replayed) — the masked view would hide a
+        # folded-then-deleted batch.
+        from pipeline311_spark.ext.artifact import read_log, tombstone_schema
+
+        g_path = os.path.join(store_dir, "grams")
+        probe = read_log(
+            batch_df.sparkSession, g_path, _gram_log_schema()
+        ).select("doc", "batch_id").unionByName(
+            read_log(
+                batch_df.sparkSession, tombstone_dir(g_path), tombstone_schema("doc")
+            ).select("doc", "batch_id")
+        )
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("doc")),
             store_dir,
             batch_id,
-            load_gram_log(batch_df.sparkSession, store_dir),
+            probe,
             "doc",
             "gram_log_append_batch",
+            own_batch_ids=(int(batch_id),),
         ):
             return
     if validate_fresh_ids:

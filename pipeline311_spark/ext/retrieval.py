@@ -451,19 +451,34 @@ def bm25_index_append_batch(
     if int(batch_id) in folded_batches(index_dir):
         # post-fold replay guard (review r11: appends double-ADD stats
         # exactly as deletes double-subtract — the first cut guarded
-        # only the delete side).  Content probe: replayed batches
-        # overlap the folded postings; a fresh stream recycling the id
-        # space carries disjoint ids and proceeds.  (A replayed batch
-        # of ONLY zero-token docs leaves no postings to overlap and
-        # slips through to double-count n_docs — the residual window,
-        # documented; real batches carry tokens.)
+        # only the delete side).  Content probe against RAW postings ∪
+        # tombstones, excluding this batch's own partition (see
+        # skip_if_replayed for why both rules matter): a replayed
+        # batch overlaps; a fresh stream recycling the id space
+        # carries disjoint ids and proceeds.  (A replayed batch of
+        # ONLY zero-token docs leaves neither postings nor — having
+        # nothing to delete — tombstones, and slips through to
+        # double-count n_docs: the residual window, documented; real
+        # batches carry tokens.)
+        from pipeline311_spark.ext.artifact import read_log, tombstone_schema
+
+        spark_ = batch_df.sparkSession
+        p_path = os.path.join(index_dir, "postings")
+        probe = read_log(spark_, p_path, _POSTINGS_LOG_SCHEMA).select(
+            "doc_id", "batch_id"
+        ).unionByName(
+            read_log(
+                spark_, tombstone_dir(p_path), tombstone_schema("doc_id")
+            ).select("doc_id", "batch_id")
+        )
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("doc_id")),
             index_dir,
             batch_id,
-            load_bm25_index(batch_df.sparkSession, index_dir).postings,
+            probe,
             "doc_id",
             "bm25_index_append_batch",
+            own_batch_ids=(int(batch_id),),
         ):
             return
     if validate_fresh_ids:
@@ -541,10 +556,11 @@ def bm25_index_delete_batch(
         # already FOLDED into the compaction base — replaying it would
         # re-subtract df/n_docs/sum_dl the base has netted (the
         # tombstone half is retention-protected, the stat half was
-        # not).  Content probe against the tombstone base: a true
-        # replay's ids are already tombstoned (skip — the base netted
-        # its deltas); a fresh delete stream recycling the id space
-        # carries not-yet-deleted ids and proceeds.
+        # not).  Content probe against the tombstone log EXCLUDING this
+        # batch's own partition (a crashed first attempt must heal on
+        # replay — skip_if_replayed): a true replay's ids sit in the
+        # folded tombstone base; a fresh delete stream recycling the
+        # id space carries not-yet-deleted ids and proceeds.
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("doc_id")),
             index_dir,
@@ -556,6 +572,7 @@ def bm25_index_delete_batch(
             ),
             "doc_id",
             "bm25_index_delete_batch",
+            own_batch_ids=(int(batch_id),),
         ):
             return
     with write_intent(index_dir, f"delete-{int(batch_id)}"):

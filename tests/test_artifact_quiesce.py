@@ -199,3 +199,74 @@ def test_folded_ann_append_replay_is_skipped(spark, tmp_path):
         e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), 0, out
     )
     assert load_ann_codes_log(spark, out).count() > n
+
+
+def test_folded_all_deleted_append_replay_still_skipped(spark, tmp_path):
+    """Review r11 second wave: a folded append batch whose docs were
+    ALL subsequently deleted is invisible in the tombstone-masked
+    serving view — the probe must consult raw ∪ tombstones so the
+    replay cannot re-add positive stat deltas the base already
+    netted."""
+    out = str(tmp_path / "bm25")
+    d = _docs(spark)
+    a = d.filter(F.col("doc_id") < 100)
+    b = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    bm25_index_append_batch(a, 0, out)
+    bm25_index_append_batch(b, 1, out)
+    bm25_index_delete_batch(a, 0, out)  # delete EVERY doc of batch 0
+    bm25_index_compact(spark, out)
+    before = sorted(map(tuple, load_bm25_index(spark, out).corpus_stats.collect()))
+    with pytest.warns(UserWarning, match="already folded"):
+        bm25_index_append_batch(a, 0, out)  # the post-fold replay
+    assert (
+        sorted(map(tuple, load_bm25_index(spark, out).corpus_stats.collect()))
+        == before
+    )
+
+
+def test_partial_first_attempt_heals_on_replay(spark, tmp_path):
+    """Review r11 second wave: a FRESH stream recycling a folded batch
+    id that crashed mid-multi-artifact write must not see its own
+    partial first attempt as a replay — the healing replay rewrites
+    the batch (completing term_stats/corpus_stats) and clears the
+    intent marker."""
+    from pyspark.sql import functions as SF
+
+    from pipeline311_spark.ext.retrieval import (
+        build_bm25_index,
+        build_bm25_postings,
+    )
+
+    out = str(tmp_path / "bm25")
+    d = _docs(spark)
+    base = d.filter(F.col("doc_id") < 200)
+    for i in range(2):
+        bm25_index_append_batch(base.filter(F.col("doc_id") % 2 == i), i, out)
+    bm25_index_compact(spark, out)  # folds batches {0, 1}
+    fresh = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+    # simulate the crashed first attempt of the recycled batch 0:
+    # postings written, stats not, intent marker left behind
+    (
+        build_bm25_postings(fresh)
+        .withColumn("batch_id", SF.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out, "postings"))
+    )
+    marker = _touch_marker(out, "append-0")
+    with pytest.raises(RuntimeError, match="in-flight batch"):
+        bm25_index_compact(spark, out)  # blocked, as designed
+    # the healing replay: must PROCEED (own-partition rows excluded
+    # from the probe), complete the triple, and clear the marker
+    bm25_index_append_batch(fresh, 0, out)
+    assert not os.path.exists(marker)
+    want = build_bm25_index(base.unionByName(fresh))
+    got = load_bm25_index(spark, out)
+    assert sorted(map(tuple, got.corpus_stats.collect())) == sorted(
+        map(tuple, want.corpus_stats.collect())
+    )
+    assert sorted(map(tuple, got.postings.collect())) == sorted(
+        map(tuple, want.postings.collect())
+    )
+    bm25_index_compact(spark, out)  # marker gone -> compaction proceeds

@@ -91,9 +91,6 @@ def _measure_ivfpq_store(
     domain (zero-filled, ADVICE r10), then recall/fan-out/secs at
     nprobe 2 and 4.  ``tag`` carries the caller's context fields
     (factor / fixture name)."""
-    import json as _json
-    import time as _time
-
     from pipeline311_spark.ext.ann_store import (
         ann_adc_topk_from_store,
         cell_balance_py,
@@ -118,7 +115,7 @@ def _measure_ivfpq_store(
         rows = sum(
             sizes.get(f"c{c}", 0) for cells in probes.values() for c in cells
         )
-        t0 = _time.time()
+        t0 = time.time()
         got = {
             (r["query_id"], r["neighbor_id"])
             for r in ann_adc_topk_from_store(
@@ -126,7 +123,7 @@ def _measure_ivfpq_store(
             ).collect()
         }
         print(
-            _json.dumps(
+            json.dumps(
                 {
                     **tag,
                     "n_corpus": n_corpus,
@@ -138,7 +135,7 @@ def _measure_ivfpq_store(
                     "max_cell": max_cell,
                     "med_cell": med_cell,
                     "n_empty_cells": n_empty,
-                    "secs": round(_time.time() - t0, 3),
+                    "secs": round(time.time() - t0, 3),
                     "k": K,
                     "q": Q,
                 }
@@ -336,12 +333,6 @@ def main() -> None:
         # balance; THIS block is the regime Lloyd training exists for —
         # a hot cluster holding half the corpus.  Same store path, same
         # exact-L2 baseline, seeded vs trained side by side.
-        from pipeline311_spark.ext.ann_store import (
-            ann_index_build,
-            ann_index_build_trained,
-        )
-        from pipeline311_spark.ext.similarity import brute_force_topk
-
         cpath = os.path.join(tmp, "clustered")
         _clustered_embeddings(spark, 8192).repartition(32).write.mode(
             "overwrite"
