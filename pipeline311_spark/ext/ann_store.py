@@ -654,12 +654,14 @@ def ann_codes_append_batch(
         from pipeline311_spark.ext.artifact import read_log, tombstone_schema
 
         c_path = os.path.join(out, "codes")
-        probe = read_log(spark, c_path, _codes_log_schema(m)).select(
-            "vec_id", "batch_id"
-        ).unionByName(
+        # own-partition exclusion only on the append stream's own log;
+        # tombstones are the delete stream's namespace (wave three)
+        probe = read_log(spark, c_path, _codes_log_schema(m)).filter(
+            F.col("batch_id") != int(batch_id)
+        ).select("vec_id").unionByName(
             read_log(
                 spark, tombstone_dir(c_path), tombstone_schema("vec_id")
-            ).select("vec_id", "batch_id")
+            ).select("vec_id")
         )
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("vec_id")),
@@ -668,7 +670,6 @@ def ann_codes_append_batch(
             probe,
             "vec_id",
             "ann_codes_append_batch",
-            own_batch_ids=(int(batch_id),),
         ):
             return
     if validate_fresh_ids:
@@ -780,6 +781,12 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
     recover_log(path)
     if not os.path.isdir(path):
         return
+    # fold tombstones FIRST (review r11 wave three — the fold-order
+    # half of the replay-guard contract, see ext/artifact.py
+    # skip_if_replayed): a delete batch's fold evidence must reach the
+    # -1 base before any crash window can strand it in an excluded
+    # partition
+    compact_tombstones(spark, tombstone_dir(path), "vec_id")
     base = load_ann_codes_log(spark, out, m).withColumn(
         "batch_id", F.lit(-1).cast("long")
     )
@@ -789,7 +796,6 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
         .partitionBy("batch_id", "pcell")
         .parquet(staging),
     )
-    compact_tombstones(spark, tombstone_dir(path), "vec_id")
 
 
 def ann_adc_topk_from_log(

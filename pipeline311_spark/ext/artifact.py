@@ -174,44 +174,52 @@ def record_folded_batches(root: str, log_subdir: str) -> None:
 
 
 def skip_if_replayed(
-    batch_ids: DataFrame, root: str, batch_id: int, folded_rows: DataFrame,
-    id_field: str, who: str, own_batch_ids: tuple[int, ...],
+    batch_ids: DataFrame, root: str, batch_id: int, probe_ids: DataFrame,
+    id_field: str, who: str,
 ) -> bool:
     """The post-fold replay guard's shared decision: returns True (and
     warns) when this batch is a replay of one a compaction already
-    folded — any id overlap between the batch and ``folded_rows``
+    folded — any id overlap between the batch and ``probe_ids``
     counts, because fresh batches are id-disjoint by the engine-wide
     contract, so overlap can only mean replay (or an id-collision that
     is illegal anyway).  Empty batches skip too: an empty replayed
     partition adds nothing.  Callers invoke this ONLY when
     ``batch_id`` is already in :func:`folded_batches`.
 
-    Two probe rules both matter (review r11, second wave):
+    The CALLER builds ``probe_ids``, and three rules matter (review
+    r11, waves two and three):
 
-    * ``folded_rows`` must be the RAW log UNION the tombstone log, not
-      the tombstone-masked serving view — a folded batch whose docs
-      were all subsequently deleted is invisible in the masked view,
-      and its replay would re-add positive stat deltas the base
-      already netted (BM25) or permanently recreate masked rows
-      (gram/ANN).  Deleted-or-live, a replayed id is ALWAYS in raw ∪
-      tombstones.
-    * rows in the batch's OWN partitions (``own_batch_ids`` — the raw
-      batch id, and for BM25 deletes also the negative key-space id)
-      are EXCLUDED before probing: a fresh stream recycling a folded
-      id that crashed mid-multi-artifact-write must see its partial
-      first attempt as its own, so the healing replay rewrites it (and
-      clears the intent marker) instead of being misclassified as a
-      post-fold replay and skipped forever.  Fold moves rows to
-      ``batch_id = -1``, so true replays stay detectable."""
+    * probe the RAW log UNION the tombstone log, not the
+      tombstone-masked serving view — a folded batch whose docs were
+      all subsequently deleted is invisible in the masked view, and
+      its replay would re-add positive stat deltas the base already
+      netted (BM25) or permanently recreate masked rows (gram/ANN).
+      Deleted-or-live, a replayed id is ALWAYS in raw ∪ tombstones.
+    * EXCLUDE the batch's own partition from the caller's OWN log (the
+      log its stream writes, filtered ``batch_id != this batch``): a
+      fresh stream recycling a folded id that crashed
+      mid-multi-artifact-write must see its partial first attempt as
+      its own, so the healing replay rewrites it (and clears the
+      intent marker) instead of being misclassified and skipped
+      forever.  Fold moves rows to ``batch_id = -1``, so true replays
+      stay detectable.
+    * apply NO exclusion to the tombstone sibling when the caller is
+      an APPENDER: tombstone partitions are numbered in the DELETE
+      stream's independent checkpoint namespace, and both streams
+      restarting at 0 makes an id collision the common case — wave
+      three found the single-filter version wrongly excluded a
+      same-numbered delete batch's tombstones and let a
+      folded-then-fully-deleted append replay through.
+
+    The compactors' fold ORDER is part of this contract: tombstones
+    fold to their ``-1`` base FIRST (:func:`compact_tombstones` runs
+    before any artifact swap), so there is no crash window in which a
+    folded batch's only probe evidence sits in its own (excluded)
+    partition — wave three's delete-side double-subtract scenario."""
     import warnings
 
-    from pyspark.sql import functions as F
-
     ids = batch_ids.select(id_field)
-    others = folded_rows.filter(
-        ~F.col("batch_id").isin([int(b) for b in own_batch_ids])
-    ).select(id_field)
-    overlap = ids.join(others, id_field, "left_semi").take(1)
+    overlap = ids.join(probe_ids.select(id_field), id_field, "left_semi").take(1)
     if overlap or not ids.take(1):
         warnings.warn(
             f"{who}: batch {int(batch_id)} was already folded by a compaction "

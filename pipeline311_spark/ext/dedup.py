@@ -1384,12 +1384,14 @@ def gram_log_append_batch(
         from pipeline311_spark.ext.artifact import read_log, tombstone_schema
 
         g_path = os.path.join(store_dir, "grams")
+        # own-partition exclusion only on the append stream's own log;
+        # tombstones are the delete stream's namespace (wave three)
         probe = read_log(
             batch_df.sparkSession, g_path, _gram_log_schema()
-        ).select("doc", "batch_id").unionByName(
+        ).filter(F.col("batch_id") != int(batch_id)).select("doc").unionByName(
             read_log(
                 batch_df.sparkSession, tombstone_dir(g_path), tombstone_schema("doc")
-            ).select("doc", "batch_id")
+            ).select("doc")
         )
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("doc")),
@@ -1398,7 +1400,6 @@ def gram_log_append_batch(
             probe,
             "doc",
             "gram_log_append_batch",
-            own_batch_ids=(int(batch_id),),
         ):
             return
     if validate_fresh_ids:
@@ -1505,6 +1506,12 @@ def gram_log_compact(spark, store_dir: str) -> None:
     recover_log(path)
     if not os.path.isdir(path):
         return  # nothing ever appended
+    # fold tombstones FIRST (review r11 wave three — the fold-order
+    # half of the replay-guard contract, see ext/artifact.py
+    # skip_if_replayed): a delete batch's fold evidence must reach the
+    # -1 base before any crash window can strand it in an excluded
+    # partition
+    compact_tombstones(spark, tombstone_dir(path), "doc")
     base = load_gram_log(spark, store_dir).withColumn(
         "batch_id", F.lit(-1).cast("long")
     )
@@ -1514,7 +1521,6 @@ def gram_log_compact(spark, store_dir: str) -> None:
         .partitionBy("batch_id")
         .parquet(staging),
     )
-    compact_tombstones(spark, tombstone_dir(path), "doc")
 
 
 # ---------------------------------------------------------------------------

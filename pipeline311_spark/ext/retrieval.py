@@ -464,12 +464,16 @@ def bm25_index_append_batch(
 
         spark_ = batch_df.sparkSession
         p_path = os.path.join(index_dir, "postings")
-        probe = read_log(spark_, p_path, _POSTINGS_LOG_SCHEMA).select(
-            "doc_id", "batch_id"
-        ).unionByName(
+        # own-partition exclusion applies ONLY to the append stream's
+        # own log; the tombstone sibling is numbered in the DELETE
+        # stream's independent namespace and is never excluded here
+        # (skip_if_replayed's contract, review r11 wave three)
+        probe = read_log(spark_, p_path, _POSTINGS_LOG_SCHEMA).filter(
+            F.col("batch_id") != int(batch_id)
+        ).select("doc_id").unionByName(
             read_log(
                 spark_, tombstone_dir(p_path), tombstone_schema("doc_id")
-            ).select("doc_id", "batch_id")
+            ).select("doc_id")
         )
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("doc_id")),
@@ -478,7 +482,6 @@ def bm25_index_append_batch(
             probe,
             "doc_id",
             "bm25_index_append_batch",
-            own_batch_ids=(int(batch_id),),
         ):
             return
     if validate_fresh_ids:
@@ -558,21 +561,25 @@ def bm25_index_delete_batch(
         # tombstone half is retention-protected, the stat half was
         # not).  Content probe against the tombstone log EXCLUDING this
         # batch's own partition (a crashed first attempt must heal on
-        # replay — skip_if_replayed): a true replay's ids sit in the
-        # folded tombstone base; a fresh delete stream recycling the
-        # id space carries not-yet-deleted ids and proceeds.
+        # replay — skip_if_replayed; the tombstone log IS the delete
+        # stream's own log, so the exclusion is in-namespace here): a
+        # true replay's ids sit in the folded tombstone base — which
+        # the compactor folds FIRST, so no crash window strands the
+        # evidence in the excluded partition; a fresh delete stream
+        # recycling the id space carries not-yet-deleted ids and
+        # proceeds.
+        ts_probe = read_log(
+            batch_df.sparkSession,
+            tombstone_dir(os.path.join(index_dir, "postings")),
+            tombstone_schema("doc_id"),
+        ).filter(F.col("batch_id") != int(batch_id)).select("doc_id")
         if skip_if_replayed(
             batch_df.select(F.col(id_col).alias("doc_id")),
             index_dir,
             batch_id,
-            read_log(
-                batch_df.sparkSession,
-                tombstone_dir(os.path.join(index_dir, "postings")),
-                tombstone_schema("doc_id"),
-            ),
+            ts_probe,
             "doc_id",
             "bm25_index_delete_batch",
-            own_batch_ids=(int(batch_id),),
         ):
             return
     with write_intent(index_dir, f"delete-{int(batch_id)}"):
@@ -666,9 +673,24 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     # record EVERY batch this fold will absorb — appends and deletes —
     # BEFORE folding (ADVICE r10 + review r11; marker-first ordering is
     # crash-safe, see ext/artifact.record_folded_batches)
-    from pipeline311_spark.ext.artifact import record_folded_batches
+    from pipeline311_spark.ext.artifact import (
+        compact_tombstones,
+        record_folded_batches,
+    )
 
     record_folded_batches(index_dir, "term_stats")
+    # fold tombstones FIRST (review r11 wave three): the replay guard
+    # excludes a delete batch's own tombstone partition, so the
+    # evidence that a delete was folded must reach the -1 base BEFORE
+    # any stat fold can eat its negative partitions — a crash between
+    # stat folds and a LAST tombstone fold would otherwise strand the
+    # only evidence in the excluded partition and let the replay
+    # double-subtract.  Value-preserving in every crash window: a
+    # folded tombstone log anti-joins identically, and un-folded stat
+    # partitions are still live for the replay to rewrite.
+    compact_tombstones(
+        spark, tombstone_dir(os.path.join(index_dir, "postings")), "doc_id"
+    )
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
         return  # nothing ever appended — no log to fold
@@ -687,13 +709,8 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
         )
     # the fold above read THROUGH the tombstones (load_bm25_index), so
     # deleted postings are physically gone from the base; the tombstone
-    # ids themselves are folded but retained (ext/artifact.py module
-    # note)
-    from pipeline311_spark.ext.artifact import compact_tombstones
-
-    compact_tombstones(
-        spark, tombstone_dir(os.path.join(index_dir, "postings")), "doc_id"
-    )
+    # ids themselves were folded-but-retained FIRST (see the fold-order
+    # note above)
 
 
 def load_bm25_index(spark: SparkSession, index_dir: str) -> Bm25Index:

@@ -270,3 +270,56 @@ def test_partial_first_attempt_heals_on_replay(spark, tmp_path):
         map(tuple, want.postings.collect())
     )
     bm25_index_compact(spark, out)  # marker gone -> compaction proceeds
+
+
+def test_delete_replay_skips_when_compaction_crashes_after_tombstone_fold(
+    spark, tmp_path, monkeypatch
+):
+    """Review r11 wave three: the compactors fold tombstones FIRST so
+    a crash between the tombstone fold and the artifact folds leaves
+    the delete batch's fold evidence in the -1 base — the replayed
+    delete is skipped (its still-live negative partitions lose
+    nothing) instead of double-subtracting, and a later compaction
+    completes the fold."""
+    import pipeline311_spark.ext.artifact as art
+    from pipeline311_spark.ext.retrieval import build_bm25_index
+
+    out = str(tmp_path / "bm25")
+    d = _docs(spark)
+    for i in range(2):
+        bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == i), i, out)
+    deleted = d.filter(F.col("doc_id") % 9 == 4)
+    bm25_index_delete_batch(deleted, 0, out)
+
+    real = art.compact_swap
+    calls = {"n": 0}
+
+    def crashing(path, write_staging):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # call 1 = the tombstone fold; 2+ = artifacts
+            raise RuntimeError("simulated crash after tombstone fold")
+        return real(path, write_staging)
+
+    monkeypatch.setattr(art, "compact_swap", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        bm25_index_compact(spark, out)
+    monkeypatch.setattr(art, "compact_swap", real)
+
+    def stats():
+        ix = load_bm25_index(spark, out)
+        return (
+            sorted(map(tuple, ix.term_stats.collect())),
+            sorted(map(tuple, ix.corpus_stats.collect())),
+        )
+
+    want = build_bm25_index(d.join(deleted.select("doc_id"), "doc_id", "left_anti"))
+    expected = (
+        sorted(map(tuple, want.term_stats.collect())),
+        sorted(map(tuple, want.corpus_stats.collect())),
+    )
+    assert stats() == expected  # half-compacted state serves correctly
+    with pytest.warns(UserWarning, match="already folded"):
+        bm25_index_delete_batch(deleted, 0, out)  # the replay — skipped
+    assert stats() == expected
+    bm25_index_compact(spark, out)  # a later compaction completes
+    assert stats() == expected

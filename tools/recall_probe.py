@@ -147,6 +147,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    from pipeline311_spark.ext.ann_store import (
+        ann_index_build,
+        ann_index_build_trained,
+    )
     from pipeline311_spark.ext.similarity import (
         brute_force_topk,
         ivf_ann_topk,
@@ -270,10 +274,6 @@ def main() -> None:
             # 4-entry codebook and a production-shaped 16-entry one;
             # fan-out counts code rows actually read from the probed
             # cell partitions.
-            from pipeline311_spark.ext.ann_store import (
-                ann_index_build,
-                ann_index_build_trained,
-            )
 
             exact_l2 = {
                 (r["query_id"], r["neighbor_id"])
