@@ -62,6 +62,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pipeline311_spark.ext.hashing import meta_df
 from pipeline311_spark.ext.similarity import as_double, ensure_parallelism, sqdist
 
 ANN_M = 4          # PQ sub-vector count
@@ -282,12 +283,12 @@ def ann_quantizer_build(
     # does, so parity holds on hostile/tiny corpora (the r10 hostile
     # gate covers this path).  Zero CENTROIDS from a non-empty frame
     # remain a loud error above.
-    spark.createDataFrame(
-        [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
-    spark.createDataFrame(
-        [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+    meta_df(
+        spark, [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+    ).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
+    meta_df(
+        spark, [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
+    ).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
     return cents, cbook
 
 
@@ -431,8 +432,8 @@ def _encode_write(spark, v, out, cents, cbook, m, subdim, mode: str) -> None:
         empty = spark.createDataFrame([], _codes_schema(m))
         empty.write.mode(mode).partitionBy("pcell").parquet(os.path.join(out, "codes"))
         return
-    centroids = spark.createDataFrame(
-        [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+    centroids = meta_df(
+        spark, [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     )
     codes = pq_codes(assign_cells(v, centroids), cbook, m, subdim)
     codes.write.mode(mode).partitionBy("pcell").parquet(os.path.join(out, "codes"))
@@ -690,8 +691,8 @@ def ann_codes_append_batch(
             "before streaming batches"
         )
     _warn_if_dead_codebook(cents, cbook, out, "ann_codes_append_batch")
-    centroids = spark.createDataFrame(
-        [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+    centroids = meta_df(
+        spark, [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     )
     codes = pq_codes(
         assign_cells(_vec_frame(batch_df, id_col, vec_col), centroids),
@@ -887,10 +888,10 @@ def ann_index_build_trained(
             "ann_index_build_trained: a non-empty corpus trained zero "
             "cells — n_cells must be >= 1"
         )
-    centroids_df = spark.createDataFrame(
-        [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+    centroids_df = meta_df(
+        spark, [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
     )
-    centroids_df.coalesce(1).write.mode("overwrite").parquet(
+    centroids_df.write.mode("overwrite").parquet(
         os.path.join(out, "centroids")
     )
     if cents:
@@ -901,9 +902,9 @@ def ann_index_build_trained(
         cbook = pq_train_codebook(resid, pq_k=pq_k, m=m, subdim=subdim, iters=iters)
     else:
         cbook = {}
-    spark.createDataFrame(
-        [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+    meta_df(
+        spark, [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
+    ).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
     _encode_write(spark, v, out, cents, cbook, m, subdim, mode="overwrite")
 
 

@@ -82,6 +82,26 @@ def jvm_memo(maxsize: int = 8):
 _HEX = "0123456789abcdef"
 
 
+def meta_df(spark, rows, schema):
+    """Metadata-scale local DataFrame on ONE slice (round-11 guide §1
+    measurement): ``createDataFrame(list)`` slices driver rows into
+    ``defaultParallelism`` Python partitions, and every downstream
+    single-task action (a ``coalesce(1)`` artifact write, a broadcast
+    build) then evaluates all 32 partitions SEQUENTIALLY through the
+    Python-worker protocol at ~140 ms each — ~4.5 s per action on this
+    box for an 8-row centroid frame, measured.  One slice makes it one
+    worker round-trip (~0.3 s).  Row→InternalRow conversion is byte-
+    identical to the default path (same serializer, same schema
+    application) — ONLY the slice count changes.  For metadata-scale
+    frames (centroids, codebooks, query sets, offsets) a single slice
+    is also the right production shape: they are broadcast or
+    coalesce(1)-written anyway."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def ensure_parallelism(df, min_parts: int | None = None):
     """Repartition a DataFrame whose scan produced too few partitions
     (a single small parquet file → one task → one core does all the

@@ -362,7 +362,9 @@ def q_ann_cells_train_step(spark, sf_dir):
         for c, vec in sorted(cents.items())
         for i, x in enumerate(vec, start=1)
     ]
-    return spark.createDataFrame(rows, "cell long, dim int, centroid double")
+    from pipeline311_spark.ext.hashing import meta_df
+
+    return meta_df(spark, rows, "cell long, dim int, centroid double")
 
 
 # Trained-quantizer audit: k-means training breaks SQL-expressibility

@@ -138,8 +138,10 @@ def bm25_scored_frame(spark, sf_dir):
     from pipeline311_spark.ext.retrieval import bm25_score_topk
 
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from pipeline311_spark.ext.hashing import meta_df
+
     q = F.broadcast(
-        spark.createDataFrame(list(_BM25_QUERIES), "query_id long, term string")
+        meta_df(spark, list(_BM25_QUERIES), "query_id long, term string")
     )
     # corpus pass 1: map-side partial aggregate, one stats row back
     stats = d.select(token_count("text").cast("long").alias("dl")).agg(

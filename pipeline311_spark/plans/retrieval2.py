@@ -65,7 +65,9 @@ from pipeline311_spark.plans.registry import register
 
 
 def _query_frame(spark):
-    return spark.createDataFrame(list(_BM25_QUERIES), "query_id long, term string")
+    from pipeline311_spark.ext.hashing import meta_df
+
+    return meta_df(spark, list(_BM25_QUERIES), "query_id long, term string")
 
 
 def _stored_index(spark, sf_dir, out: str, doc_filter=None) -> Bm25Index:
