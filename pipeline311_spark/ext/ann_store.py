@@ -154,6 +154,32 @@ def pq_codes(
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: ``repr`` is the shortest string that
+    round-trips in IEEE binary64, and Spark's parser reads ``...D``
+    literals with Java's correctly-rounded ``parseDouble`` — so the
+    parsed double is BIT-IDENTICAL to the Python float (verified for
+    subnormals, -0.0, and 17-significant-digit values).  Literal trees
+    are built as ONE SQL string per expression because constructing
+    them Column-by-Column costs a py4j round trip per ``F.lit`` —
+    ~1.5 s per encode projection at k=4/m=4, measured (round-11 guide
+    §1/§7.3: driver-side plan construction was the dominant cost of
+    the stored-ANN build and serve)."""
+    return repr(float(x)) + "D"
+
+
+def _sqdist_sql(sub_expr: str, vals: Sequence[float]) -> str:
+    """SQL twin of :func:`pipeline311_spark.ext.similarity.sqdist`
+    against a literal vector — the identical prepend-0.0 left fold
+    (aggregate over zip_with), so results are bit-identical to the
+    Column form it replaces."""
+    arr = "array(" + ",".join(_dlit(x) for x in vals) + ")"
+    return (
+        f"aggregate(zip_with({sub_expr}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def pq_code_col(j: int, codebook: dict[int, list[float]], subdim: int, v_col: str = "v") -> Column:
     """The PQ encode expression for subspace ``j``: argmin by
     (subspace squared L2, centroid id) via struct sort — struct
@@ -161,13 +187,43 @@ def pq_code_col(j: int, codebook: dict[int, list[float]], subdim: int, v_col: st
     never emitted.  THE single home of this fold-order-sensitive
     expression (review r9): plans/curation4's query-local PQ encode and
     the stored-index encode both call it, so tie-breaking and fold
-    order can never diverge between their shared oracles."""
+    order can never diverge between their shared oracles.  Built as
+    one ``F.expr`` string (:func:`_dlit`): the same Catalyst operators
+    (slice → zip_with → aggregate → named_struct → array_sort) on the
+    same literals, ~150x cheaper to construct than the per-``F.lit``
+    Column form (py4j round trips), results bit-identical — verified
+    row-for-row against the old builder and by the unchanged oracle
+    twins."""
     cands = []
     for c in sorted(codebook):
-        sub = F.slice(v_col, j * subdim + 1, subdim)
-        cv = F.array(*[F.lit(x) for x in codebook[c][j * subdim : (j + 1) * subdim]])
-        cands.append(F.struct(sqdist(sub, cv).alias("d"), F.lit(int(c)).alias("c")))
-    return F.array_sort(F.array(*cands))[0]["c"].cast("long")
+        sub = f"slice({v_col}, {j * subdim + 1}, {subdim})"
+        d = _sqdist_sql(sub, codebook[c][j * subdim : (j + 1) * subdim])
+        cands.append(f"named_struct('d', {d}, 'c', {int(c)}L)")
+    return F.expr(f"CAST(array_sort(array({','.join(cands)}))[0].c AS BIGINT)")
+
+
+def _adc_dist_sql(
+    qv: Sequence[float], codebook: dict[int, list[float]], m: int, subdim: int
+) -> str:
+    """The ADC distance as a SQL string (see :func:`adc_dist_expr`)."""
+    cids = sorted(codebook)
+    terms = []
+    for j in range(m):
+        entries = ", ".join(
+            f"{int(i)}L, "
+            + _dlit(
+                sqdist_py(
+                    qv[j * subdim : (j + 1) * subdim],
+                    codebook[i][j * subdim : (j + 1) * subdim],
+                )
+            )
+            for i in cids
+        )
+        terms.append(f"element_at(map({entries}), CAST(code{j} AS BIGINT))")
+    dist = terms[0]
+    for t in terms[1:]:
+        dist = f"({dist} + {t})"
+    return dist
 
 
 def adc_dist_expr(
@@ -182,24 +238,10 @@ def adc_dist_expr(
     would pad every LUT with 65k NULL literals; review r10) — the scan
     projects M small ints into a distance, no joins.  Shared by the
     query-local sim_pq_adc_topk and the stored-index serve (review
-    r9)."""
-    cids = sorted(codebook)
-    dist = None
-    for j in range(m):
-        entries = []
-        for i in cids:
-            entries.append(F.lit(int(i)).cast("long"))
-            entries.append(
-                F.lit(
-                    sqdist_py(
-                        qv[j * subdim : (j + 1) * subdim],
-                        codebook[i][j * subdim : (j + 1) * subdim],
-                    )
-                ).cast("double")
-            )
-        term = F.element_at(F.create_map(*entries), F.col(f"code{j}").cast("long"))
-        dist = term if dist is None else dist + term
-    return dist
+    r9).  One ``F.expr`` string per call (:func:`_dlit`): same
+    element_at/map operators, same left-to-right + fold, bit-identical
+    results, no per-literal py4j cost."""
+    return F.expr(_adc_dist_sql(qv, codebook, m, subdim))
 
 
 def ann_index_build(
@@ -583,14 +625,14 @@ def _residual_dist_case(
     probed cell (nprobe branches of m·k literals; rows of un-probed
     cells fall out of the surrounding ``cells`` filter, so the missing
     ELSE is never observed).  Residuals subtract driver-side in plain
-    Python doubles — bit-identical to the twin's ``p[1] - p[2]``."""
-    expr = None
+    Python doubles — bit-identical to the twin's ``p[1] - p[2]``.
+    One ``F.expr`` CASE string (same When-chain Catalyst shape, no
+    ELSE → NULL exactly as the old builder; :func:`_dlit`)."""
+    branches = []
     for c in cells:
         rq = [a - b for a, b in zip(qv, cents[c])]
-        d = adc_dist_expr(rq, cbook, m, subdim)
-        cond = F.col("pcell") == f"c{c}"
-        expr = F.when(cond, d) if expr is None else expr.when(cond, d)
-    return expr
+        branches.append(f"WHEN pcell = 'c{int(c)}' THEN {_adc_dist_sql(rq, cbook, m, subdim)}")
+    return F.expr("CASE " + " ".join(branches) + " END")
 
 
 # ---------------------------------------------------------------------------
