@@ -79,34 +79,85 @@ def build_bm25_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     carries (doc, term) partials, not the raw token stream.  NULL text
     is absent from the index (the engine-wide failed-decode
     convention)."""
-    toks = (
+    return _postings_from_base(_bm25_token_base(df, id_col, text_col))
+
+
+def _bm25_token_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl, tk) — the ONE tokenize pass every BM25 artifact can
+    derive from.  Same expressions as :func:`build_bm25_postings` /
+    :func:`bm25_corpus_stats` (``dl = size(tokens(text))``; NULL text
+    absent), so frames derived from a shared base are row-identical to
+    the historical per-artifact recomputations."""
+    return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
-        .select(
-            "doc_id",
-            F.size("tk").cast("long").alias("dl"),
-            F.explode("tk").alias("tok"),
-        )
-        .select("doc_id", "dl", F.lower("tok").alias("term"))
+        .select("doc_id", F.size("tk").cast("long").alias("dl"), "tk")
     )
-    return toks.groupBy("term", "doc_id", "dl").agg(
-        F.count("*").cast("long").alias("tf")
-    ).select("term", "doc_id", "tf", "dl")
+
+
+def _postings_from_base(base: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl) from a token base — the explode/groupBy
+    half of :func:`build_bm25_postings` (zero-token docs vanish at the
+    explode, exactly as in the one-shot builder)."""
+    return (
+        base.select("doc_id", "dl", F.explode("tk").alias("tok"))
+        .select("doc_id", "dl", F.lower("tok").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def _corpus_stats_from_base(base: DataFrame) -> DataFrame:
+    """(n_docs, sum_dl) from a token base — counts every non-NULL-text
+    doc (including zero-token docs, which produce no postings)."""
+    return base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+
+
+def bm25_batch_artifacts(
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_postings: bool = True,
+):
+    """The index-delta triple for ONE batch from ONE tokenize pass
+    (guide §1.2: the per-artifact builders each re-tokenized the batch,
+    so the append/delete ``foreachBatch`` bodies paid three corpus
+    passes per micro-batch — tokenize is the dominant per-batch cost at
+    scale).  The token base (and, when ``persist_postings``, the
+    postings) are persisted MEMORY_AND_DISK — batch-bounded, spillable;
+    the caller MUST materialize every frame it uses before calling the
+    returned ``release()``.
+
+    Returns ``(postings, term_stats, corpus_stats, release)``; each
+    frame is row-identical to its historical recomputation
+    (:func:`build_bm25_postings` / :func:`bm25_term_stats` /
+    :func:`bm25_corpus_stats`) — same expressions over the same base.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = _bm25_token_base(batch_df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    postings = _postings_from_base(base)
+    if persist_postings:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def release() -> None:
+        if persist_postings:
+            postings.unpersist(False)
+        base.unpersist(False)
+
+    return postings, bm25_term_stats(postings), _corpus_stats_from_base(base), release
 
 
 def bm25_corpus_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(n_docs, sum_dl) — one map-side partial aggregate, one row back.
     Stored as SUMS so incremental batches merge by addition."""
-    from pipeline311_spark.ext.textstats import token_count
-
-    return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(token_count(text_col).cast("long").alias("dl"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("dl").cast("long").alias("sum_dl"),
-        )
-    )
+    return _corpus_stats_from_base(_bm25_token_base(df, id_col, text_col))
 
 
 def bm25_term_stats(postings: DataFrame) -> DataFrame:
@@ -160,16 +211,18 @@ def bm25_index_update(
       dimension-scale aggregate, never the corpus.
     * corpus_stats: two one-row frames summed.
 
-    The batch postings are persisted (tracked): the merged plan reads
-    them from BOTH the postings union and the term-stats aggregation,
-    and without the pin each consumer re-tokenizes the batch (review
-    r8).  Total batch passes per action: the cached postings tokenize
-    plus the corpus-stats pass (which must see zero-token docs that
-    produce no postings) — two, same as a fresh build.
+    The batch token base AND the batch postings are persisted
+    (tracked): the merged plan reads the postings from BOTH the
+    postings union and the term-stats aggregation, and corpus_stats
+    reads the base (which sees zero-token docs that produce no
+    postings) — so the batch text is tokenized ONCE per action (review
+    r8 pinned the postings; round 11 pins the base too, folding the
+    separate corpus-stats tokenize into the same pass, guide §1.2).
     """
     from pipeline311_spark.ext.cache import persist_tracked
 
-    batch_postings = persist_tracked(build_bm25_postings(new, id_col, text_col))
+    batch_base = persist_tracked(_bm25_token_base(new, id_col, text_col))
+    batch_postings = persist_tracked(_postings_from_base(batch_base))
     if validate_disjoint:
         overlap = (
             index.postings.select("doc_id")
@@ -192,7 +245,7 @@ def bm25_index_update(
         .agg(F.sum("df").cast("long").alias("df"))
     )
     corpus_stats = (
-        index.corpus_stats.unionByName(bm25_corpus_stats(new, id_col, text_col))
+        index.corpus_stats.unionByName(_corpus_stats_from_base(batch_base))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
@@ -235,16 +288,21 @@ def bm25_index_delete(
     postings IS indexed (bounded by the batch side) and raises
     otherwise — subtracting a never-indexed doc would silently corrupt
     the stats.  Like the update guard, it cannot see zero-token docs.
-    """
-    removed_postings = build_bm25_postings(removed, id_col, text_col)
-    if validate_contained:
-        # persist only here: the guard probe and the term-stats
-        # aggregation both read the batch postings — on the default
-        # path term_stats is the ONE consumer and a pin would be pure
-        # overhead (review r10; the update path's pin has two
-        # consumers)
-        from pipeline311_spark.ext.cache import persist_tracked
 
+    The batch token base is persisted (tracked): term_stats (via the
+    postings) and corpus_stats both derive from it, so the removed
+    batch is tokenized ONCE per action instead of twice (guide §1.2).
+    """
+    from pipeline311_spark.ext.cache import persist_tracked
+
+    removed_base = persist_tracked(_bm25_token_base(removed, id_col, text_col))
+    removed_postings = _postings_from_base(removed_base)
+    if validate_contained:
+        # postings persisted only here: the guard probe and the
+        # term-stats aggregation both read the batch postings — on the
+        # default path term_stats is the ONE consumer and a pin would
+        # be pure overhead (review r10; the update path's pin has two
+        # consumers)
         removed_postings = persist_tracked(removed_postings)
         missing = (
             removed_postings.select("doc_id")
@@ -275,7 +333,7 @@ def bm25_index_delete(
     )
     corpus_stats = (
         index.corpus_stats.unionByName(
-            bm25_corpus_stats(removed, id_col, text_col).select(
+            _corpus_stats_from_base(removed_base).select(
                 (-F.col("n_docs")).cast("long").alias("n_docs"),
                 (-F.col("sum_dl")).cast("long").alias("sum_dl"),
             )
@@ -491,7 +549,13 @@ def bm25_index_append_batch(
             "doc_id",
         )
     bid = F.lit(int(batch_id)).cast("long")
-    postings = build_bm25_postings(batch_df, id_col, text_col)
+    # ONE tokenize pass for all three artifacts (guide §1.2): the
+    # persisted token base feeds postings and corpus_stats, the
+    # persisted postings feed term_stats — the naive per-artifact
+    # builders re-tokenized the batch three times per micro-batch.
+    postings, term_stats, corpus_stats, release = bm25_batch_artifacts(
+        batch_df, id_col, text_col
+    )
 
     def _append(df: DataFrame, sub: str) -> None:
         (
@@ -505,10 +569,13 @@ def bm25_index_append_batch(
     # quiescence intent spans all three artifact writes: a crash
     # mid-triple leaves the marker, and compaction refuses until this
     # batch replays (ext/artifact.py, VERDICT r10 item 3)
-    with write_intent(index_dir, f"append-{int(batch_id)}"):
-        _append(postings, "postings")
-        _append(bm25_term_stats(postings), "term_stats")
-        _append(bm25_corpus_stats(batch_df, id_col, text_col), "corpus_stats")
+    try:
+        with write_intent(index_dir, f"append-{int(batch_id)}"):
+            _append(postings, "postings")
+            _append(term_stats, "term_stats")
+            _append(corpus_stats, "corpus_stats")
+    finally:
+        release()
 
 
 def bm25_index_delete_batch(
@@ -582,38 +649,44 @@ def bm25_index_delete_batch(
             "bm25_index_delete_batch",
         ):
             return
-    with write_intent(index_dir, f"delete-{int(batch_id)}"):
-        tombstone_append(
-            batch_df.select(F.col(id_col).alias("doc_id")),
-            batch_id,
-            tombstone_dir(os.path.join(index_dir, "postings")),
-            "doc_id",
-        )
-        neg_bid = F.lit(neg_bid_int).cast("long")
-        removed_postings = build_bm25_postings(batch_df, id_col, text_col)
-
-        def _append_neg(df: DataFrame, sub: str) -> None:
-            (
-                df.withColumn("batch_id", neg_bid)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(os.path.join(index_dir, sub))
+    # ONE tokenize pass for both negative deltas (guide §1.2): the
+    # postings frame has a single consumer (term_stats), so only the
+    # token base is persisted.
+    _removed_postings, term_stats, corpus_stats, release = bm25_batch_artifacts(
+        batch_df, id_col, text_col, persist_postings=False
+    )
+    try:
+        with write_intent(index_dir, f"delete-{int(batch_id)}"):
+            tombstone_append(
+                batch_df.select(F.col(id_col).alias("doc_id")),
+                batch_id,
+                tombstone_dir(os.path.join(index_dir, "postings")),
+                "doc_id",
             )
+            neg_bid = F.lit(neg_bid_int).cast("long")
 
-        _append_neg(
-            bm25_term_stats(removed_postings).withColumn(
-                "df", (-F.col("df")).cast("long")
-            ),
-            "term_stats",
-        )
-        _append_neg(
-            bm25_corpus_stats(batch_df, id_col, text_col).select(
-                (-F.col("n_docs")).cast("long").alias("n_docs"),
-                (-F.col("sum_dl")).cast("long").alias("sum_dl"),
-            ),
-            "corpus_stats",
-        )
+            def _append_neg(df: DataFrame, sub: str) -> None:
+                (
+                    df.withColumn("batch_id", neg_bid)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(os.path.join(index_dir, sub))
+                )
+
+            _append_neg(
+                term_stats.withColumn("df", (-F.col("df")).cast("long")),
+                "term_stats",
+            )
+            _append_neg(
+                corpus_stats.select(
+                    (-F.col("n_docs")).cast("long").alias("n_docs"),
+                    (-F.col("sum_dl")).cast("long").alias("sum_dl"),
+                ),
+                "corpus_stats",
+            )
+    finally:
+        release()
 
 
 def _read_log(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -46,11 +46,9 @@ from pyspark.sql import functions as F
 
 from pipeline311_spark.ext.retrieval import (
     Bm25Index,
-    bm25_corpus_stats,
     bm25_index_update,
     bm25_term_stats,
     bm25_topk,
-    build_bm25_postings,
     rrf_fuse,
 )
 from pipeline311_spark.plans.common import emb_table, materialize, table
@@ -73,15 +71,30 @@ def _query_frame(spark):
 def _stored_index(spark, sf_dir, out: str, doc_filter=None) -> Bm25Index:
     """Build → write → read-back: postings and corpus stats become
     parquet artifacts; term_stats derives from the STORED postings.
-    Build cost = two corpus passes (postings tokenize + corpus stats —
-    the module doc explains why stats can't come from postings)."""
+    Build cost = ONE corpus pass (round 11, guide §1.2): the persisted
+    token base feeds both the postings write and the corpus-stats write
+    (stats can't come from postings — zero-token docs count toward
+    n_docs but produce no posting rows — but they CAN come from the
+    shared tokenize)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pipeline311_spark.ext.retrieval import (
+        _bm25_token_base,
+        _corpus_stats_from_base,
+        _postings_from_base,
+    )
+
     d = table(spark, sf_dir, "documents")
     if doc_filter is not None:
         d = d.filter(doc_filter)
-    postings = build_bm25_postings(d, "doc_id", "text")
-    postings.write.mode("overwrite").parquet(os.path.join(out, "postings"))
-    stats = bm25_corpus_stats(d, "doc_id", "text")
-    stats.write.mode("overwrite").parquet(os.path.join(out, "corpus_stats"))
+    base = _bm25_token_base(d, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        postings = _postings_from_base(base)
+        postings.write.mode("overwrite").parquet(os.path.join(out, "postings"))
+        stats = _corpus_stats_from_base(base)
+        stats.write.mode("overwrite").parquet(os.path.join(out, "corpus_stats"))
+    finally:
+        base.unpersist(False)
     stored_postings = spark.read.schema(postings.schema).parquet(
         os.path.join(out, "postings")
     )
@@ -195,17 +208,29 @@ def q_bm25_partitioned_store(spark, sf_dir):
     entirely in its bucket (hash-partitioning by the join key), so
     per-term df derived from the pruned read is exact.  Same oracle as
     every other BM25 form: the layout must be invisible in the result."""
+    from pyspark.storagelevel import StorageLevel
+
+    from pipeline311_spark.ext.retrieval import (
+        _bm25_token_base,
+        _corpus_stats_from_base,
+        _postings_from_base,
+    )
+
     out = os.path.join(tempfile.gettempdir(), f"p311_bm25p_{uuid.uuid4().hex[:12]}")
     try:
         d = table(spark, sf_dir, "documents")
-        postings = build_bm25_postings(d, "doc_id", "text").withColumn(
-            "tb", _term_bucket_col()
+        # one tokenize pass for both artifact writes (round 11, the
+        # _stored_index shape)
+        base = _bm25_token_base(d, "doc_id", "text").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        postings = _postings_from_base(base).withColumn("tb", _term_bucket_col())
         postings.write.mode("overwrite").partitionBy("tb").parquet(
             os.path.join(out, "postings")
         )
-        stats = bm25_corpus_stats(d, "doc_id", "text")
+        stats = _corpus_stats_from_base(base)
         stats.write.mode("overwrite").parquet(os.path.join(out, "corpus_stats"))
+        base.unpersist(False)
         stored = spark.read.schema(postings.schema).parquet(
             os.path.join(out, "postings")
         )
