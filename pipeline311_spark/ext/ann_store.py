@@ -325,12 +325,18 @@ def ann_quantizer_build(
     # does, so parity holds on hostile/tiny corpora (the r10 hostile
     # gate covers this path).  Zero CENTROIDS from a non-empty frame
     # remain a loud error above.
-    meta_df(
-        spark, [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
-    ).write.mode("overwrite").parquet(os.path.join(out, "centroids"))
-    meta_df(
-        spark, [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
-    ).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+    # two independent metadata-scale writes — overlap their per-action
+    # overhead (guide §2.6, round 11)
+    from pipeline311_spark.ext.artifact import run_jobs
+
+    run_jobs(
+        lambda: meta_df(
+            spark, [(int(i), vec) for i, vec in sorted(cents.items())], _centroid_schema("cell")
+        ).write.mode("overwrite").parquet(os.path.join(out, "centroids")),
+        lambda: meta_df(
+            spark, [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
+        ).write.mode("overwrite").parquet(os.path.join(out, "codebook")),
+    )
     return cents, cbook
 
 

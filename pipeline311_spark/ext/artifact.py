@@ -63,6 +63,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def run_jobs(*thunks: Callable[[], None]) -> None:
+    """Run INDEPENDENT Spark actions concurrently from driver threads
+    (guide §2.6: actions are sequential only because driver code calls
+    them sequentially; overlapping them lets the next job's tasks
+    back-fill executors freed by the current job's stragglers, and —
+    the dominant effect for this engine's metadata-scale artifact
+    writes — overlaps their fixed per-action driver cost: plan
+    analysis, file-commit protocol, py4j round trips).
+
+    Caller contract: the thunks must not depend on each other's
+    results or caches (a thunk that fills a persisted frame another
+    thunk reads must run BEFORE the pool, or both jobs race to compute
+    the same cache miss), and must write disjoint paths.  Exceptions:
+    every thunk runs to completion, then the first failure re-raises —
+    so a surrounding :func:`write_intent` keeps its marker exactly
+    when some write did not commit cleanly."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = [f.exception() for f in futures]
+        for e in errs:
+            if e is not None:
+                raise e
+
+
 def intent_dir(root: str) -> str:
     """The in-flight-batch marker dir INSIDE an artifact family's root
     (underscore-prefixed: Spark never reads it; living inside the root

@@ -568,12 +568,20 @@ def bm25_index_append_batch(
 
     # quiescence intent spans all three artifact writes: a crash
     # mid-triple leaves the marker, and compaction refuses until this
-    # batch replays (ext/artifact.py, VERDICT r10 item 3)
+    # batch replays (ext/artifact.py, VERDICT r10 item 3).  The
+    # postings write runs FIRST (it fills the persisted token base and
+    # postings), then the two stat writes — which read only those
+    # caches — run concurrently (guide §2.6: independent actions,
+    # disjoint paths; round 11)
+    from pipeline311_spark.ext.artifact import run_jobs
+
     try:
         with write_intent(index_dir, f"append-{int(batch_id)}"):
             _append(postings, "postings")
-            _append(term_stats, "term_stats")
-            _append(corpus_stats, "corpus_stats")
+            run_jobs(
+                lambda: _append(term_stats, "term_stats"),
+                lambda: _append(corpus_stats, "corpus_stats"),
+            )
     finally:
         release()
 
@@ -657,12 +665,6 @@ def bm25_index_delete_batch(
     )
     try:
         with write_intent(index_dir, f"delete-{int(batch_id)}"):
-            tombstone_append(
-                batch_df.select(F.col(id_col).alias("doc_id")),
-                batch_id,
-                tombstone_dir(os.path.join(index_dir, "postings")),
-                "doc_id",
-            )
             neg_bid = F.lit(neg_bid_int).cast("long")
 
             def _append_neg(df: DataFrame, sub: str) -> None:
@@ -674,9 +676,23 @@ def bm25_index_delete_batch(
                     .parquet(os.path.join(index_dir, sub))
                 )
 
-            _append_neg(
-                term_stats.withColumn("df", (-F.col("df")).cast("long")),
-                "term_stats",
+            from pipeline311_spark.ext.artifact import run_jobs
+
+            # tombstone write and the term-stats delta are independent
+            # (the tombstone reads only ids; term_stats fills the token
+            # base cache) — overlap them (guide §2.6); corpus_stats then
+            # reads the filled base (round 11)
+            run_jobs(
+                lambda: tombstone_append(
+                    batch_df.select(F.col(id_col).alias("doc_id")),
+                    batch_id,
+                    tombstone_dir(os.path.join(index_dir, "postings")),
+                    "doc_id",
+                ),
+                lambda: _append_neg(
+                    term_stats.withColumn("df", (-F.col("df")).cast("long")),
+                    "term_stats",
+                ),
             )
             _append_neg(
                 corpus_stats.select(
@@ -773,13 +789,22 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
         "term_stats": folded.term_stats.withColumn("batch_id", base),
         "corpus_stats": folded.corpus_stats.withColumn("batch_id", base),
     }
-    for sub, df in parts.items():
-        compact_swap(
-            os.path.join(index_dir, sub),
-            lambda staging, df=df: df.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(staging),
-        )
+    # the three per-artifact swaps are independent (disjoint dirs, and
+    # the docstring above proves any crash BETWEEN them folds to the
+    # same values) — run them concurrently (guide §2.6, round 11)
+    from pipeline311_spark.ext.artifact import run_jobs
+
+    run_jobs(
+        *[
+            lambda sub=sub, df=df: compact_swap(
+                os.path.join(index_dir, sub),
+                lambda staging, df=df: df.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(staging),
+            )
+            for sub, df in parts.items()
+        ]
+    )
     # the fold above read THROUGH the tombstones (load_bm25_index), so
     # deleted postings are physically gone from the base; the tombstone
     # ids themselves were folded-but-retained FIRST (see the fold-order

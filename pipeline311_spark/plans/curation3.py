@@ -645,14 +645,24 @@ def hybrid_rrf_build(spark, sf_dir, out):
     from pipeline311_spark.plans.curation4 import _PQ_K
 
     # function-local import: retrieval2 imports this module at top level
+    from pipeline311_spark.ext.artifact import run_jobs
     from pipeline311_spark.plans.retrieval2 import _stored_index
 
-    index = _stored_index(spark, sf_dir, out)
-    ann_index_build(
-        spark, emb_table(spark, sf_dir), os.path.join(out, "ann"),
-        n_cells=_ANN_CELLS, pq_k=_PQ_K,
+    # the two stores are fully independent (disjoint dirs, different
+    # source tables) — build them concurrently (guide §2.6, round 11)
+    got: dict = {}
+
+    def _bm25() -> None:
+        got["index"] = _stored_index(spark, sf_dir, out)
+
+    run_jobs(
+        _bm25,
+        lambda: ann_index_build(
+            spark, emb_table(spark, sf_dir), os.path.join(out, "ann"),
+            n_cells=_ANN_CELLS, pq_k=_PQ_K,
+        ),
     )
-    return index
+    return got["index"]
 
 
 def hybrid_rrf_serve(spark, sf_dir, out, index):
