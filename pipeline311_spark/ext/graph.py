@@ -52,6 +52,24 @@ def connected_components(
         # 0 rounds would return the seeded labels unverified — the
         # fail-loud contract below could never fire
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    from pyspark.sql import Observation
+
+    def _ck_observed(df: DataFrame):
+        """Checkpoint a label frame with its EXACT label sum riding the
+        materialization job (round 11, guide §1.2): min-label
+        propagation only ever LOWERS a node's label (the new label is
+        the min of a set containing the old one), so round r changed
+        some label iff sum(labels) strictly decreased — an exact
+        decimal(38,0) sum (associative, order-free, |node|·2^63 fits 38
+        digits) observed on the eager ``localCheckpoint`` replaces the
+        per-round join-back + count JOB the convergence check used to
+        cost.  One Spark job per round instead of two."""
+        obs = Observation()
+        observed = df.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        )
+        return local_checkpoint_tracked(observed), obs
+
     sym = persist_tracked(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -63,29 +81,31 @@ def connected_components(
     # anyway — saves one full join+aggregate+checkpoint round (r8; a
     # star cluster whose center is the min id converges at init, so
     # the flat dedup-graph case pays 1 round instead of 2)
-    labels = local_checkpoint_tracked(
+    labels, obs0 = _ck_observed(
         sym.groupBy(F.col("s").alias("node"))
         .agg(F.min("d").alias("mn"))
         .select("node", F.least(F.col("node"), F.col("mn")).alias("component"))
     )
+    prev_sum = obs0.get["s"]
 
     changed = 0
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.d == labels.node).select(
             F.col("s").alias("node"), "component"
         )
-        new_labels = local_checkpoint_tracked(
+        new_labels, obs = _ck_observed(
             labels.unionByName(msgs).groupBy("node").agg(F.min("component").alias("component"))
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        # new_labels is materialized (eager) and the convergence check
-        # was the last read of the previous round — release it now.
+        new_sum = obs.get["s"]
+        # a strictly smaller exact sum IS "some label changed" (labels
+        # are per-node non-increasing); equality IS the fixpoint
+        changed = int(new_sum != prev_sum)
+        # new_labels is materialized (eager) and its observed sum was
+        # the convergence check — the previous round's checkpoint has
+        # had its last read; release it now.
         release_local_checkpoint(labels)
         labels = new_labels
+        prev_sum = new_sum
         if changed == 0:
             break
     if changed != 0:
