@@ -406,10 +406,33 @@ def q_ivfpq_trained_audit(spark, sf_dir):
     try:
         e = emb_table(spark, sf_dir)
         qvecs = _query_vecs(e)
-        ann_index_build_trained(
-            spark, e, out,
-            n_cells=_ANN_CELLS, pq_k=_TRAIN_PQ_K,
-            m=_PQ_M, subdim=_PQ_SUBDIM, iters=_TRAIN_ITERS,
+        # the exact ground-truth ranking is INDEPENDENT of the trained
+        # build — overlap the two heavy passes (guide §2.6, round 11);
+        # the exact frame is checkpointed inside its thread so the work
+        # really runs concurrently, not at first downstream read
+        from pipeline311_spark.ext.artifact import run_jobs
+
+        got: dict = {}
+
+        def _exact() -> None:
+            got["exact"] = (
+                brute_force_topk(
+                    e,
+                    e.filter(F.col("vec_id") < _ANN_Q),
+                    k=_AUDIT_K,
+                    metric="sqdist",
+                )
+                .select("query_id", "neighbor_id")
+                .transform(materialize)
+            )
+
+        run_jobs(
+            lambda: ann_index_build_trained(
+                spark, e, out,
+                n_cells=_ANN_CELLS, pq_k=_TRAIN_PQ_K,
+                m=_PQ_M, subdim=_PQ_SUBDIM, iters=_TRAIN_ITERS,
+            ),
+            _exact,
         )
         if not qvecs:
             return spark.createDataFrame([], empty)
@@ -432,12 +455,7 @@ def q_ivfpq_trained_audit(spark, sf_dir):
         max_cell, med_cell = cell_balance_py(
             {f"c{c}": pops.get(f"c{c}", 0) for c in cells}
         )
-        exact = brute_force_topk(
-            e,
-            e.filter(F.col("vec_id") < _ANN_Q),
-            k=_AUDIT_K,
-            metric="sqdist",
-        ).select("query_id", "neighbor_id")
+        exact = got["exact"]
         hits = adc.select(
             F.col("query_id").alias("aq"), F.col("neighbor_id").alias("hit")
         )
