@@ -923,7 +923,20 @@ def ann_index_build_trained(
     incremental-append semantics carry over verbatim).  Cost:
     2·``iters`` + 2 corpus passes, each a broadcast-join/projection
     with a metadata-scale shuffle — the standard distributed k-means
-    shape."""
+    shape.
+
+    The assign+residual pass is computed ONCE and persisted
+    (MEMORY_AND_DISK, spillable — the same ~1x-corpus cache budget the
+    BM25 token base takes): the codebook seed collect, every Lloyd
+    iteration, and the final encode all read the cached residuals
+    instead of re-running the broadcast-assign join + top-1 window per
+    consumer (round 11, guide §1.2 — the lazy ``resid`` lineage was
+    recomputed 4x: seed collect, each iteration, encode).  The cached
+    rows are the evaluated output of the identical ``zip_with``
+    subtraction, so codes and codebook are bit-identical to the
+    recompute-every-time plan."""
+    from pipeline311_spark.ext.cache import persist_tracked
+
     v = _vec_frame(corpus, id_col, vec_col)
     first = v.select(F.size("v").alias("d")).take(1)
     dim = int(first[0]["d"]) if first else m * subdim
@@ -942,18 +955,44 @@ def ann_index_build_trained(
     centroids_df.write.mode("overwrite").parquet(
         os.path.join(out, "centroids")
     )
-    if cents:
-        assigned = assign_cells(v, centroids_df)
-        resid = assigned.select(
-            "vec_id", F.zip_with("v", "cv", lambda a, b: a - b).alias("v")
-        )
-        cbook = pq_train_codebook(resid, pq_k=pq_k, m=m, subdim=subdim, iters=iters)
-    else:
-        cbook = {}
-    meta_df(
-        spark, [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
-    ).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
-    _encode_write(spark, v, out, cents, cbook, m, subdim, mode="overwrite")
+    resid = None
+    try:
+        if cents:
+            resid = persist_tracked(
+                assign_cells(v, centroids_df).select(
+                    "vec_id",
+                    "cell",
+                    F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+                )
+            )
+            cbook = pq_train_codebook(
+                resid, pq_k=pq_k, m=m, subdim=subdim, iters=iters
+            )
+        else:
+            cbook = {}
+        meta_df(
+            spark, [(int(i), vec) for i, vec in sorted(cbook.items())], _centroid_schema("cid")
+        ).write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+        if resid is not None and cbook:
+            # encode from the SAME cached residuals: identical
+            # expressions to pq_codes over a fresh assign (pq_code_col
+            # on the residual column, pcell from the assigned cell)
+            codes = resid.select(
+                "vec_id",
+                *[
+                    pq_code_col(j, cbook, subdim, v_col="v").alias(f"code{j}")
+                    for j in range(m)
+                ],
+                F.concat(F.lit("c"), F.col("cell").cast("string")).alias("pcell"),
+            )
+            codes.write.mode("overwrite").partitionBy("pcell").parquet(
+                os.path.join(out, "codes")
+            )
+        else:
+            _encode_write(spark, v, out, cents, cbook, m, subdim, mode="overwrite")
+    finally:
+        if resid is not None:
+            resid.unpersist(False)
 
 
 def cell_balance_py(codes_pops: dict[str, int]) -> tuple[int, int]:
