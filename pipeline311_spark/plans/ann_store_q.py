@@ -261,8 +261,21 @@ def q_stream_ann_index_maintain(spark, sf_dir):
     try:
         e = emb_table(spark, sf_dir)
         v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        ann_quantizer_build(spark, v, idx, n_cells=_ANN_CELLS, pq_k=_PQ_K)
-        e.select("vec_id", "embedding").repartition(3).write.mode("overwrite").parquet(src)
+        # the quantizer build and the stream-source write are
+        # independent corpus passes with disjoint outputs — overlap
+        # them (guide §2.6, round 11); BOTH must complete before the
+        # stream starts (appends encode with the stored quantizer)
+        from pipeline311_spark.ext.artifact import run_jobs
+
+        run_jobs(
+            lambda: ann_quantizer_build(
+                spark, v, idx, n_cells=_ANN_CELLS, pq_k=_PQ_K
+            ),
+            lambda: e.select("vec_id", "embedding")
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(src),
+        )
         stream = spark.readStream.schema(
             e.select("vec_id", "embedding").schema
         ).option("maxFilesPerTrigger", 1).parquet(src)

@@ -175,8 +175,13 @@ def q_stream_bm25_delete_maintain(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        # the delete-source write only reads the corpus — it is
+        # independent of the append stream draining into idx, so let it
+        # run while the stream's micro-batches commit (guide §2.6,
+        # round 11); the DELETE stream still starts strictly after
+        # ``awaitTermination`` returns (single-writer-per-namespace)
         d.filter(_is_deleted()).repartition(2).write.mode("overwrite").parquet(src_del)
+        q.awaitTermination()
         dstream = spark.readStream.schema(d.schema).option(
             "maxFilesPerTrigger", 1
         ).parquet(src_del)
