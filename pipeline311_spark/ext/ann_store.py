@@ -747,15 +747,12 @@ def ann_codes_append_batch(
         cbook,
         m,
         subdim,
-    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-    from pipeline311_spark.ext.artifact import write_intent
+    )
+    from pipeline311_spark.ext.artifact import write_batch_partition, write_intent
 
     with write_intent(out, f"append-{int(batch_id)}"):
-        (
-            codes.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "pcell")
-            .parquet(os.path.join(out, "codes"))
+        write_batch_partition(
+            codes, os.path.join(out, "codes"), batch_id, partition_by=("pcell",)
         )
 
 
@@ -836,14 +833,14 @@ def ann_codes_compact(spark: SparkSession, out: str, m: int = ANN_M) -> None:
     # -1 base before any crash window can strand it in an excluded
     # partition
     compact_tombstones(spark, tombstone_dir(path), "vec_id")
-    base = load_ann_codes_log(spark, out, m).withColumn(
-        "batch_id", F.lit(-1).cast("long")
-    )
+    from pipeline311_spark.ext.artifact import write_batch_partition
+
+    base = load_ann_codes_log(spark, out, m)
     compact_swap(
         path,
-        lambda staging: base.write.mode("overwrite")
-        .partitionBy("batch_id", "pcell")
-        .parquet(staging),
+        lambda staging: write_batch_partition(
+            base, staging, -1, partition_by=("pcell",)
+        ),
     )
 
 

@@ -1411,16 +1411,10 @@ def gram_log_append_batch(
             "doc",
         )
     gh = _gram_hash_table(batch_df, id_col, text_col, n, distinct=True)
-    from pipeline311_spark.ext.artifact import write_intent
+    from pipeline311_spark.ext.artifact import write_batch_partition, write_intent
 
     with write_intent(store_dir, f"append-{int(batch_id)}"):
-        (
-            gh.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(store_dir, "grams"))
-        )
+        write_batch_partition(gh, os.path.join(store_dir, "grams"), batch_id)
 
 
 def gram_log_delete_batch(
@@ -1512,14 +1506,12 @@ def gram_log_compact(spark, store_dir: str) -> None:
     # -1 base before any crash window can strand it in an excluded
     # partition
     compact_tombstones(spark, tombstone_dir(path), "doc")
-    base = load_gram_log(spark, store_dir).withColumn(
-        "batch_id", F.lit(-1).cast("long")
-    )
+    from pipeline311_spark.ext.artifact import write_batch_partition
+
+    base = load_gram_log(spark, store_dir)
     compact_swap(
         path,
-        lambda staging: base.write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(staging),
+        lambda staging: write_batch_partition(base, staging, -1),
     )
 
 

@@ -548,7 +548,6 @@ def bm25_index_append_batch(
             tombstone_dir(os.path.join(index_dir, "postings")),
             "doc_id",
         )
-    bid = F.lit(int(batch_id)).cast("long")
     # ONE tokenize pass for all three artifacts (guide §1.2): the
     # persisted token base feeds postings and corpus_stats, the
     # persisted postings feed term_stats — the naive per-artifact
@@ -556,15 +555,10 @@ def bm25_index_append_batch(
     postings, term_stats, corpus_stats, release = bm25_batch_artifacts(
         batch_df, id_col, text_col
     )
+    from pipeline311_spark.ext.artifact import write_batch_partition
 
     def _append(df: DataFrame, sub: str) -> None:
-        (
-            df.withColumn("batch_id", bid)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(index_dir, sub))
-        )
+        write_batch_partition(df, os.path.join(index_dir, sub), batch_id)
 
     # quiescence intent spans all three artifact writes: a crash
     # mid-triple leaves the marker, and compaction refuses until this
@@ -665,15 +659,11 @@ def bm25_index_delete_batch(
     )
     try:
         with write_intent(index_dir, f"delete-{int(batch_id)}"):
-            neg_bid = F.lit(neg_bid_int).cast("long")
+            from pipeline311_spark.ext.artifact import write_batch_partition
 
             def _append_neg(df: DataFrame, sub: str) -> None:
-                (
-                    df.withColumn("batch_id", neg_bid)
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(os.path.join(index_dir, sub))
+                write_batch_partition(
+                    df, os.path.join(index_dir, sub), neg_bid_int
                 )
 
             from pipeline311_spark.ext.artifact import run_jobs
@@ -783,24 +773,21 @@ def bm25_index_compact(spark: SparkSession, index_dir: str) -> None:
     folded = load_bm25_index(spark, index_dir)
     if not os.path.isdir(os.path.join(index_dir, "postings")):
         return  # nothing ever appended — no log to fold
-    base = F.lit(-1).cast("long")
     parts = {
-        "postings": folded.postings.withColumn("batch_id", base),
-        "term_stats": folded.term_stats.withColumn("batch_id", base),
-        "corpus_stats": folded.corpus_stats.withColumn("batch_id", base),
+        "postings": folded.postings,
+        "term_stats": folded.term_stats,
+        "corpus_stats": folded.corpus_stats,
     }
     # the three per-artifact swaps are independent (disjoint dirs, and
     # the docstring above proves any crash BETWEEN them folds to the
     # same values) — run them concurrently (guide §2.6, round 11)
-    from pipeline311_spark.ext.artifact import run_jobs
+    from pipeline311_spark.ext.artifact import run_jobs, write_batch_partition
 
     run_jobs(
         *[
             lambda sub=sub, df=df: compact_swap(
                 os.path.join(index_dir, sub),
-                lambda staging, df=df: df.write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(staging),
+                lambda staging, df=df: write_batch_partition(df, staging, -1),
             )
             for sub, df in parts.items()
         ]
