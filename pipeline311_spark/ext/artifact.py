@@ -73,9 +73,14 @@ def run_jobs(*thunks: Callable[[], None]) -> None:
     analysis, file-commit protocol, py4j round trips).
 
     Caller contract: the thunks must not depend on each other's
-    results or caches (a thunk that fills a persisted frame another
-    thunk reads must run BEFORE the pool, or both jobs race to compute
-    the same cache miss), and must write disjoint paths.  Exceptions:
+    RESULTS, and must write disjoint paths.  Sharing a not-yet-filled
+    persisted frame is fine — and usually faster than sequencing the
+    filler first: BlockManager serializes per-partition computation
+    under a block write lock (one job's task computes, the others
+    block then read the cached block), so the fill happens exactly
+    once while the jobs' fixed per-action costs overlap (measured
+    1.15 s -> 0.87 s for the BM25 append triple at sf0.1, round 11 —
+    the first cut sequenced the filler out of caution).  Exceptions:
     every thunk runs to completion, then the first failure re-raises —
     so a surrounding :func:`write_intent` keeps its marker exactly
     when some write did not commit cleanly."""

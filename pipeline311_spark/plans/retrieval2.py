@@ -90,9 +90,20 @@ def _stored_index(spark, sf_dir, out: str, doc_filter=None) -> Bm25Index:
     base = _bm25_token_base(d, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
     try:
         postings = _postings_from_base(base)
-        postings.write.mode("overwrite").parquet(os.path.join(out, "postings"))
         stats = _corpus_stats_from_base(base)
-        stats.write.mode("overwrite").parquet(os.path.join(out, "corpus_stats"))
+        # the two artifact writes share only the token-base cache,
+        # whose concurrent fill BlockManager serializes — overlap them
+        # (guide §2.6; round 11, second wave)
+        from pipeline311_spark.ext.artifact import run_jobs
+
+        run_jobs(
+            lambda: postings.write.mode("overwrite").parquet(
+                os.path.join(out, "postings")
+            ),
+            lambda: stats.write.mode("overwrite").parquet(
+                os.path.join(out, "corpus_stats")
+            ),
+        )
     finally:
         base.unpersist(False)
     stored_postings = spark.read.schema(postings.schema).parquet(
@@ -225,11 +236,18 @@ def q_bm25_partitioned_store(spark, sf_dir):
             StorageLevel.MEMORY_AND_DISK
         )
         postings = _postings_from_base(base).withColumn("tb", _term_bucket_col())
-        postings.write.mode("overwrite").partitionBy("tb").parquet(
-            os.path.join(out, "postings")
-        )
         stats = _corpus_stats_from_base(base)
-        stats.write.mode("overwrite").parquet(os.path.join(out, "corpus_stats"))
+        # overlapped for the same reason as _stored_index (round 11)
+        from pipeline311_spark.ext.artifact import run_jobs
+
+        run_jobs(
+            lambda: postings.write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(out, "postings")),
+            lambda: stats.write.mode("overwrite").parquet(
+                os.path.join(out, "corpus_stats")
+            ),
+        )
         base.unpersist(False)
         stored = spark.read.schema(postings.schema).parquet(
             os.path.join(out, "postings")
