@@ -121,7 +121,18 @@ def write_batch_partition(
     left nothing — read_log folds it to zero rows, and the post-fold
     replay guard treats the recorded-then-replayed empty batch as a
     skip (strictly narrower than the documented zero-token residual
-    window)."""
+    window).
+
+    Crash window (ADVICE r11): plain ``overwrite`` deletes the existing
+    ``batch_id=<n>`` dir at job start, so a crash mid-replay leaves the
+    partition empty/partial for the whole rewrite, where the dynamic
+    committer preserved old content until its commit-time move.  This
+    is acceptable under the marker-then-replay contract — only batches
+    whose intent marker is still present (i.e. never committed cleanly)
+    are ever rewritten, so no committed content sits in the window —
+    but a serve racing the replay of that uncommitted batch can
+    transiently miss its rows (serve paths read the log as-is; only
+    compaction checks intent markers)."""
     if "batch_id" in df.columns:
         raise ValueError(
             "write_batch_partition: drop the batch_id column — the "

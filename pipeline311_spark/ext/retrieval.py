@@ -481,8 +481,9 @@ def bm25_index_append_batch(
     """Append one micro-batch's index deltas (the ``foreachBatch``
     body).  Doc ids must be disjoint across batches (file-split or
     keyed sources give this for free).  Idempotent under replay: every
-    write dynamically overwrites ONLY the ``batch_id=<n>`` partition it
-    produces, so re-delivering a batch rewrites the same rows.
+    write overwrites ONLY its own ``batch_id=<n>`` directory
+    (:func:`~pipeline311_spark.ext.artifact.write_batch_partition`), so
+    re-delivering a batch rewrites the same rows.
 
     ``validate_fresh_ids`` (ADVICE r10): semi-join the batch's ids
     against the postings tombstone log and refuse a re-appended

@@ -240,15 +240,19 @@ def q_bm25_partitioned_store(spark, sf_dir):
         # overlapped for the same reason as _stored_index (round 11)
         from pipeline311_spark.ext.artifact import run_jobs
 
-        run_jobs(
-            lambda: postings.write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(os.path.join(out, "postings")),
-            lambda: stats.write.mode("overwrite").parquet(
-                os.path.join(out, "corpus_stats")
-            ),
-        )
-        base.unpersist(False)
+        try:
+            run_jobs(
+                lambda: postings.write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(os.path.join(out, "postings")),
+                lambda: stats.write.mode("overwrite").parquet(
+                    os.path.join(out, "corpus_stats")
+                ),
+            )
+        finally:
+            # ADVICE r11: release the token base even when a write
+            # fails, matching _stored_index
+            base.unpersist(False)
         stored = spark.read.schema(postings.schema).parquet(
             os.path.join(out, "postings")
         )

@@ -1,6 +1,7 @@
 """Capture `.explain("formatted")` for named registry queries into
-plans/r11/<query>_<tag>.txt — the optimization round's before/after
-plan evidence (guide §1.1/§7.2).
+plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_PLAN_ROUND,
+default r12) — the optimization round's before/after plan evidence
+(guide §1.1/§7.2).
 
 Store-serving queries localCheckpoint before their tmp artifacts are
 cleaned up, so the returned frame's plan is a LogicalRDD scan; the
@@ -24,7 +25,9 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
 )
 
 
