@@ -7,6 +7,15 @@ MinHash gram table (ext/dedup.py).  Both follow one contract:
 * **append**: every micro-batch writes its delta rows dynamically
   overwriting ONLY its own ``batch_id=<n>`` partition — so replayed
   batches (crash-recovery's at-least-once delivery) are idempotent.
+  Corollary (round 12): CONCURRENT append batches with DISTINCT batch
+  ids and disjoint doc/vec ids are safe from one driver — each batch
+  writes only its own directory, declares its own intent marker, and
+  shares no mutable state (``recover_swap`` is a no-op read when no
+  swap crashed, ``folded_batches`` is a directory listing) — so a bulk
+  backfill may overlap its batches via :func:`run_jobs`.  What stays
+  single-writer: a Structured Streaming checkpoint serializes ITS OWN
+  batches (the engine's trigger loop), and compaction still requires
+  full quiescence across every writer.
 * **read** (:func:`read_log`): explicit schema (a log no batch ever
   wrote has no files to infer from → empty frame), and a loud refusal
   when the directory is mid-compaction-swap — in that window the only

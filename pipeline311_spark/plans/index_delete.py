@@ -59,6 +59,7 @@ from pipeline311_spark.plans.ann_store_q import (
     _ivfpq_sql,
     _query_vecs,
 )
+from pipeline311_spark.ext.artifact import run_jobs
 from pipeline311_spark.plans.common import emb_table, materialize, table
 from pipeline311_spark.plans.curation3 import _bm25_sql
 from pipeline311_spark.plans.extensions import (
@@ -127,8 +128,13 @@ def q_bm25_delete_maintain(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), f"p311_bm25dl_{uuid.uuid4().hex[:12]}")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "text")
-        for i in range(2):
-            bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == i), i, out)
+        # the two backfill batches are independent (disjoint ids,
+        # disjoint batch dirs, per-batch intent markers) — overlap them
+        # (guide §2.6; the artifact contract's round-12 corollary)
+        run_jobs(
+            lambda: bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == 0), 0, out),
+            lambda: bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == 1), 1, out),
+        )
         bm25_index_delete_batch(d.filter(_is_deleted()), 0, out)
         bm25_index_compact(spark, out)
         return _drop_score(
@@ -224,10 +230,15 @@ def q_minhash_delete_maintain(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), f"p311_mhd_{uuid.uuid4().hex[:12]}")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "text")
-        for i in range(2):
-            gram_log_append_batch(
-                d.filter(F.col("doc_id") % 2 == i), i, out, "doc_id", "text", n=_MH_N
-            )
+        # overlapped backfill (guide §2.6; artifact round-12 corollary)
+        run_jobs(
+            lambda: gram_log_append_batch(
+                d.filter(F.col("doc_id") % 2 == 0), 0, out, "doc_id", "text", n=_MH_N
+            ),
+            lambda: gram_log_append_batch(
+                d.filter(F.col("doc_id") % 2 == 1), 1, out, "doc_id", "text", n=_MH_N
+            ),
+        )
         gram_log_delete_batch(d.filter(_is_deleted()).select("doc_id"), 0, out)
         gram_log_compact(spark, out)
         return minhash_pairs_from_grams(
@@ -266,8 +277,11 @@ def q_ivfpq_delete_store(spark, sf_dir):
         e = emb_table(spark, sf_dir)
         v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         ann_quantizer_build(spark, v, out, n_cells=_ANN_CELLS, pq_k=_PQ_K)
-        for i in range(2):
-            ann_codes_append_batch(e.filter(F.col("vec_id") % 2 == i), i, out)
+        # overlapped backfill (guide §2.6; artifact round-12 corollary)
+        run_jobs(
+            lambda: ann_codes_append_batch(e.filter(F.col("vec_id") % 2 == 0), 0, out),
+            lambda: ann_codes_append_batch(e.filter(F.col("vec_id") % 2 == 1), 1, out),
+        )
         ann_codes_delete_batch(
             e.filter(_is_deleted("vec_id")).select("vec_id"), 0, out
         )

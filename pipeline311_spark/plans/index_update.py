@@ -61,6 +61,7 @@ from pipeline311_spark.plans.ann_store_q import (
     _ivfpq_sql,
     _query_vecs,
 )
+from pipeline311_spark.ext.artifact import run_jobs
 from pipeline311_spark.plans.common import emb_table, materialize, table
 from pipeline311_spark.plans.curation3 import _bm25_sql
 from pipeline311_spark.plans.extensions import (
@@ -125,8 +126,13 @@ def q_bm25_update_maintain(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), f"p311_bm25u_{uuid.uuid4().hex[:12]}")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "text")
-        for i in range(2):
-            bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == i), i, out)
+        # the two backfill batches are independent (disjoint ids,
+        # disjoint batch dirs, per-batch intent markers) — overlap them
+        # (guide §2.6; the artifact contract's round-12 corollary)
+        run_jobs(
+            lambda: bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == 0), 0, out),
+            lambda: bm25_index_append_batch(d.filter(F.col("doc_id") % 2 == 1), 1, out),
+        )
         changed = d.filter(_is_updated())
         bm25_index_delete_batch(changed, 0, out)
         bm25_index_append_batch(
@@ -162,10 +168,15 @@ def q_minhash_update_maintain(spark, sf_dir):
     out = os.path.join(tempfile.gettempdir(), f"p311_mhu_{uuid.uuid4().hex[:12]}")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "text")
-        for i in range(2):
-            gram_log_append_batch(
-                d.filter(F.col("doc_id") % 2 == i), i, out, "doc_id", "text", n=_MH_N
-            )
+        # overlapped backfill (guide §2.6; artifact round-12 corollary)
+        run_jobs(
+            lambda: gram_log_append_batch(
+                d.filter(F.col("doc_id") % 2 == 0), 0, out, "doc_id", "text", n=_MH_N
+            ),
+            lambda: gram_log_append_batch(
+                d.filter(F.col("doc_id") % 2 == 1), 1, out, "doc_id", "text", n=_MH_N
+            ),
+        )
         changed = d.filter(_is_updated())
         gram_log_delete_batch(changed.select("doc_id"), 0, out)
         gram_log_append_batch(
@@ -211,8 +222,11 @@ def q_ivfpq_update_store(spark, sf_dir):
         e = emb_table(spark, sf_dir)
         v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         ann_quantizer_build(spark, v, out, n_cells=_ANN_CELLS, pq_k=_PQ_K)
-        for i in range(2):
-            ann_codes_append_batch(e.filter(F.col("vec_id") % 2 == i), i, out)
+        # overlapped backfill (guide §2.6; artifact round-12 corollary)
+        run_jobs(
+            lambda: ann_codes_append_batch(e.filter(F.col("vec_id") % 2 == 0), 0, out),
+            lambda: ann_codes_append_batch(e.filter(F.col("vec_id") % 2 == 1), 1, out),
+        )
         changed = e.filter(_is_updated("vec_id"))
         ann_codes_delete_batch(changed.select("vec_id"), 0, out)
         revised = changed.select(

@@ -126,3 +126,28 @@ def test_append_into_crashed_swap_window_recovers_first(spark, tmp_path):
     assert _snap(spark, store) == want
     gram_log_compact(spark, store)  # and compaction stays lossless
     assert _snap(spark, store) == want
+
+
+def test_concurrent_backfill_batches_equal_sequential(spark, tmp_path):
+    """Round 12: the artifact contract's concurrency corollary — two
+    append batches with distinct batch ids and disjoint doc ids issued
+    CONCURRENTLY (run_jobs, the overlapped-backfill shape the
+    delete/update lifecycle queries use) leave the log byte-equal to
+    the sequential order, with no intent markers left behind."""
+    from pipeline311_spark.ext.artifact import intent_dir, run_jobs
+
+    seq = str(tmp_path / "seq")
+    gram_log_append_batch(_docs(spark, A), 0, seq, n=5)
+    gram_log_append_batch(_docs(spark, B), 1, seq, n=5)
+
+    conc = str(tmp_path / "conc")
+    run_jobs(
+        lambda: gram_log_append_batch(_docs(spark, A), 0, conc, n=5),
+        lambda: gram_log_append_batch(_docs(spark, B), 1, conc, n=5),
+    )
+    assert _snap(spark, conc) == _snap(spark, seq)
+    leftover = os.listdir(intent_dir(conc)) if os.path.isdir(intent_dir(conc)) else []
+    assert leftover == []
+    # and the folded state agrees too
+    gram_log_compact(spark, conc)
+    assert _snap(spark, conc) == _snap(spark, seq)
