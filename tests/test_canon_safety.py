@@ -60,10 +60,12 @@ TABLES = (
 ).split()
 
 
-def test_spark_outputs_canon_safe(spark, sf_dir):
+def test_spark_outputs_canon_safe(registry_frames):
+    # frames from the shared parallel-construction fixture (round 12):
+    # this audit reads only output dtypes, so it shares one
+    # construction pass with the plan audit
     offenders = {}
-    for name, spec in sorted(REGISTRY.items()):
-        df = spec.fn(spark, sf_dir)
+    for name, df in sorted(registry_frames.items()):
         bad = [
             (c, t)
             for c, t in df.dtypes

@@ -216,11 +216,14 @@ _SINGLE_PARTITION_OK = {
 }
 
 
-def test_registry_wide_plan_audit(spark, sf_dir):
+def test_registry_wide_plan_audit(registry_frames):
     """Every registered query: no cartesian products ever; no
-    single-partition stages outside the documented allowlist."""
-    for name, spec in sorted(REGISTRY.items()):
-        plan = explain_str(spec.fn(spark, sf_dir))
+    single-partition stages outside the documented allowlist.
+    Frames come from the shared parallel-construction fixture
+    (round 12): this audit inspects only the returned plan, so it
+    shares one construction pass with the canon-safety audit."""
+    for name, df in sorted(registry_frames.items()):
+        plan = explain_str(df)
         assert "CartesianProduct" not in plan, name
         if name not in _SINGLE_PARTITION_OK:
             assert "SinglePartition" not in plan, name

@@ -39,10 +39,16 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
-    fails = []
-    for name, spec in sorted(REGISTRY.items()):
+    from tests.conftest import sweep_map
+
+    def probe(name):
         try:
-            spec.fn(spark, empty_sf_dir).count()
+            REGISTRY[name].fn(spark, empty_sf_dir).count()
+            return None
         except Exception as e:  # noqa: BLE001 — collecting the full list
-            fails.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+            first = (str(e).splitlines() or [""])[0][:120]
+            return f"{name}: {type(e).__name__}: {first}"
+
+    # overlapped sweep (round 12, guide §2.6) — same full failure list
+    fails = [f for f in sweep_map(probe, sorted(REGISTRY)) if f]
     assert not fails, "queries crashing on empty input:\n" + "\n".join(fails)

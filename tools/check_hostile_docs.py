@@ -175,31 +175,37 @@ def main() -> None:
     _write_hostile_events(os.path.join(tmp, "events.parquet"))
     _write_hostile_embeddings(os.path.join(tmp, "embeddings.parquet"))
 
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet/*.parquet')"
-    )
-    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')")
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp}/embeddings.parquet')"
-    )
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    # one duckdb connection (with the three hostile views) per worker
+    # thread — duckdb connections are not shared across threads, and a
+    # fresh in-process connection over the same parquet files is cheap
+    _local = threading.local()
+
+    def _con():
+        if getattr(_local, "con", None) is None:
+            c = duckdb.connect()
+            c.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+            )
+            c.execute(
+                f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+            )
+            c.execute(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp}/embeddings.parquet')"
+            )
+            _local.con = c
+        return _local.con
 
     other = [t for t in TABLES if t not in ("documents", "events", "embeddings")]
-    ok = fail = skip = 0
-    failures = []
-    for name, spec in sorted(plans.REGISTRY.items()):
-        if only and name not in only:
-            continue
-        if spec.oracle is None:
-            continue
-        # table-name scan over the oracle with string literals stripped:
-        # the BM25 queries carry the literal term 'customer' in their
-        # VALUES list, which is a query string, not a table reference
-        # (caught r8 — the whole BM25 family was silently skipped)
-        oracle_no_literals = re.sub(r"'[^']*'", "''", spec.oracle)
-        if any(re.search(rf"\b{t}\b", oracle_no_literals) for t in other):
-            skip += 1
-            continue
+
+    def check_one(item):
+        """-> ("ok"|"fail"|"skip", failure message or None).  The whole
+        per-query body of the old sequential loop, verbatim semantics."""
+        name, spec = item
         try:
             sdf = spec.fn(spark, tmp)
             if audit_schema(sdf):
@@ -209,19 +215,14 @@ def main() -> None:
         except Exception as e:
             msg = str(e)
             if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                skip += 1  # engine side reads a table the hostile dir lacks
-                continue
-            fail += 1
-            failures.append(f"{name}: spark error: {msg[:200]}")
-            continue
+                return "skip", None  # engine reads a table the hostile dir lacks
+            return "fail", f"{name}: spark error: {msg[:200]}"
         try:
-            odf = con.execute(spec.oracle).fetchdf()
+            odf = _con().execute(spec.oracle).fetchdf()
             ocols = list(odf.columns)
             orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
-            fail += 1
-            failures.append(f"{name}: duckdb error: {str(e)[:200]}")
-            continue
+            return "fail", f"{name}: duckdb error: {str(e)[:200]}"
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
@@ -235,10 +236,39 @@ def main() -> None:
             diff = next((f"spark={a[:120]} oracle={b[:120]}" for a, b in zip(set_s, set_o) if a != b), "")
             problems.append(f"value-hash mismatch {diff}")
         if problems:
-            fail += 1
-            failures.append(f"{name}: " + "; ".join(problems))
-        else:
+            return "fail", f"{name}: " + "; ".join(problems)
+        return "ok", None
+
+    ok = fail = skip = 0
+    failures = []
+    todo = []
+    for name, spec in sorted(plans.REGISTRY.items()):
+        if only and name not in only:
+            continue
+        if spec.oracle is None:
+            continue
+        # table-name scan over the oracle with string literals stripped:
+        # the BM25 queries carry the literal term 'customer' in their
+        # VALUES list, which is a query string, not a table reference
+        # (caught r8 — the whole BM25 family was silently skipped)
+        oracle_no_literals = re.sub(r"'[^']*'", "''", spec.oracle)
+        if any(re.search(rf"\b{t}\b", oracle_no_literals) for t in other):
+            skip += 1
+            continue
+        todo.append((name, spec))
+    # overlapped sweep (round 12, guide §2.6): queries are independent
+    # (uuid tmp stores, uuid memory-sink names, fixed-value conf pins)
+    workers = int(os.environ.get("SPARK_GRAFT_TEST_SWEEP_WORKERS", "8"))
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        results = list(pool.map(check_one, todo))
+    for status, msg in results:
+        if status == "ok":
             ok += 1
+        elif status == "skip":
+            skip += 1
+        else:
+            fail += 1
+            failures.append(msg)
     for f in failures:
         print("FAIL", f)
     print(f"{ok} ok, {fail} fail, {skip} skipped (non-documents tables)")
