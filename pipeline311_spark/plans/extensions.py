@@ -396,12 +396,31 @@ def q_minhash_incr_store(spark, sf_dir):
         tempfile.gettempdir(),
         f"p311_incr_store_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:12]}",
     )
-    gh = _gram_hash_table(existing, "doc_id", "text", _MH_N, distinct=True)
-    gh.write.mode("overwrite").parquet(base + "_grams")
-    stored_grams = spark.read.parquet(base + "_grams")
-    _signatures_from_grams(stored_grams, _MH_K, _MH_SEED).write.mode("overwrite").parquet(
-        base + "_sig"
+    from pyspark.storagelevel import StorageLevel
+
+    from pipeline311_spark.ext.artifact import run_jobs
+
+    # ONE gram pass feeds both artifact writes, overlapped (round 12,
+    # guide §2.6 — the _stored_index shape): the old form wrote grams,
+    # read them back, and only then computed+wrote signatures — a
+    # serial parquet round trip between two writes whose contents both
+    # derive from the same persisted gram table.  Signature rows are
+    # identical either way (same gram rows in, same MIN aggregation);
+    # the serve below still reads BOTH artifacts from parquet, so the
+    # store hop the query declares is unchanged.
+    gh = _gram_hash_table(existing, "doc_id", "text", _MH_N, distinct=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        run_jobs(
+            lambda: gh.write.mode("overwrite").parquet(base + "_grams"),
+            lambda: _signatures_from_grams(gh, _MH_K, _MH_SEED)
+            .write.mode("overwrite")
+            .parquet(base + "_sig"),
+        )
+    finally:
+        gh.unpersist(False)
+    stored_grams = spark.read.parquet(base + "_grams")
     return minhash_incremental_from_store(
         spark.read.parquet(base + "_sig"),
         stored_grams,
